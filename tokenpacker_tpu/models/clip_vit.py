@@ -1,0 +1,131 @@
+"""CLIP ViT vision tower in pure JAX.
+
+Reproduces HF `CLIPVisionModel` (the reference's tower,
+llava/model/multimodal_encoder/clip_encoder.py:7-89) for
+openai/clip-vit-large-patch14-336: conv patch embed (no bias) + CLS +
+learned position embeddings + pre-LayerNorm, then N pre-LN transformer
+blocks with quick-GELU MLPs.
+
+The tower is frozen in all reference recipes (clip_encoder.py:24), so the
+forward is pure inference; `feature_select` returns the reference's tuple
+`(hidden_states[select_layer][:, 1:], concat(hidden_states[l] for l in
+multi_layers)[:, 1:])` (clip_encoder.py:28-44). hidden_states[0] is the
+post-pre-LayerNorm embedding stream and hidden_states[i] the output of
+block i, matching HF's output_hidden_states indexing.
+
+TPU notes: the patch conv is expressed as an unfold+matmul (a single
+[B*576, 14*14*3] x [588, width] MXU matmul); all blocks run under one jit
+with scan-over-layers to keep compile time flat; attention uses
+jnp.einsum, which XLA maps to the MXU with fused softmax.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tokenpacker_tpu.config import VisionConfig
+from tokenpacker_tpu.ops.layers import (
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+    quick_gelu,
+)
+
+
+def init_clip_vit(key, cfg: VisionConfig, dtype=jnp.float32):
+    n_keys = 8 + cfg.num_hidden_layers * 6
+    keys = iter(jax.random.split(key, n_keys))
+    w = cfg.hidden_size
+
+    def lin(i, o):
+        return init_linear(next(keys), i, o, dtype=dtype)
+
+    patch_dim = 3 * cfg.patch_size * cfg.patch_size
+    params = {
+        "class_embedding": 0.02 * jax.random.normal(next(keys), (w,), dtype),
+        # conv kernel flattened to [patch_dim, width] (no bias, as in CLIP)
+        "patch_embed": {"kernel": 0.02 * jax.random.normal(next(keys), (patch_dim, w), dtype)},
+        "pos_embed": 0.02 * jax.random.normal(next(keys), (cfg.seq_len, w), dtype),
+        "pre_ln": init_layer_norm(w, dtype),
+        "post_ln": init_layer_norm(w, dtype),
+        "layers": [],
+    }
+    for _ in range(cfg.num_hidden_layers):
+        params["layers"].append(
+            {
+                "ln1": init_layer_norm(w, dtype),
+                "attn": {"q": lin(w, w), "k": lin(w, w), "v": lin(w, w), "o": lin(w, w)},
+                "ln2": init_layer_norm(w, dtype),
+                "mlp": {"fc1": lin(w, cfg.intermediate_size), "fc2": lin(cfg.intermediate_size, w)},
+            }
+        )
+    # stack layer params for scan
+    params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
+    return params
+
+
+def _attn(p, x, num_heads: int):
+    n, t, w = x.shape
+    d = w // num_heads
+    q = linear(p["q"], x).reshape(n, t, num_heads, d)
+    k = linear(p["k"], x).reshape(n, t, num_heads, d)
+    v = linear(p["v"], x).reshape(n, t, num_heads, d)
+    logits = jnp.einsum("nqhd,nkhd->nhqk", q, k) * (d**-0.5)
+    a = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+    o = jnp.einsum("nhqk,nkhd->nqhd", a, v).reshape(n, t, w)
+    return linear(p["o"], o)
+
+
+def _block(p, x, cfg: VisionConfig):
+    x = x + _attn(p["attn"], layer_norm(p["ln1"], x, cfg.layer_norm_eps), cfg.num_attention_heads)
+    h = layer_norm(p["ln2"], x, cfg.layer_norm_eps)
+    h = linear(p["mlp"]["fc2"], quick_gelu(linear(p["mlp"]["fc1"], h)))
+    return x + h
+
+
+def patchify(images, patch_size: int):
+    """[N, H, W, 3] → [N, (H/p)*(W/p), 3*p*p] in HF conv-kernel flatten order
+    (out-channel dot over [c_in, kh, kw])."""
+    n, hh, ww, c = images.shape
+    gh, gw = hh // patch_size, ww // patch_size
+    x = images.reshape(n, gh, patch_size, gw, patch_size, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # [N, gh, gw, C, ph, pw]
+    return x.reshape(n, gh * gw, c * patch_size * patch_size)
+
+
+def clip_vit_hidden_states(params, cfg: VisionConfig, images):
+    """images: [N, H, W, 3] (CLIP-normalized, channels-last).
+
+    Returns stacked hidden states [L+1, N, seq, width]: index 0 = embeddings
+    (after pre-LN), index i = output of block i.
+    """
+    n = images.shape[0]
+    patches = patchify(images, cfg.patch_size)
+    x = patches @ params["patch_embed"]["kernel"]  # [N, 576, W]
+    cls = jnp.broadcast_to(params["class_embedding"], (n, 1, cfg.hidden_size)).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    x = layer_norm(params["pre_ln"], x, cfg.layer_norm_eps)
+
+    def step(carry, layer_params):
+        y = _block(layer_params, carry, cfg)
+        return y, y
+
+    last, stacked = jax.lax.scan(step, x, params["layers"])
+    hidden = jnp.concatenate([x[None], stacked], axis=0)  # [L+1, N, T, W]
+    return hidden
+
+
+def clip_tower_features(params, cfg: VisionConfig, images):
+    """The reference tower tuple (clip_encoder.py:28-44):
+    (features [N,576,W] at select_layer, multi-level concat [N,576,4W])."""
+    hidden = clip_vit_hidden_states(params, cfg, images)
+    num = hidden.shape[0]
+    sel = cfg.select_layer if cfg.select_layer >= 0 else num + cfg.select_layer
+    feats = hidden[sel]
+    multi = jnp.concatenate([hidden[l] for l in cfg.multi_layers], axis=-1)
+    if cfg.select_feature == "patch":
+        feats = feats[:, 1:]
+        multi = multi[:, 1:]
+    return feats, multi
