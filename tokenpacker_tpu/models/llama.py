@@ -1,0 +1,193 @@
+"""LLaMA/Vicuna decoder-only LM in pure JAX (GQA-ready).
+
+Replaces the reference's HF `LlamaForCausalLM` + flash-attn monkey patch
+(`llava/model/language_model/llava_llama.py`,
+`llava/train/llama_flash_attn_monkey_patch.py`) with a functional, scan-over-
+layers implementation designed for XLA:
+
+- parameters are plain pytrees with layers stacked on a leading axis so the
+  whole decoder compiles as one `lax.scan` (flat compile time, fusion-friendly)
+- RoPE computed in fp32 with the HF rotate-half convention
+- attention takes an additive bias built once per call (causal + padding),
+  runs via einsum (XLA→MXU, fused softmax); a Pallas flash-attention kernel
+  (ops/flash_attention.py) is used on TPU for long sequences
+- KV cache is a preallocated [L, N, S_max, kv_heads, head_dim] buffer updated
+  with dynamic_update_slice — static shapes for jit-compiled decode
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tokenpacker_tpu.config import LMConfig
+from tokenpacker_tpu.ops.layers import init_rms_norm, linear, rms_norm
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, N, S_max, kv_heads, head_dim]
+    v: jax.Array
+    length: jax.Array  # scalar int32: number of valid positions
+
+    @classmethod
+    def create(cls, cfg: LMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_hidden_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
+
+
+def init_llama(key, cfg: LMConfig, dtype=jnp.float32):
+    keys = iter(jax.random.split(key, 4 + cfg.num_hidden_layers * 7))
+    d, kvd = cfg.hidden_size, cfg.kv_heads * cfg.head_dim
+
+    def lin(i, o):
+        w = 0.02 * jax.random.normal(next(keys), (i, o))
+        return {"kernel": w.astype(dtype)}
+
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        layers.append(
+            {
+                "input_ln": init_rms_norm(d, dtype),
+                "attn": {"q": lin(d, d), "k": lin(d, kvd), "v": lin(d, kvd), "o": lin(d, d)},
+                "post_ln": init_rms_norm(d, dtype),
+                "mlp": {
+                    "gate": lin(d, cfg.intermediate_size),
+                    "up": lin(d, cfg.intermediate_size),
+                    "down": lin(cfg.intermediate_size, d),
+                },
+            }
+        )
+    params = {
+        "embed": 0.02 * jax.random.normal(next(keys), (cfg.vocab_size, d)).astype(dtype),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "norm": init_rms_norm(d, dtype),
+        "lm_head": lin(d, cfg.vocab_size),
+    }
+    return params
+
+
+def rope_cos_sin(positions, head_dim: int, theta: float):
+    """positions: [N, T] → (cos, sin) each [N, T, head_dim], fp32, HF layout
+    (inv_freq tiled twice along the feature axis)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [N, T, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x, cos, sin):
+    """x: [N, T, H, hd]; cos/sin: [N, T, hd] (broadcast over heads)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    return x * c + rotated * s
+
+
+def _sdpa(q, k, v, bias):
+    """q: [N, T, H, d]; k/v: [N, S, Hkv, d]; bias: [N, 1, T, S] additive fp32.
+
+    Grouped-query attention: repeats kv heads to match q heads.
+    """
+    n, t, h, d = q.shape
+    hkv = k.shape[2]
+    if hkv != h:
+        rep = h // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum("nqhd,nkhd->nhqk", q, k) * (d**-0.5)
+    logits = logits.astype(jnp.float32) + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("nhqk,nkhd->nqhd", probs, v)
+
+
+def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len):
+    """One decoder block. layer_cache: (k, v) [N, S_max, Hkv, d] or None."""
+    h = rms_norm(p["input_ln"], x, cfg.rms_norm_eps)
+    n, t, _ = h.shape
+    q = linear(p["attn"]["q"], h).reshape(n, t, cfg.num_attention_heads, cfg.head_dim)
+    k = linear(p["attn"]["k"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
+    v = linear(p["attn"]["v"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if layer_cache is not None:
+        ck, cv = layer_cache
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
+        attn_out = _sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), bias)
+        new_cache = (ck, cv)
+    else:
+        attn_out = _sdpa(q, k, v, bias)
+        new_cache = None
+
+    attn_out = linear(p["attn"]["o"], attn_out.reshape(n, t, -1))
+    x = x + attn_out
+    h = rms_norm(p["post_ln"], x, cfg.rms_norm_eps)
+    h = linear(p["mlp"]["down"], jax.nn.silu(linear(p["mlp"]["gate"], h)) * linear(p["mlp"]["up"], h))
+    return x + h, new_cache
+
+
+def make_attention_bias(positions, key_valid, cache_len, s_total):
+    """Additive fp32 bias [N, 1, T, S].
+
+    positions: [N, T] query positions; key_valid: [N, S] validity of key slots
+    (padding mask over the full cache/sequence). Causality: key slot j is
+    visible to query at position p iff j's position <= p. With a cache the
+    key positions are simply the slot indices 0..S-1 offset is already
+    included in `positions`.
+    """
+    n, t = positions.shape
+    key_pos = jnp.arange(s_total)[None, :]  # [1, S]
+    causal = key_pos[:, None, :] <= positions[..., None]  # [N, T, S]
+    ok = causal & key_valid[:, None, :]
+    return jnp.where(ok[:, None], 0.0, jnp.finfo(jnp.float32).min).astype(jnp.float32)
+
+
+def llama_apply(
+    params,
+    cfg: LMConfig,
+    inputs_embeds,  # [N, T, D]
+    positions,  # [N, T]
+    attn_bias,  # [N, 1, T, S] additive fp32
+    cache: KVCache | None = None,
+):
+    """Run the decoder stack. Returns (hidden [N,T,D], new_cache)."""
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    x = inputs_embeds
+    cache_len = cache.length if cache is not None else jnp.zeros((), jnp.int32)
+
+    if cache is None:
+
+        def step(carry, layer_params):
+            y, _ = _layer(layer_params, cfg, carry, cos, sin, attn_bias, None, cache_len)
+            return y, None
+
+        x, _ = jax.lax.scan(step, x, params["layers"])
+        new_cache = None
+    else:
+
+        def step(carry, xs):
+            layer_params, ck, cv = xs
+            y, (nk, nv) = _layer(layer_params, cfg, carry, cos, sin, attn_bias, (ck, cv), cache_len)
+            return y, (nk, nv)
+
+        x, (nk, nv) = jax.lax.scan(step, x, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(nk, nv, cache.length + inputs_embeds.shape[1])
+
+    x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    return x, new_cache
+
+
+def llama_logits(params, hidden):
+    return linear(params["lm_head"], hidden)
+
+
+def embed_tokens(params, input_ids):
+    """Token embedding lookup; negative ids (e.g. IMAGE_TOKEN_INDEX) clamp to 0
+    — callers overwrite those positions with projector output before use."""
+    safe = jnp.clip(input_ids, 0, params["embed"].shape[0] - 1)
+    return params["embed"][safe]
