@@ -1,0 +1,184 @@
+"""Generation engine: jit-compiled prefill + decode with KV cache.
+
+Replaces the reference's HF `model.generate` path (run_llava.py:68,
+llava_llama.py:120-140): vision encoding happens once at prefill; decode
+steps run the LM with a static-shape KV cache. Greedy (temperature 0 — the
+eval-harness setting) and temperature/top-p sampling are supported. Stop
+handling reproduces `KeywordsStoppingCriteria` (mm_utils.py:76-102) host-side
+on the decoded tail, but batched (the reference is batch-1 only).
+
+Shape discipline: prompts are right-padded to a bucket length L so each
+(bucket, batch) pair compiles once; the KV cache is [*, L+max_new, *].
+Prefill writes keys to slots [0, L) (pad slots masked out); decode step t
+writes to slot L+t for every sample while sample i's query position is
+its true length + t, keeping RoPE exact per sample.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tokenpacker_tpu.config import TokenPackerVLMConfig
+from tokenpacker_tpu.models.llama import (
+    KVCache,
+    embed_tokens,
+    llama_apply,
+    llama_logits,
+    make_attention_bias,
+)
+from tokenpacker_tpu.models.vlm import vlm_hidden
+
+DEFAULT_BUCKETS = (128, 256, 512, 1024, 1536, 2048)
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+def pick_bucket(length: int, buckets=DEFAULT_BUCKETS) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    return int(np.ceil(length / 512) * 512)
+
+
+@partial(jax.jit, static_argnames=("cfg", "s_max"))
+def prefill(params, cfg: TokenPackerVLMConfig, batch, s_max: int):
+    """Returns (next-token logits [N, V], cache)."""
+    n, l = batch["token_ids"].shape
+    cache = KVCache.create(cfg.lm, n, s_max, dtype=cfg.dtype)
+    lengths = batch["lengths"]  # [N] true prompt lengths
+    key_valid = jnp.arange(s_max)[None, :] < lengths[:, None]
+    positions = jnp.broadcast_to(jnp.arange(l), (n, l))
+    hidden, cache = vlm_hidden(
+        params, cfg, {**batch, "positions": positions, "key_valid": key_valid}, cache
+    )
+    idx = jnp.maximum(lengths - 1, 0)
+    last_hidden = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+    logits = llama_logits(params["lm"], last_hidden)
+    return logits, cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "prefill_len"))
+def decode_step(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step, prefill_len: int):
+    """One token for every sample.
+
+    tokens: [N] input ids; lengths: [N] true prompt lengths; step: scalar
+    int32 decode step index. Writes KV at slot prefill_len+step; sample i's
+    query position is lengths[i]+step.
+    """
+    s_max = cache.k.shape[2]
+    n = tokens.shape[0]
+    positions = (lengths + step)[:, None]  # [N, 1]
+    emb = embed_tokens(params["lm"], tokens[:, None])
+
+    key_idx = jnp.arange(s_max)[None, :]
+    key_valid = (key_idx < lengths[:, None]) | (
+        (key_idx >= prefill_len) & (key_idx <= prefill_len + step)
+    )
+    bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
+
+    cache_at = KVCache(cache.k, cache.v, prefill_len + step)
+    hidden, new_cache = llama_apply(params["lm"], cfg.lm, emb, positions, bias, cache_at)
+    logits = llama_logits(params["lm"], hidden[:, 0])
+    return logits, new_cache
+
+
+def sample_tokens(logits, temperature, top_p, rng_key):
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_p is not None and top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cdf = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cdf < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng_key, logits, axis=-1)
+
+
+@dataclass
+class GenerationResult:
+    sequences: list[list[int]]  # generated ids per sample (prompt excluded)
+    texts: list[str] | None = None
+
+
+class Generator:
+    """Owns a model's compiled prefill/decode and host-side stop logic."""
+
+    def __init__(self, params, cfg: TokenPackerVLMConfig, tokenizer=None):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+
+    def generate(
+        self,
+        batch: dict,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_p: float | None = None,
+        stop_strings: tuple[str, ...] = (),
+        rng_key=None,
+        check_every: int = 8,
+    ) -> GenerationResult:
+        """batch: splice-plan numpy arrays (token_ids/is_image/image_slot/
+        lengths) + optional images [n_crops, H, W, 3]."""
+        cfg = self.cfg
+        n, l = batch["token_ids"].shape
+        s_max = l + max_new_tokens
+        dev_batch = {
+            "token_ids": jnp.asarray(batch["token_ids"]),
+            "is_image": jnp.asarray(batch["is_image"]),
+            "image_slot": jnp.asarray(batch["image_slot"]),
+            "lengths": jnp.asarray(batch["lengths"], jnp.int32),
+            "images": jnp.asarray(batch["images"], cfg.dtype)
+            if batch.get("images") is not None
+            else None,
+        }
+        logits, cache = prefill(self.params, cfg, dev_batch, s_max)
+
+        lengths = dev_batch["lengths"]
+        if rng_key is None:
+            rng_key = jax.random.PRNGKey(0)
+        eos = cfg.lm.eos_token_id
+        done = np.zeros(n, dtype=bool)
+        out_tokens: list[list[int]] = [[] for _ in range(n)]
+
+        for step in range(max_new_tokens):
+            rng_key, sub = jax.random.split(rng_key)
+            tokens = sample_tokens(logits, temperature, top_p, sub)
+            tok_np = np.asarray(tokens)
+            for i in range(n):
+                if not done[i]:
+                    out_tokens[i].append(int(tok_np[i]))
+                    if tok_np[i] == eos:
+                        done[i] = True
+            if done.all() or step == max_new_tokens - 1:
+                break
+            if stop_strings and self.tokenizer is not None and (step + 1) % check_every == 0:
+                for i in range(n):
+                    if not done[i]:
+                        tail = self.tokenizer.decode(out_tokens[i])
+                        if any(s in tail for s in stop_strings):
+                            done[i] = True
+                if done.all():
+                    break
+            logits, cache = decode_step(
+                self.params, cfg, cache, tokens, lengths, jnp.asarray(step, jnp.int32), l
+            )
+
+        texts = None
+        if self.tokenizer is not None:
+            texts = []
+            for i in range(n):
+                toks = [t for t in out_tokens[i] if t != eos]
+                text = self.tokenizer.decode(toks, skip_special_tokens=True)
+                for s in stop_strings:
+                    if s and text.endswith(s):
+                        text = text[: -len(s)]
+                texts.append(text.strip())
+        return GenerationResult(out_tokens, texts)
