@@ -1,0 +1,69 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tokenpacker_tpu.config import tiny_vlm_config
+from tokenpacker_tpu.models.vlm import init_vlm
+from tokenpacker_tpu.parallel.mesh import make_mesh
+from tokenpacker_tpu.parallel.sharding import shard_params, vlm_param_shardings
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(tp=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    mesh = make_mesh(tp=1)
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+
+
+def test_param_sharding_rules():
+    mesh = make_mesh(tp=2)
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    shardings = vlm_param_shardings(params, mesh)
+
+    # column-parallel q: [L, D, D] → (None, data, model)
+    assert shardings["lm"]["layers"]["attn"]["q"]["kernel"].spec == P(None, "data", "model")
+    # row-parallel o: (None, model, data)
+    assert shardings["lm"]["layers"]["attn"]["o"]["kernel"].spec == P(None, "model", "data")
+    # mlp down row-parallel
+    assert shardings["lm"]["layers"]["mlp"]["down"]["kernel"].spec == P(None, "model", "data")
+    # embed: vocab over data, features over model
+    assert shardings["lm"]["embed"].spec == P("data", "model")
+    # norms replicated
+    assert shardings["lm"]["norm"]["scale"].spec == P()
+
+
+def test_sharded_forward_matches_single_device():
+    """Same logits with and without the mesh."""
+    from tokenpacker_tpu.models.llama import make_attention_bias, llama_apply, llama_logits, embed_tokens
+
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 200, (4, 12)))
+
+    def forward(p, ids):
+        n, t = ids.shape
+        emb = embed_tokens(p["lm"], ids)
+        pos = jnp.broadcast_to(jnp.arange(t), (n, t))
+        bias = make_attention_bias(pos, jnp.ones((n, t), bool), 0, t)
+        h, _ = llama_apply(p["lm"], cfg.lm, emb, pos, bias)
+        return llama_logits(p["lm"], h)
+
+    ref = np.asarray(jax.jit(forward)(params, ids))
+
+    mesh = make_mesh(tp=2)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh)
+        got = np.asarray(jax.jit(forward)(sharded, ids))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(4)

@@ -1,0 +1,86 @@
+"""Training step tests: stage-wise freezing, loss decrease, grad flow."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tokenpacker_tpu.config import tiny_vlm_config
+from tokenpacker_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from tokenpacker_tpu.models.splice import build_splice_plan
+from tokenpacker_tpu.models.vlm import init_vlm, vlm_loss
+from tokenpacker_tpu.train.step import TrainConfig, make_optimizer, make_train_step
+
+
+def _tiny_batch(cfg, n=2, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = np.array([1, 5, IMAGE_TOKEN_INDEX, 9, 10, 11, 12], dtype=np.int64)
+    labels = np.array([IGNORE_INDEX, IGNORE_INDEX, IGNORE_INDEX, 9, 10, 11, 12], dtype=np.int64)
+    plan = build_splice_plan(
+        [ids] * n, [[(1, 1)]] * n, cfg.tokens_per_view, "single", 0, 0, 0,
+        labels=[labels] * n, pad_to=24,
+    )
+    l = plan.token_ids.shape[1]
+    imgs = rng.standard_normal((n, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(
+        np.float32
+    )
+    return {
+        "images": jnp.asarray(imgs),
+        "token_ids": jnp.asarray(plan.token_ids),
+        "is_image": jnp.asarray(plan.is_image),
+        "image_slot": jnp.asarray(plan.image_slot),
+        "positions": jnp.broadcast_to(jnp.arange(l), (n, l)),
+        "key_valid": jnp.asarray(plan.attn_mask),
+        "labels": jnp.asarray(plan.labels),
+    }
+
+
+def test_loss_finite_and_grads_flow():
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    batch = _tiny_batch(cfg)
+    (loss, metrics), grads = jax.value_and_grad(vlm_loss, has_aux=True)(params, cfg, batch)
+    assert np.isfinite(float(loss))
+    # projector and LM get gradients; frozen tower gets zeros (stop_gradient)
+    pg = jax.tree.reduce(lambda a, b: a + float(jnp.abs(b).sum()), grads["projector"], 0.0)
+    lg = jax.tree.reduce(lambda a, b: a + float(jnp.abs(b).sum()), grads["lm"], 0.0)
+    vg = jax.tree.reduce(lambda a, b: a + float(jnp.abs(b).sum()), grads["vision"], 0.0)
+    assert pg > 0 and lg > 0
+    assert vg == 0.0
+
+
+def test_pretrain_stage_only_updates_projector():
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainConfig(stage="pretrain", learning_rate=1e-3, total_steps=10)
+    tx = make_optimizer(tcfg, params)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx)
+    # warmup starts at lr=0, so take a few steps before comparing
+    new_params, new_opt_state = params, opt_state
+    for _ in range(3):
+        new_params, new_opt_state, metrics = step(new_params, new_opt_state, _tiny_batch(cfg))
+
+    def changed(a, b):
+        return any(
+            float(jnp.abs(x - y).max()) > 0 for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    assert changed(params["projector"], new_params["projector"])
+    assert not changed(params["lm"], new_params["lm"])
+    assert not changed(params["vision"], new_params["vision"])
+
+
+def test_finetune_loss_decreases():
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainConfig(stage="finetune", learning_rate=1e-3, mm_projector_lr=2e-3, total_steps=30)
+    tx = make_optimizer(tcfg, params)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx)
+    batch = _tiny_batch(cfg)
+    losses = []
+    for _ in range(8):
+        params, opt_state, metrics = step(params, opt_state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses

@@ -1,0 +1,100 @@
+"""Parameter sharding rules for the TokenPacker VLM.
+
+ZeRO-3/FSDP over 'data' + Megatron TP over 'model', expressed purely as
+NamedShardings — XLA inserts the all-gathers/reduce-scatters (the TPU
+replacement for DeepSpeed ZeRO, reference scripts/zero*.json).
+
+Rules (kernels are [in, out]; stacked decoder layers carry a leading L axis):
+- column-parallel (q/k/v, gate/up, lm_head): out dim over 'model', in over 'data'
+- row-parallel (o_proj, down_proj): in dim over 'model', out over 'data'
+- embeddings: vocab over 'data', features over 'model'
+- norms/biases: replicated
+- vision tower + projector: small (≈0.4 B total) → FSDP-shard the big
+  kernels over 'data' only; batch of image crops is sharded over 'data'
+  (per-crop vision DP — SURVEY.md §2.7 "first-class")
+
+Divisibility: falls back to replication on any axis that doesn't divide,
+so tiny test configs work on any mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tokenpacker_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _fits(dim: int, mesh: Mesh, axis: str | None) -> bool:
+    if axis is None:
+        return True
+    return dim % mesh.shape[axis] == 0
+
+
+def _spec_for(path: tuple, leaf, mesh: Mesh) -> P:
+    """Decide a PartitionSpec from the param's path and shape."""
+    names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+    joined = "/".join(names)
+    shape = leaf.shape
+    ndim = len(shape)
+
+    def spec(*axes):
+        # pad to ndim, drop axes that don't divide
+        full = list(axes) + [None] * (ndim - len(axes))
+        full = [a if _fits(shape[i], mesh, a) else None for i, a in enumerate(full)]
+        return P(*full)
+
+    # --- LM ---
+    if joined.startswith("lm/"):
+        stacked = "layers" in names  # leading L axis
+        off = 1 if stacked else 0
+
+        def lspec(*axes):
+            full = [None] * off + list(axes)
+            return spec(*full)
+
+        if joined.endswith("embed"):
+            return spec(DATA_AXIS, MODEL_AXIS)
+        if "lm_head" in names:
+            return spec(DATA_AXIS, MODEL_AXIS)
+        if "kernel" in names and ndim >= 2:
+            if "attn" in names and names[-2] in ("q", "k", "v"):
+                return lspec(DATA_AXIS, MODEL_AXIS)
+            if "attn" in names and names[-2] == "o":
+                return lspec(MODEL_AXIS, DATA_AXIS)
+            if "mlp" in names and names[-2] in ("gate", "up"):
+                return lspec(DATA_AXIS, MODEL_AXIS)
+            if "mlp" in names and names[-2] == "down":
+                return lspec(MODEL_AXIS, DATA_AXIS)
+        return P()  # norms, biases
+
+    # --- vision tower / projector: FSDP-only on 2D+ kernels ---
+    if "kernel" in names and ndim >= 2:
+        # shard the largest dim over 'data'
+        big = int(np.argmax(shape))
+        axes = [None] * ndim
+        if _fits(shape[big], mesh, DATA_AXIS):
+            axes[big] = DATA_AXIS
+        return P(*axes)
+    return P()
+
+
+def vlm_param_shardings(params, mesh: Mesh):
+    """Pytree of NamedSharding matching `params`' structure."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf, mesh)), params
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    shardings = vlm_param_shardings(params, mesh)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), params, shardings)
+
+
+def batch_shardings(batch_spec: dict, mesh: Mesh):
+    """Shard every batch array's leading axis over 'data'."""
+    return {
+        k: NamedSharding(mesh, P(DATA_AXIS) if v is not None else P())
+        for k, v in batch_spec.items()
+    }
