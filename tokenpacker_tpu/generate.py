@@ -182,3 +182,58 @@ class Generator:
                         text = text[: -len(s)]
                 texts.append(text.strip())
         return GenerationResult(out_tokens, texts)
+
+    def generate_stream(
+        self,
+        batch: dict,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_p: float | None = None,
+        stop_strings: tuple[str, ...] = (),
+        rng_key=None,
+    ):
+        """Single-sample streaming: yields the accumulated decoded text after
+        every token (the worker's TextIteratorStreamer equivalent,
+        reference model_worker.py:174-192)."""
+        cfg = self.cfg
+        n, l = batch["token_ids"].shape
+        assert n == 1, "streaming is per-request (batch 1)"
+        s_max = l + max_new_tokens
+        dev_batch = {
+            "token_ids": jnp.asarray(batch["token_ids"]),
+            "is_image": jnp.asarray(batch["is_image"]),
+            "image_slot": jnp.asarray(batch["image_slot"]),
+            "lengths": jnp.asarray(batch["lengths"], jnp.int32),
+            "images": jnp.asarray(batch["images"], cfg.dtype)
+            if batch.get("images") is not None
+            else None,
+        }
+        logits, cache = prefill(self.params, cfg, dev_batch, s_max)
+        if rng_key is None:
+            rng_key = jax.random.PRNGKey(0)
+        eos = cfg.lm.eos_token_id
+        toks: list[int] = []
+        for step in range(max_new_tokens):
+            rng_key, sub = jax.random.split(rng_key)
+            tok = int(np.asarray(sample_tokens(logits, temperature, top_p, sub))[0])
+            if tok == eos:
+                break
+            toks.append(tok)
+            text = self.tokenizer.decode(toks, skip_special_tokens=True)
+            stopped = False
+            for s in stop_strings:
+                if s and s in text:
+                    text = text.split(s)[0]
+                    stopped = True
+            yield text
+            if stopped or step == max_new_tokens - 1:
+                break
+            logits, cache = decode_step(
+                self.params,
+                cfg,
+                cache,
+                jnp.asarray([tok]),
+                dev_batch["lengths"],
+                jnp.asarray(step, jnp.int32),
+                l,
+            )

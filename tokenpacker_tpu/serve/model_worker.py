@@ -1,0 +1,270 @@
+"""Model worker — hosts a TPU-backed model behind the controller.
+
+Parity surface of reference llava/serve/model_worker.py: registration +
+15 s heartbeats (constants.py:2, model_worker.py:87-106), token-budget
+clamping of max_new_tokens against the context window counting visual tokens
+(model_worker.py:148-171), `\\0`-delimited JSON streaming from
+/worker_generate_stream, a concurrency semaphore (default 5), and
+/worker_get_status.
+
+stdlib ThreadingHTTPServer; generation streams straight from the TPU decode
+loop (Generator.generate_stream) — no torch Thread/TextIteratorStreamer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from tokenpacker_tpu.constants import DEFAULT_IMAGE_TOKEN, WORKER_HEART_BEAT_INTERVAL
+from tokenpacker_tpu.data.mm_tokenize import tokenizer_image_token
+from tokenpacker_tpu.generate import pick_bucket
+from tokenpacker_tpu.image.processing import process_image
+from tokenpacker_tpu.models.splice import build_splice_plan
+from tokenpacker_tpu.utils.logging_utils import build_logger
+
+logger = build_logger("model_worker", "model_worker.log")
+
+
+def _post_json(url: str, payload: dict, timeout: float = 5.0) -> dict:
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read() or b"{}")
+
+
+class ModelWorker:
+    def __init__(
+        self,
+        controller_addr: str,
+        worker_addr: str,
+        model_path: str,
+        model_base: str | None = None,
+        model_name: str | None = None,
+        limit_model_concurrency: int = 5,
+        no_register: bool = False,
+    ):
+        from tokenpacker_tpu.api import load_pretrained_model
+        from tokenpacker_tpu.data.mm_tokenize import get_model_name_from_path
+
+        self.worker_id = str(uuid.uuid4())[:6]
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.model_name = model_name or get_model_name_from_path(model_path)
+        logger.info(f"Loading model {self.model_name} on worker {self.worker_id} ...")
+        self.tokenizer, self.model, self.image_processor, self.context_len = (
+            load_pretrained_model(model_path, model_base, self.model_name)
+        )
+        self.cfg = self.model.config
+        self.semaphore = threading.Semaphore(limit_model_concurrency)
+        self.queue_length = 0
+        self._ql_lock = threading.Lock()
+        self.call_ct = 0
+        if not no_register:
+            self.register_to_controller()
+            self.heart_beat_thread = threading.Thread(target=self._heartbeat_loop, daemon=True)
+            self.heart_beat_thread.start()
+
+    # -- controller protocol ----------------------------------------------
+
+    def register_to_controller(self):
+        logger.info("Register to controller")
+        _post_json(
+            self.controller_addr + "/register_worker",
+            {
+                "worker_name": self.worker_addr,
+                "check_heart_beat": True,
+                "worker_status": self.get_status(),
+            },
+        )
+
+    def _heartbeat_loop(self):
+        while True:
+            time.sleep(WORKER_HEART_BEAT_INTERVAL)
+            self.send_heart_beat()
+
+    def send_heart_beat(self):
+        logger.info(f"Send heart beat. Models: {[self.model_name]}. Queue: {self.queue_length}")
+        try:
+            ret = _post_json(
+                self.controller_addr + "/receive_heart_beat",
+                {"worker_name": self.worker_addr, "queue_length": self.queue_length},
+            )
+            if not ret.get("exist", False):
+                self.register_to_controller()
+        except Exception as e:
+            logger.error(f"heart beat error: {e}")
+
+    def get_status(self) -> dict:
+        return {
+            "model_names": [self.model_name],
+            "speed": 1,
+            "queue_length": self.queue_length,
+        }
+
+    # -- generation --------------------------------------------------------
+
+    def generate_stream(self, params: dict):
+        """Yields '\\0'-terminated JSON chunks ({'text', 'error_code'})."""
+        prompt = params["prompt"]
+        images_b64 = params.get("images", None)
+        temperature = float(params.get("temperature", 1.0))
+        top_p = float(params.get("top_p", 1.0))
+        max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
+        stop_str = params.get("stop", None)
+
+        try:
+            crops_list, blocks = [], []
+            n_prompt_imgs = prompt.count(DEFAULT_IMAGE_TOKEN)
+            if images_b64:
+                if len(images_b64) != n_prompt_imgs:
+                    raise ValueError(
+                        "Number of images does not match number of <image> tokens in prompt"
+                    )
+                from PIL import Image
+
+                for b64 in images_b64:
+                    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+                    crops, hb, wb = process_image(
+                        img, self.cfg.image_aspect_ratio, self.cfg.patch_num
+                    )
+                    crops_list.append(crops)
+                    blocks.append((hb, wb))
+
+            ids = np.asarray(tokenizer_image_token(prompt, self.tokenizer), dtype=np.int64)
+            mode = "slice" if self.cfg.image_aspect_ratio == "slice" else "single"
+            sep_id = self.tokenizer.convert_tokens_to_ids(",")
+            ret_id = self.tokenizer.convert_tokens_to_ids("\n")
+            pad_id = self.tokenizer.pad_token_id or 0
+            plan = build_splice_plan([ids], [blocks], self.cfg.tokens_per_view, mode,
+                                     sep_id, ret_id, pad_id)
+            spliced_len = int(plan.lengths[0])
+            # clamp against context window (model_worker.py:168-171)
+            budget = self.context_len - spliced_len - 8
+            if budget <= 0:
+                yield json.dumps(
+                    {
+                        "text": prompt + "Exceeds max token length. Please start a new conversation, thanks.",
+                        "error_code": 0,
+                    }
+                ).encode() + b"\0"
+                return
+            max_new_tokens = min(max_new_tokens, budget)
+            pad_to = pick_bucket(spliced_len)
+            plan = build_splice_plan([ids], [blocks], self.cfg.tokens_per_view, mode,
+                                     sep_id, ret_id, pad_id, pad_to=pad_to)
+            images = (
+                np.concatenate(crops_list, axis=0).transpose(0, 2, 3, 1) if crops_list else None
+            )
+            stop_strings = (stop_str,) if stop_str else ()
+            generated = ""
+            for text in self.model.generator.generate_stream(
+                {
+                    "token_ids": plan.token_ids,
+                    "is_image": plan.is_image,
+                    "image_slot": plan.image_slot,
+                    "lengths": plan.lengths,
+                    "images": images,
+                },
+                max_new_tokens=max_new_tokens,
+                temperature=temperature,
+                top_p=top_p,
+                stop_strings=stop_strings,
+            ):
+                generated = text
+                yield json.dumps({"text": prompt + generated, "error_code": 0}).encode() + b"\0"
+        except ValueError as e:
+            logger.error(f"ValueError: {e}")
+            yield json.dumps(
+                {"text": f"{e}\n(error_code: 1)", "error_code": 1}
+            ).encode() + b"\0"
+        except Exception as e:
+            logger.error(f"Unknown error: {e}")
+            yield json.dumps(
+                {"text": f"internal error\n(error_code: 1)", "error_code": 1}
+            ).encode() + b"\0"
+
+    def generate_stream_gate(self, params: dict):
+        with self._ql_lock:
+            self.queue_length += 1
+        self.semaphore.acquire()
+        try:
+            self.call_ct += 1
+            yield from self.generate_stream(params)
+        finally:
+            self.semaphore.release()
+            with self._ql_lock:
+                self.queue_length -= 1
+
+
+def make_handler(worker: ModelWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _read_json(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def do_POST(self):
+            body = self._read_json()
+            route = self.path.rstrip("/")
+            if route == "/worker_get_status":
+                data = json.dumps(worker.get_status()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif route == "/worker_generate_stream":
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.end_headers()
+                for chunk in worker.generate_stream_gate(body):
+                    self.wfile.write(chunk)
+                    self.wfile.flush()
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    return Handler
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="localhost")
+    parser.add_argument("--port", type=int, default=21002)
+    parser.add_argument("--worker-address", default="http://localhost:21002")
+    parser.add_argument("--controller-address", default="http://localhost:21001")
+    parser.add_argument("--model-path", required=True)
+    parser.add_argument("--model-base", default=None)
+    parser.add_argument("--model-name", default=None)
+    parser.add_argument("--limit-model-concurrency", type=int, default=5)
+    parser.add_argument("--no-register", action="store_true")
+    args = parser.parse_args(argv)
+    worker = ModelWorker(
+        args.controller_address,
+        args.worker_address,
+        args.model_path,
+        args.model_base,
+        args.model_name,
+        args.limit_model_concurrency,
+        args.no_register,
+    )
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
+    logger.info(f"worker listening on {args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
