@@ -2,16 +2,25 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-This is the BASELINE.json north-star vision-path metric (images/sec/chip for
-tower+projector, bf16). vs_baseline is measured against the 20 images/sec
-end-to-end HD target (BASELINE.md) — the vision path must run far above it.
+North-star vision-path metric (BASELINE.json): images/sec/chip for
+tower+projector, bf16. vs_baseline is measured against the 20 images/sec
+end-to-end HD target (BASELINE.md).
 
-Weights are random host-side numpy (values don't affect throughput); on-device
-random init over the axon tunnel takes minutes and is avoided.
+Measurement methodology (the chip is reached through a high-latency axon
+tunnel, so per-call host timing is unreliable):
+- N forward passes are chained inside ONE jitted lax.fori_loop with a data
+  dependency between iterations (carry feeds the next input), so the device
+  must execute them sequentially;
+- the only host transfer is one scalar at the end;
+- throughput = N * batch / wall(loop) after a warmup run.
+
+Weights are random host-side numpy (on-device random init over the tunnel
+takes minutes; values don't affect throughput).
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -48,24 +57,29 @@ def main():
     )
     params = _host_random_like(shapes)
 
-    @jax.jit
     def vision_path(params, images):
         feats, multi = clip_tower_features(params["v"], cfg.vision, images)
         return tokenpacker_forward(params["p"], cfg.projector, feats, multi)
 
+    @functools.partial(jax.jit, static_argnames=("n_iter",))
+    def bench_loop(params, images, n_iter: int):
+        def body(i, carry):
+            out = vision_path(params, images + carry)
+            return jnp.max(out).astype(images.dtype) * jnp.asarray(0, images.dtype)
+
+        return jax.lax.fori_loop(0, n_iter, body, jnp.asarray(0, images.dtype))
+
     results = {}
+    n_iter = 10
     for batch in (32, 64, 128):
         images = jnp.asarray(
             np.random.default_rng(1).standard_normal((batch, 336, 336, 3)), dtype
         )
-        jax.block_until_ready(vision_path(params, images))  # compile + warm
-        iters = 10
+        float(bench_loop(params, images, n_iter))  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = vision_path(params, images)
-        jax.block_until_ready(out)
+        float(bench_loop(params, images, n_iter))
         dt = time.perf_counter() - t0
-        results[batch] = batch * iters / dt
+        results[batch] = batch * n_iter / dt
 
     best = max(results.values())
     print(

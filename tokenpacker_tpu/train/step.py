@@ -56,7 +56,7 @@ def _schedule(base_lr: float, tcfg: TrainConfig):
         init_value=0.0,
         peak_value=base_lr,
         warmup_steps=warmup,
-        decay_steps=tcfg.total_steps,
+        decay_steps=max(tcfg.total_steps, warmup + 1),
         end_value=0.0,
     )
 

@@ -1,0 +1,212 @@
+"""Training driver: two-stage recipe, sharded state, orbax checkpoints.
+
+Reference parity (SURVEY.md §2.3):
+- stage 1 `pretrain` (scripts/v1_5/pretrain.sh): projector-only, lr 1e-3,
+  `--version plain`; saves adapter-only `mm_projector.bin`
+  (llava_trainer.py:239-264, train.py:184-220)
+- stage 2 `finetune` (finetune.sh): LLM+projector, lr 2e-5, `--version v1`,
+  optional separate mm_projector_lr; full checkpoint
+- HD variants add patch_num + image_aspect_ratio slice (pretrain_hd.sh)
+- resume from latest checkpoint-* if present (train.py:990-993)
+
+TPU-native: one jitted SPMD step over the ('data','model') mesh; ZeRO-3
+equivalent comes from NamedShardings on params/opt state; checkpoints via
+orbax (async-capable), plus reference-format `mm_projector.bin` export for
+interchange with the torch ecosystem.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import re
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tokenpacker_tpu.config import TokenPackerVLMConfig
+from tokenpacker_tpu.data.dataset import LengthGroupedSampler, SupervisedDataset, collate
+from tokenpacker_tpu.parallel.mesh import make_mesh
+from tokenpacker_tpu.parallel.sharding import shard_params, vlm_param_shardings
+from tokenpacker_tpu.train.step import TrainConfig, make_optimizer, make_train_step
+from tokenpacker_tpu.utils.logging_utils import build_logger
+
+logger = build_logger("train", "train.log")
+
+
+@dataclass
+class RunConfig:
+    output_dir: str = "./checkpoints/run"
+    num_train_epochs: int = 1
+    per_device_batch_size: int = 16
+    save_steps: int = 500
+    save_total_limit: int = 1
+    logging_steps: int = 1
+    group_by_modality_length: bool = False
+    seed: int = 42
+    tp: int = 1
+    seq_pad_to: int = 2048
+
+
+def _latest_checkpoint(output_dir: str) -> str | None:
+    cands = glob.glob(os.path.join(output_dir, "checkpoint-*"))
+    steps = [(int(m.group(1)), p) for p in cands if (m := re.search(r"checkpoint-(\d+)$", p))]
+    return max(steps)[1] if steps else None
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TokenPackerVLMConfig,
+        tcfg: TrainConfig,
+        rcfg: RunConfig,
+        params,
+        dataset: SupervisedDataset,
+        tokenizer,
+    ):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.rcfg = rcfg
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.mesh = make_mesh(tp=rcfg.tp)
+        self.step_fn = None
+        self.params = params
+        self.sep_id = tokenizer.convert_tokens_to_ids(",")
+        self.ret_id = tokenizer.convert_tokens_to_ids("\n")
+        self.pad_id = tokenizer.pad_token_id or 0
+
+        import orbax.checkpoint as ocp
+
+        self.ckptr = ocp.StandardCheckpointer()
+
+    # -- data --------------------------------------------------------------
+
+    def _batches(self):
+        rcfg = self.rcfg
+        n_dev = self.mesh.shape["data"]
+        global_bs = rcfg.per_device_batch_size * n_dev
+        if rcfg.group_by_modality_length:
+            sampler = LengthGroupedSampler(
+                rcfg.per_device_batch_size,
+                n_dev,
+                self.dataset.modality_lengths,
+                group_by_modality=True,
+                seed=rcfg.seed,
+            )
+            order = list(iter(sampler))
+        else:
+            order = np.random.default_rng(rcfg.seed).permutation(len(self.dataset)).tolist()
+        for i in range(0, len(order) - global_bs + 1, global_bs):
+            items = [self.dataset[j] for j in order[i : i + global_bs]]
+            yield collate(
+                items,
+                self.cfg.tokens_per_view,
+                self.sep_id,
+                self.ret_id,
+                self.pad_id,
+                pad_to=self.rcfg.seq_pad_to,
+            )
+
+    # -- checkpointing -----------------------------------------------------
+
+    def save_checkpoint(self, step: int):
+        out = os.path.join(self.rcfg.output_dir, f"checkpoint-{step}")
+        os.makedirs(out, exist_ok=True)
+        if self.tcfg.stage == "pretrain":
+            # adapter-only: reference-format mm_projector.bin
+            self.save_mm_projector(os.path.join(out, "mm_projector.bin"))
+        else:
+            self.ckptr.save(
+                os.path.abspath(os.path.join(out, "state")),
+                jax.device_get(self.params),
+                force=True,
+            )
+            self.ckptr.wait_until_finished()
+        self._prune_checkpoints()
+        logger.info(f"saved checkpoint-{step}")
+
+    def save_mm_projector(self, path: str):
+        from tokenpacker_tpu.io.hf_import import export_tokenpacker
+
+        sd = export_tokenpacker(jax.device_get(self.params["projector"]))
+        sd = {f"model.mm_projector.{k}": v for k, v in sd.items()}
+        try:
+            import torch
+
+            torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
+        except ImportError:
+            np.savez(path + ".npz", **sd)
+
+    def _prune_checkpoints(self):
+        cands = sorted(
+            glob.glob(os.path.join(self.rcfg.output_dir, "checkpoint-*")),
+            key=lambda p: int(re.search(r"checkpoint-(\d+)$", p).group(1)),
+        )
+        while len(cands) > self.rcfg.save_total_limit:
+            victim = cands.pop(0)
+            import shutil
+
+            shutil.rmtree(victim, ignore_errors=True)
+
+    def try_resume(self) -> int:
+        ckpt = _latest_checkpoint(self.rcfg.output_dir)
+        if ckpt is None or self.tcfg.stage == "pretrain":
+            return 0
+        state_dir = os.path.abspath(os.path.join(ckpt, "state"))
+        if os.path.isdir(state_dir):
+            self.params = self.ckptr.restore(state_dir, jax.device_get(self.params))
+            step = int(re.search(r"checkpoint-(\d+)$", ckpt).group(1))
+            logger.info(f"resumed from {ckpt}")
+            return step
+        return 0
+
+    # -- main loop ---------------------------------------------------------
+
+    def train(self):
+        rcfg, tcfg = self.rcfg, self.tcfg
+        n_batches = len(self.dataset) // (
+            rcfg.per_device_batch_size * self.mesh.shape["data"]
+        )
+        total_steps = max(n_batches * rcfg.num_train_epochs, 1)
+        tcfg = dataclasses.replace(tcfg, total_steps=total_steps)
+
+        with jax.set_mesh(self.mesh):
+            self.params = shard_params(self.params, self.mesh)
+            tx = make_optimizer(tcfg, self.params)
+            opt_state = tx.init(self.params)
+            step_fn = make_train_step(self.cfg, tx)
+
+            start_step = self.try_resume()
+            step = start_step
+            t0 = time.time()
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_sh = NamedSharding(self.mesh, P("data"))
+            for epoch in range(rcfg.num_train_epochs):
+                for batch in self._batches():
+                    batch.pop("mode", None)
+                    batch.pop("attn_mask", None)
+                    batch.pop("lengths", None)
+                    dev_batch = {
+                        k: (jax.device_put(v, data_sh) if v is not None else None)
+                        for k, v in batch.items()
+                    }
+                    self.params, opt_state, metrics = step_fn(self.params, opt_state, dev_batch)
+                    step += 1
+                    if step % rcfg.logging_steps == 0:
+                        loss = float(metrics["loss"])
+                        dt = time.time() - t0
+                        logger.info(
+                            f"step {step}/{total_steps} loss {loss:.4f} "
+                            f"({dt / max(step - start_step, 1):.2f}s/step)"
+                        )
+                    if step % rcfg.save_steps == 0:
+                        self.save_checkpoint(step)
+            self.save_checkpoint(step)
+        return self.params
