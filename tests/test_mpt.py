@@ -1,0 +1,88 @@
+"""MPT decoder parity vs HF `MptForCausalLM` (ALiBi, no-bias, tied logits)."""
+
+import numpy as np
+import torch
+from transformers import MptConfig, MptForCausalLM
+
+import jax.numpy as jnp
+
+from tokenpacker_tpu.models.llama import KVCache, make_attention_bias
+from tokenpacker_tpu.models.mpt import (
+    alibi_slopes,
+    import_mpt,
+    mpt_apply,
+    mpt_config,
+    mpt_embed,
+    mpt_logits,
+)
+
+
+def make_tiny():
+    hf_cfg = MptConfig(
+        d_model=64,
+        n_heads=4,
+        n_layers=2,
+        vocab_size=128,
+        max_seq_len=128,
+        expansion_ratio=4,
+    )
+    torch.manual_seed(0)
+    model = MptForCausalLM(hf_cfg).eval()
+    cfg = mpt_config(d_model=64, n_heads=4, n_layers=2, vocab_size=128, max_seq_len=128)
+    params = import_mpt(model.state_dict(), cfg)
+    return model, cfg, params
+
+
+def _full_forward(params, cfg, ids):
+    n, t = ids.shape
+    emb = mpt_embed(params, ids)
+    positions = jnp.broadcast_to(jnp.arange(t), (n, t))
+    bias = make_attention_bias(positions, jnp.ones((n, t), bool), 0, t)
+    hidden, _ = mpt_apply(params, cfg, emb, bias)
+    return mpt_logits(params, hidden)
+
+
+def test_alibi_slopes_power_of_two():
+    s = np.asarray(alibi_slopes(4))
+    np.testing.assert_allclose(s, [2.0**-2, 2.0**-4, 2.0**-6, 2.0**-8], rtol=1e-6)
+
+
+def test_full_sequence_parity():
+    model, cfg, params = make_tiny()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 128, size=(2, 9))
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(_full_forward(params, cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_kv_cache_decode_matches_full():
+    _, cfg, params = make_tiny()
+    rng = np.random.default_rng(1)
+    n, t_prompt, t_total, s_max = 1, 4, 7, 8
+    ids = jnp.asarray(rng.integers(0, 128, size=(n, t_total)))
+    full = np.asarray(_full_forward(params, cfg, ids))
+
+    cache = KVCache.create(cfg, n, s_max, dtype=jnp.float32)
+    emb = mpt_embed(params, ids[:, :t_prompt])
+    pos = jnp.broadcast_to(jnp.arange(t_prompt), (n, t_prompt))
+    key_valid = jnp.broadcast_to(jnp.arange(s_max)[None, :] < t_prompt, (n, s_max))
+    bias = make_attention_bias(pos, key_valid, 0, s_max)
+    hidden, cache = mpt_apply(params, cfg, emb, bias, cache)
+    np.testing.assert_allclose(
+        np.asarray(mpt_logits(params, hidden)), full[:, :t_prompt], rtol=3e-4, atol=3e-4
+    )
+    for step in range(t_prompt, t_total):
+        emb = mpt_embed(params, ids[:, step : step + 1])
+        pos = jnp.full((n, 1), step)
+        key_valid = jnp.broadcast_to(jnp.arange(s_max)[None, :] < step + 1, (n, s_max))
+        bias = make_attention_bias(pos, key_valid, step, s_max)
+        hidden, cache = mpt_apply(params, cfg, emb, bias, cache)
+        np.testing.assert_allclose(
+            np.asarray(mpt_logits(params, hidden))[:, 0],
+            full[:, step],
+            rtol=5e-4,
+            atol=5e-4,
+            err_msg=f"step {step}",
+        )

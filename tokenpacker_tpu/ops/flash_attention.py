@@ -115,7 +115,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, causal, scale,
 
     l_safe = jnp.where(l == 0, 1.0, l)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l_safe))[:, 0]
+    lse_ref[0] = m + jnp.log(l_safe)  # [bq, 1]
 
 
 def _pad_to(x, axis, mult):
@@ -199,17 +199,19 @@ def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k, interpret):
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, block_q, d_p), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+            # lse carries a trailing singleton dim to satisfy TPU tiling
+            # (last block dim must equal the array dim or divide 128)
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n * h, tq_p, d_p), q.dtype),
-            jax.ShapeDtypeStruct((n * h, tq_p), jnp.float32),
+            jax.ShapeDtypeStruct((n * h, tq_p, 1), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
 
     o = o[:, :tq, :d].reshape(n, h, tq, d).transpose(0, 2, 1, 3)
-    return o, (q, k, v, bias, o, lse[:, :tq])
+    return o, (q, k, v, bias, o, lse[:, :tq, 0])
 
 
 def _bias_none_wrapper(kernel, q_ref, k_ref, v_ref, o_ref, lse_ref):
