@@ -94,7 +94,7 @@ def parse_open_response(response: str) -> list[str]:
     sentences = re.split(r"(?<=[.!?])\s+", response)
     key = sentences[-1] if sentences else response
     outs = {_norm_open(key), _norm_open(response)}
-    outs.update(re.findall(r"-?\d+\.?\d*", response))
+    outs.update(re.findall(r"-?\d+(?:\.\d+)?", response))
     return [o for o in outs if o]
 
 
