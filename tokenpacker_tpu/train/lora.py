@@ -1,0 +1,153 @@
+"""LoRA fine-tuning for the VLM pytrees.
+
+Reference parity (SURVEY.md §2.3 "Quantized/LoRA training",
+train.py:168-181 find_all_linear_names, llava_trainer lora splitting):
+adapters attach to every LM linear except lm_head, and never to the
+multimodal modules (tower/projector) — the projector trains in full
+precision alongside, like the reference's `mm_projector_lr` group.
+
+Functional formulation: a `lora` pytree parallels the base params; the
+merged weight W + (alpha/r)·A@B is materialized inside the jitted step
+(XLA fuses the small matmuls). Gradients flow only to the lora tree (and
+optionally projector), so optimizer state is tiny — the TPU stand-in for
+bitsandbytes QLoRA's memory savings (base weights can additionally be kept
+in int8 via quantize.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class LoraConfig:
+    r: int = 128
+    alpha: int = 256
+    dropout: float = 0.05  # applied to the A-side input during training
+    train_projector: bool = True
+
+
+_TARGET_LEAVES = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+def _is_target(path) -> bool:
+    names = [str(getattr(p, "key", p)) for p in path]
+    if not names or names[0] != "lm":
+        return False
+    if "lm_head" in names or "embed" in names:
+        return False
+    return names[-1] == "kernel" and names[-2] in _TARGET_LEAVES
+
+
+def init_lora(key, params, cfg: LoraConfig):
+    """Build the adapter tree: {path: {'a': [.., in, r], 'b': [.., r, out]}}
+    for every target kernel (stacked-layer leading dims preserved)."""
+    leaves = []
+
+    def make(path, leaf):
+        if not _is_target(path):
+            return None
+        *batch_dims, d_in, d_out = leaf.shape
+        k = jax.random.fold_in(key, hash(jax.tree_util.keystr(path)) % (2**31))
+        a = jax.random.normal(k, (*batch_dims, d_in, cfg.r), leaf.dtype) * 0.01
+        b = jnp.zeros((*batch_dims, cfg.r, d_out), leaf.dtype)
+        return {"a": a, "b": b}
+
+    return jax.tree_util.tree_map_with_path(make, params)
+
+
+def merge_lora_params(params, lora, cfg: LoraConfig):
+    """Effective params: W + (alpha/r) * A @ B where an adapter exists."""
+    scale = cfg.alpha / cfg.r
+
+    def merge(path, leaf):
+        # walk the lora tree by path
+        node = lora
+        for p in path:
+            key = getattr(p, "key", None)
+            if key is None:
+                return leaf
+            if not isinstance(node, dict) or key not in node:
+                return leaf
+            node = node[key]
+        if node is None or not isinstance(node, dict) or "a" not in node:
+            return leaf
+        delta = jnp.einsum("...ir,...ro->...io", node["a"], node["b"]) * scale
+        return leaf + delta.astype(leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(merge, params)
+
+
+def lora_train_step_factory(vlm_cfg, lcfg: LoraConfig, tx):
+    """Returns step(lora, proj_params, base_params, opt_state, batch).
+
+    trainable = (lora, projector); base stays frozen (and may be int8 —
+    dequantized inside merge)."""
+    from tokenpacker_tpu.models.vlm import vlm_loss
+
+    def loss_fn(trainable, base_params, batch):
+        lora, proj = trainable
+        params = dict(base_params)
+        params["projector"] = proj if lcfg.train_projector else base_params["projector"]
+        params = merge_lora_params(params, lora, lcfg)
+        return vlm_loss(params, vlm_cfg, batch)
+
+    @jax.jit
+    def step(trainable, base_params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, base_params, batch
+        )
+        import optax
+
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, metrics
+
+    return step
+
+
+def export_lora_state_dict(lora, cfg: LoraConfig) -> dict:
+    """Reference-style adapter dict: base_model.model.<module>.lora_A/B
+    weights, [r, in] / [out, r] torch layout, per stacked layer."""
+    import numpy as np
+
+    out = {}
+
+    def walk(node, path):
+        if node is None:
+            return
+        if isinstance(node, dict) and "a" in node:
+            a = np.asarray(node["a"], np.float32)
+            b = np.asarray(node["b"], np.float32)
+            name = _torch_name(path)
+            if a.ndim == 3:  # stacked layers
+                for i in range(a.shape[0]):
+                    n = name.replace("layers.", f"layers.{i}.")
+                    out[f"base_model.model.{n}.lora_A.weight"] = a[i].T
+                    out[f"base_model.model.{n}.lora_B.weight"] = b[i].T
+            else:
+                out[f"base_model.model.{name}.lora_A.weight"] = a.T
+                out[f"base_model.model.{name}.lora_B.weight"] = b.T
+            return
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + [k])
+
+    walk(lora, [])
+    return out
+
+
+_NAME_MAP = {
+    "q": "self_attn.q_proj", "k": "self_attn.k_proj", "v": "self_attn.v_proj",
+    "o": "self_attn.o_proj", "gate": "mlp.gate_proj", "up": "mlp.up_proj",
+    "down": "mlp.down_proj",
+}
+
+
+def _torch_name(path) -> str:
+    # path like ['lm', 'layers', 'attn', 'q', 'kernel']
+    mod = _NAME_MAP[path[-2]]
+    return f"model.layers.{mod}"
