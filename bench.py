@@ -82,6 +82,17 @@ def main():
         results[batch] = batch * n_iter / dt
 
     best = max(results.values())
+
+    details = {
+        "vision_images_per_sec": {str(k): round(v, 2) for k, v in results.items()},
+    }
+    try:
+        details.update(bench_7b_generation())
+    except Exception as e:  # keep the headline metric robust
+        details["generation_error"] = str(e)[:500]
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=2)
+
     print(
         json.dumps(
             {
@@ -92,6 +103,73 @@ def main():
             }
         )
     )
+
+
+def bench_7b_generation():
+    """Secondary north stars on the 7B flagship: p50 TTFT (prefill incl.
+    vision) and decode tokens/sec, single chip, bf16, batch 1."""
+    import functools
+
+    from tokenpacker_tpu.config import TokenPackerVLMConfig
+    from tokenpacker_tpu.constants import IMAGE_TOKEN_INDEX
+    from tokenpacker_tpu.generate import decode_step, prefill
+    from tokenpacker_tpu.models.splice import build_splice_plan
+    from tokenpacker_tpu.models.vlm import init_vlm
+
+    cfg = TokenPackerVLMConfig()
+    dtype = jnp.bfloat16
+    shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, dtype))
+    params = _host_random_like(shapes, seed=1)
+
+    ids = np.concatenate([[1], np.arange(100, 140), [IMAGE_TOKEN_INDEX], np.arange(150, 160)])
+    plan = build_splice_plan(
+        [ids.astype(np.int64)], [[(1, 1)]], cfg.tokens_per_view, "single", 0, 0, 0, pad_to=256
+    )
+    l = plan.token_ids.shape[1]
+    max_new = 64
+    s_max = l + max_new
+    batch = {
+        "images": jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 336, 336, 3)), dtype
+        ),
+        "token_ids": jnp.asarray(plan.token_ids),
+        "is_image": jnp.asarray(plan.is_image),
+        "image_slot": jnp.asarray(plan.image_slot),
+        "lengths": jnp.asarray(plan.lengths, jnp.int32),
+    }
+
+    # TTFT: prefill incl. vision encode, median of 5 after warmup
+    jax.block_until_ready(prefill(params, cfg, batch, s_max)[0])
+    ttfts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        logits, cache = prefill(params, cfg, batch, s_max)
+        jax.block_until_ready(logits)
+        ttfts.append(time.perf_counter() - t0)
+    ttft_ms = sorted(ttfts)[len(ttfts) // 2] * 1e3
+
+    # decode: N steps chained in one jitted loop (tunnel-proof timing)
+    lengths = batch["lengths"]
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def decode_n(params, cache, tok, n):
+        def body(i, carry):
+            cache, tok = carry
+            logits, cache = decode_step(params, cfg, cache, tok, lengths, i, l)
+            return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        cache, tok = jax.lax.fori_loop(0, n, body, (cache, tok))
+        return tok
+
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    jax.block_until_ready(decode_n(params, cache, tok0, max_new))  # warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(decode_n(params, cache, tok0, max_new))
+    dt = time.perf_counter() - t0
+    return {
+        "ttft_p50_ms_7b": round(ttft_ms, 1),
+        "decode_tokens_per_sec_7b": round(max_new / dt, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -25,13 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from tokenpacker_tpu.config import TokenPackerVLMConfig
-from tokenpacker_tpu.models.llama import (
-    KVCache,
-    embed_tokens,
-    llama_apply,
-    llama_logits,
-    make_attention_bias,
-)
+from tokenpacker_tpu.models.llama import KVCache, make_attention_bias
+from tokenpacker_tpu.models.lm_api import lm_apply, lm_embed, lm_logits
 from tokenpacker_tpu.models.vlm import vlm_hidden
 
 DEFAULT_BUCKETS = (128, 256, 512, 1024, 1536, 2048)
@@ -58,7 +53,7 @@ def prefill(params, cfg: TokenPackerVLMConfig, batch, s_max: int):
     )
     idx = jnp.maximum(lengths - 1, 0)
     last_hidden = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
-    logits = llama_logits(params["lm"], last_hidden)
+    logits = lm_logits(params["lm"], cfg.lm, last_hidden)
     return logits, cache
 
 
@@ -73,7 +68,7 @@ def decode_step(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step,
     s_max = cache.k.shape[2]
     n = tokens.shape[0]
     positions = (lengths + step)[:, None]  # [N, 1]
-    emb = embed_tokens(params["lm"], tokens[:, None])
+    emb = lm_embed(params["lm"], cfg.lm, tokens[:, None])
 
     key_idx = jnp.arange(s_max)[None, :]
     key_valid = (key_idx < lengths[:, None]) | (
@@ -82,8 +77,8 @@ def decode_step(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step,
     bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
 
     cache_at = KVCache(cache.k, cache.v, prefill_len + step)
-    hidden, new_cache = llama_apply(params["lm"], cfg.lm, emb, positions, bias, cache_at)
-    logits = llama_logits(params["lm"], hidden[:, 0])
+    hidden, new_cache = lm_apply(params["lm"], cfg.lm, emb, positions, bias, cache_at)
+    logits = lm_logits(params["lm"], cfg.lm, hidden[:, 0])
     return logits, new_cache
 
 

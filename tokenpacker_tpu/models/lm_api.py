@@ -1,0 +1,34 @@
+"""Uniform decoder API dispatching between model families.
+
+The reference has two LM wrappers — `LlavaLlamaForCausalLM`
+(llava_llama.py:41) and `LlavaMPTForCausalLM` (llava_mpt.py:45). Here the
+meta-arch (models/vlm.py) and the generation engine call these three
+functions; `cfg.model_family` ("llama" | "mpt") picks the implementation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tokenpacker_tpu.config import LMConfig
+from tokenpacker_tpu.models import llama as _llama
+from tokenpacker_tpu.models import mpt as _mpt
+
+
+def lm_embed(params, cfg: LMConfig, input_ids):
+    if cfg.model_family == "mpt":
+        return _mpt.mpt_embed(params, input_ids)
+    return _llama.embed_tokens(params, input_ids)
+
+
+def lm_apply(params, cfg: LMConfig, inputs_embeds, positions, attn_bias, cache=None):
+    """positions are used by RoPE (LLaMA); MPT is position-free (ALiBi)."""
+    if cfg.model_family == "mpt":
+        return _mpt.mpt_apply(params, cfg, inputs_embeds, attn_bias, cache)
+    return _llama.llama_apply(params, cfg, inputs_embeds, positions, attn_bias, cache)
+
+
+def lm_logits(params, cfg: LMConfig, hidden):
+    if cfg.model_family == "mpt":
+        return _mpt.mpt_logits(params, hidden)
+    return _llama.llama_logits(params, hidden)

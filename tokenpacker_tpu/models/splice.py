@@ -166,13 +166,19 @@ def build_splice_plan(
     return SplicePlan(token_ids, is_image, image_slot, attn_mask, out_labels, lengths)
 
 
-def assemble_embeds(lm_params, visual_tokens, token_ids, is_image, image_slot):
+def assemble_embeds(lm_params, visual_tokens, token_ids, is_image, image_slot, lm_cfg=None):
     """Device-side: one gather + one select.
 
     visual_tokens: [total_crops, tokens_per_view, D] projector output.
-    Returns [N, L, D] input embeddings.
+    Returns [N, L, D] input embeddings. lm_cfg selects the embedding table
+    layout per model family (None → LLaMA).
     """
     flat = visual_tokens.reshape(-1, visual_tokens.shape[-1])
-    text = embed_tokens(lm_params, token_ids)
+    if lm_cfg is not None and lm_cfg.model_family == "mpt":
+        from tokenpacker_tpu.models.mpt import mpt_embed
+
+        text = mpt_embed(lm_params, token_ids)
+    else:
+        text = embed_tokens(lm_params, token_ids)
     vis = flat[jnp.clip(image_slot, 0, flat.shape[0] - 1)]
     return jnp.where(is_image[..., None], vis.astype(text.dtype), text)

@@ -15,23 +15,24 @@ import jax.numpy as jnp
 from tokenpacker_tpu.config import TokenPackerVLMConfig
 from tokenpacker_tpu.constants import IGNORE_INDEX
 from tokenpacker_tpu.models.clip_vit import clip_tower_features, init_clip_vit
-from tokenpacker_tpu.models.llama import (
-    KVCache,
-    init_llama,
-    llama_apply,
-    llama_logits,
-    make_attention_bias,
-)
+from tokenpacker_tpu.models.llama import KVCache, init_llama, make_attention_bias
+from tokenpacker_tpu.models.lm_api import lm_apply, lm_logits
 from tokenpacker_tpu.models.splice import assemble_embeds
 from tokenpacker_tpu.models.tokenpacker import init_tokenpacker, tokenpacker_forward
 
 
 def init_vlm(key, cfg: TokenPackerVLMConfig, dtype=jnp.float32):
     k1, k2, k3 = jax.random.split(key, 3)
+    if cfg.lm.model_family == "mpt":
+        from tokenpacker_tpu.models.mpt import init_mpt
+
+        lm = init_mpt(k3, cfg.lm, dtype)
+    else:
+        lm = init_llama(k3, cfg.lm, dtype)
     return {
         "vision": init_clip_vit(k1, cfg.vision, dtype),
         "projector": init_tokenpacker(k2, cfg.projector, dtype),
-        "lm": init_llama(k3, cfg.lm, dtype),
+        "lm": lm,
     }
 
 
@@ -62,12 +63,13 @@ def vlm_hidden(params, cfg: TokenPackerVLMConfig, batch, cache: KVCache | None =
     else:
         visual = jnp.zeros((1, cfg.tokens_per_view, cfg.lm.hidden_size), cfg.dtype)
     embeds = assemble_embeds(
-        params["lm"], visual, batch["token_ids"], batch["is_image"], batch["image_slot"]
+        params["lm"], visual, batch["token_ids"], batch["is_image"], batch["image_slot"],
+        cfg.lm,
     )
     positions = batch["positions"]
     s_total = cache.k.shape[2] if cache is not None else embeds.shape[1]
     bias = make_attention_bias(positions, batch["key_valid"], 0, s_total)
-    hidden, new_cache = llama_apply(params["lm"], cfg.lm, embeds, positions, bias, cache)
+    hidden, new_cache = lm_apply(params["lm"], cfg.lm, embeds, positions, bias, cache)
     return hidden, new_cache
 
 
@@ -75,7 +77,7 @@ def vlm_loss(params, cfg: TokenPackerVLMConfig, batch):
     """Shifted next-token CE with IGNORE_INDEX masking
     (reference llava_llama.py:93-106). Returns (loss, metrics)."""
     hidden, _ = vlm_hidden(params, cfg, batch)
-    logits = llama_logits(params["lm"], hidden)
+    logits = lm_logits(params["lm"], cfg.lm, hidden)
     labels = batch["labels"]
     shift_logits = logits[:, :-1].astype(jnp.float32)
     shift_labels = labels[:, 1:]
