@@ -14,8 +14,8 @@ tunnel, so per-call host timing is unreliable):
 - the only host transfer is one scalar at the end;
 - throughput = N * batch / wall(loop) after a warmup run.
 
-Weights are random host-side numpy (on-device random init over the tunnel
-takes minutes; values don't affect throughput).
+Weights are random, materialized on-device by one jitted program — neither
+per-op random init nor host->TPU weight transfer survives the tunnel latency.
 """
 
 from __future__ import annotations
@@ -30,16 +30,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _host_random_like(tree, seed=0):
-    rng = np.random.default_rng(seed)
+def _device_random_like(tree, seed=0):
+    """Materialize params on-device with ONE jitted program — no host->TPU
+    weight transfer (14 GB over the axon tunnel would dominate the bench)."""
 
-    def f(leaf):
-        if leaf is None:
-            return None
-        arr = rng.standard_normal(leaf.shape).astype(np.float32) * 0.02
-        return jnp.asarray(arr, leaf.dtype)
+    @jax.jit
+    def make():
+        key = jax.random.PRNGKey(seed)
+        leaves, treedef = jax.tree.flatten(tree)
+        out = []
+        for i, leaf in enumerate(leaves):
+            k = jax.random.fold_in(key, i)
+            out.append(0.02 * jax.random.normal(k, leaf.shape, jnp.float32).astype(leaf.dtype))
+        return jax.tree.unflatten(treedef, out)
 
-    return jax.tree.map(f, tree)
+    return make()
 
 
 def main():
@@ -55,7 +60,7 @@ def main():
             "p": init_tokenpacker(jax.random.PRNGKey(0), cfg.projector, dtype),
         }
     )
-    params = _host_random_like(shapes)
+    params = _device_random_like(shapes)
 
     def vision_path(params, images):
         feats, multi = clip_tower_features(params["v"], cfg.vision, images)
@@ -71,10 +76,8 @@ def main():
 
     results = {}
     n_iter = 10
-    for batch in (32, 64, 128):
-        images = jnp.asarray(
-            np.random.default_rng(1).standard_normal((batch, 336, 336, 3)), dtype
-        )
+    for batch in (32, 128):
+        images = jax.random.normal(jax.random.PRNGKey(1), (batch, 336, 336, 3), dtype)
         float(bench_loop(params, images, n_iter))  # compile + warm
         t0 = time.perf_counter()
         float(bench_loop(params, images, n_iter))
@@ -119,7 +122,7 @@ def bench_7b_generation():
     cfg = TokenPackerVLMConfig()
     dtype = jnp.bfloat16
     shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, dtype))
-    params = _host_random_like(shapes, seed=1)
+    params = _device_random_like(shapes, seed=1)
 
     ids = np.concatenate([[1], np.arange(100, 140), [IMAGE_TOKEN_INDEX], np.arange(150, 160)])
     plan = build_splice_plan(
@@ -129,9 +132,7 @@ def bench_7b_generation():
     max_new = 64
     s_max = l + max_new
     batch = {
-        "images": jnp.asarray(
-            np.random.default_rng(0).standard_normal((1, 336, 336, 3)), dtype
-        ),
+        "images": jax.random.normal(jax.random.PRNGKey(2), (1, 336, 336, 3), dtype),
         "token_ids": jnp.asarray(plan.token_ids),
         "is_image": jnp.asarray(plan.is_image),
         "image_slot": jnp.asarray(plan.image_slot),

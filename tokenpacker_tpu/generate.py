@@ -82,6 +82,33 @@ def decode_step(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step,
     return logits, new_cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "prefill_len", "n", "temperature", "top_p"))
+def decode_chunk(
+    params, cfg: TokenPackerVLMConfig, cache, first_tokens, lengths, step0, prefill_len: int,
+    n: int, rng_key, temperature: float = 0.0, top_p: float | None = None,
+):
+    """Generate n tokens entirely on device (sampling included), starting by
+    feeding `first_tokens` at decode step `step0`. Returns (tokens [N, n],
+    cache, last_logits). Cuts host<->device round trips by n per chunk —
+    the decode hot loop for serving.
+    """
+    batch_n = first_tokens.shape[0]
+
+    def body(i, carry):
+        cache, tok, toks, key = carry
+        logits, cache = decode_step(params, cfg, cache, tok, lengths, step0 + i, prefill_len)
+        key, sub = jax.random.split(key)
+        nxt = sample_tokens(logits, temperature, top_p, sub).astype(jnp.int32)
+        toks = jax.lax.dynamic_update_slice(toks, nxt[:, None], (0, i))
+        return cache, nxt, toks, key
+
+    toks0 = jnp.zeros((batch_n, n), jnp.int32)
+    cache, tok, toks, _ = jax.lax.fori_loop(
+        0, n, body, (cache, first_tokens.astype(jnp.int32), toks0, rng_key)
+    )
+    return toks, cache, tok
+
+
 def sample_tokens(logits, temperature, top_p, rng_key):
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1)
@@ -143,28 +170,39 @@ class Generator:
         done = np.zeros(n, dtype=bool)
         out_tokens: list[list[int]] = [[] for _ in range(n)]
 
-        for step in range(max_new_tokens):
-            rng_key, sub = jax.random.split(rng_key)
-            tokens = sample_tokens(logits, temperature, top_p, sub)
-            tok_np = np.asarray(tokens)
+        def absorb(tok_np_2d) -> bool:
+            """Append sampled tokens per sample until its EOS; True if all done."""
             for i in range(n):
-                if not done[i]:
-                    out_tokens[i].append(int(tok_np[i]))
-                    if tok_np[i] == eos:
+                if done[i]:
+                    continue
+                for t in tok_np_2d[i]:
+                    out_tokens[i].append(int(t))
+                    if t == eos:
                         done[i] = True
-            if done.all() or step == max_new_tokens - 1:
-                break
-            if stop_strings and self.tokenizer is not None and (step + 1) % check_every == 0:
+                        break
+            if stop_strings and self.tokenizer is not None:
                 for i in range(n):
-                    if not done[i]:
-                        tail = self.tokenizer.decode(out_tokens[i])
-                        if any(s in tail for s in stop_strings):
-                            done[i] = True
-                if done.all():
-                    break
-            logits, cache = decode_step(
-                self.params, cfg, cache, tokens, lengths, jnp.asarray(step, jnp.int32), l
+                    if not done[i] and any(
+                        s in self.tokenizer.decode(out_tokens[i]) for s in stop_strings
+                    ):
+                        done[i] = True
+            return bool(done.all())
+
+        # first token from the prefill logits
+        rng_key, sub = jax.random.split(rng_key)
+        tok = sample_tokens(logits, temperature, top_p, sub).astype(jnp.int32)
+        all_done = absorb(np.asarray(tok)[:, None])
+        produced = 1
+        # then decode in on-device chunks (one host round trip per chunk)
+        while not all_done and produced < max_new_tokens:
+            chunk = min(check_every, max_new_tokens - produced)
+            rng_key, sub = jax.random.split(rng_key)
+            toks, cache, tok = decode_chunk(
+                self.params, cfg, cache, tok, lengths,
+                jnp.asarray(produced - 1, jnp.int32), l, chunk, sub, temperature, top_p,
             )
+            all_done = absorb(np.asarray(toks))
+            produced += chunk
 
         texts = None
         if self.tokenizer is not None:

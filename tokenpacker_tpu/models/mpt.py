@@ -69,6 +69,22 @@ def alibi_bias(n_heads: int, s_total: int, dtype=jnp.float32) -> jnp.ndarray:
     return bias.astype(dtype)
 
 
+def make_prefix_lm_bias(positions, key_valid, prefix_lengths, s_total):
+    """Prefix-LM attention bias: bidirectional within the prefix, causal
+    after (the reference converts GPT/Bloom/OPT models to prefix-LM via
+    monkey patches, mpt/hf_prefixlm_converter.py:29-401 — here it is just a
+    different additive mask over the same decoder).
+
+    positions: [N, T] query positions; key_valid: [N, S]; prefix_lengths:
+    [N] per-sample bidirectional-prefix length. Returns [N, 1, T, S] fp32.
+    """
+    key_pos = jnp.arange(s_total)[None, :]
+    causal = key_pos[:, None, :] <= positions[..., None]  # [N, T, S]
+    in_prefix = key_pos[:, None, :] < prefix_lengths[:, None, None]
+    ok = (causal | in_prefix) & key_valid[:, None, :]
+    return jnp.where(ok[:, None], 0.0, jnp.finfo(jnp.float32).min).astype(jnp.float32)
+
+
 def init_mpt(key, cfg: LMConfig, dtype=jnp.float32):
     keys = iter(jax.random.split(key, 2 + cfg.num_hidden_layers * 4))
     d = cfg.hidden_size
