@@ -105,16 +105,30 @@ def _fit_into(h: int, w: int, canvas_h: int, canvas_w: int) -> tuple[int, int]:
 
 
 def slice_image(
-    img: np.ndarray, patch_num: int = 9, block: int = BLOCK_SIZE
+    img: np.ndarray, patch_num: int = 9, block: int = BLOCK_SIZE, use_native: bool = True
 ) -> tuple[np.ndarray, int, int]:
     """img: [C, H, W] float (already CLIP-normalized).
 
     Returns (crops [n_crops(+1), C, block, block], h_block, w_block) exactly
     as the reference slice branch (train.py:695-731): row-major crops from a
     zero-padded canvas, plus a global 336x336 view when more than one crop.
+
+    Uses the native C++ library (native/preprocess.cpp) when built; numpy
+    otherwise — both paths are tested for equality.
     """
     c, h, w = img.shape
     hb, wb = choose_grid(h, w, patch_num, block)
+
+    if use_native:
+        from tokenpacker_tpu.image import native
+
+        if native.available():
+            th, tw = _fit_into(h, w, block * hb, block * wb)
+            gh, gw = _fit_into(h, w, block, block)
+            crops = native.hd_slice(
+                np.ascontiguousarray(img, np.float32), hb, wb, block, th, tw, gh, gw
+            )
+            return crops, hb, wb
 
     th, tw = _fit_into(h, w, block * hb, block * wb)
     canvas = np.zeros((c, block * hb, block * wb), dtype=img.dtype)
