@@ -37,3 +37,32 @@ def test_quantized_model_close_loss():
     l1, _ = vlm_loss(deq, cfg, batch)
     assert abs(float(l0) - float(l1)) < 0.2, (float(l0), float(l1))
     assert tree_bytes(qparams) < tree_bytes(params)
+
+
+def test_int8_linear_path_in_llama():
+    """linear() consumes quantized kernels: generation works with an int8 LM."""
+    from tokenpacker_tpu.generate import Generator
+    from tokenpacker_tpu.models.splice import build_splice_plan
+    from tokenpacker_tpu.constants import IMAGE_TOKEN_INDEX
+
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    params_q = dict(params)
+    params_q["lm"] = quantize_tree(params["lm"], min_size=1)
+
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    ids = np.array([1, 17, IMAGE_TOKEN_INDEX, 40], dtype=np.int64)
+    plan = build_splice_plan([ids], [[(1, 1)]], cfg.tokens_per_view, "single", 7, 8, 0, pad_to=16)
+    batch = {
+        "token_ids": plan.token_ids,
+        "is_image": plan.is_image,
+        "image_slot": plan.image_slot,
+        "lengths": plan.lengths,
+        "images": images,
+    }
+    out_q = Generator(params_q, cfg).generate(batch, max_new_tokens=3)
+    out_f = Generator(params, cfg).generate(batch, max_new_tokens=3)
+    assert len(out_q.sequences[0]) >= 1  # runs end-to-end on int8 weights

@@ -62,6 +62,33 @@ def test_sharded_forward_matches_single_device():
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_per_crop_vision_dp():
+    """HD per-crop ViT data parallelism (SURVEY §2.7 'first-class'): crops
+    sharded over the data axis produce identical projector outputs."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tokenpacker_tpu.models.vlm import encode_images
+
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    crops = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (8, cfg.vision.image_size, cfg.vision.image_size, 3)
+        ),
+        jnp.float32,
+    )
+    ref = np.asarray(jax.jit(lambda p, x: encode_images(p, cfg, x))(params, crops))
+
+    mesh = make_mesh(tp=1)  # 8-way data parallel
+    with jax.set_mesh(mesh):
+        sharded_params = shard_params(params, mesh)
+        sharded_crops = jax.device_put(crops, NamedSharding(mesh, P("data")))
+        got = np.asarray(
+            jax.jit(lambda p, x: encode_images(p, cfg, x))(sharded_params, sharded_crops)
+        )
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 

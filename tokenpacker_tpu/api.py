@@ -96,6 +96,7 @@ def load_pretrained_model(
     model_base: str | None = None,
     model_name: str | None = None,
     dtype=jnp.bfloat16,
+    load_8bit: bool = False,
     **kwargs,
 ):
     """Returns (tokenizer, model: LoadedModel, image_processor, context_len).
@@ -103,6 +104,10 @@ def load_pretrained_model(
     `image_processor` here is the callable `process_images` partial bound to
     the model's image_aspect_ratio/patch_num (the reference returns an HF
     CLIPImageProcessor; ours is the whole preprocessing front door).
+
+    load_8bit: hold the LM's linear weights as per-channel int8 in HBM
+    (reference builder.py:29-40 BitsAndBytes slot); ops/layers.linear
+    consumes them without dense materialization.
     """
     model_name = model_name or get_model_name_from_path(model_path)
     cfg = TokenPackerVLMConfig.from_json(os.path.join(model_path, "config.json"))
@@ -144,6 +149,11 @@ def load_pretrained_model(
         else:
             params = import_vlm(sd, cfg, dtype)
         tokenizer = _load_tokenizer(model_path)
+
+    if load_8bit:
+        from tokenpacker_tpu.ops.quantize import quantize_tree
+
+        params["lm"] = quantize_tree(params["lm"])
 
     cfg = dataclass_replace(cfg, dtype=dtype)
     generator = Generator(params, cfg, tokenizer)

@@ -67,6 +67,9 @@ def init_clip_vit(key, cfg: VisionConfig, dtype=jnp.float32):
 
 
 def _attn(p, x, num_heads: int):
+    # measured on v5e: XLA's fused einsum+softmax beats the Pallas flash
+    # kernel at this geometry (seq 577, head_dim 64 → padding losses), so
+    # the tower keeps the einsum path; the flash kernel serves the LM.
     n, t, w = x.shape
     d = w // num_heads
     q = linear(p["q"], x).reshape(n, t, num_heads, d)
@@ -117,14 +120,47 @@ def clip_vit_hidden_states(params, cfg: VisionConfig, images):
     return hidden
 
 
+def _embed(params, cfg: VisionConfig, images):
+    n = images.shape[0]
+    patches = patchify(images, cfg.patch_size)
+    x = patches @ params["patch_embed"]["kernel"]  # [N, 576, W]
+    cls = jnp.broadcast_to(params["class_embedding"], (n, 1, cfg.hidden_size)).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    return layer_norm(params["pre_ln"], x, cfg.layer_norm_eps)
+
+
 def clip_tower_features(params, cfg: VisionConfig, images):
     """The reference tower tuple (clip_encoder.py:28-44):
-    (features [N,576,W] at select_layer, multi-level concat [N,576,4W])."""
-    hidden = clip_vit_hidden_states(params, cfg, images)
-    num = hidden.shape[0]
-    sel = cfg.select_layer if cfg.select_layer >= 0 else num + cfg.select_layer
-    feats = hidden[sel]
-    multi = jnp.concatenate([hidden[l] for l in cfg.multi_layers], axis=-1)
+    (features [N,576,W] at select_layer, multi-level concat [N,576,4W]).
+
+    Performance: only the needed intermediate states are kept — the stack
+    runs as segmented scans with boundaries at the consumed layers, instead
+    of materializing all L+1 hidden states ([25, N, 577, W] of HBM traffic).
+    Blocks after the deepest consumed layer (block 24 when select_layer=-2)
+    are skipped entirely.
+    """
+    total = cfg.num_hidden_layers + 1  # hidden-states entries
+    sel = cfg.select_layer if cfg.select_layer >= 0 else total + cfg.select_layer
+    needed = sorted(set([sel, *cfg.multi_layers]))
+
+    x = _embed(params, cfg, images)
+    outputs = {}
+    if needed and needed[0] == 0:
+        outputs[0] = x
+        needed = needed[1:]
+
+    def step(carry, layer_params):
+        return _block(layer_params, carry, cfg), None
+
+    prev = 0
+    for idx in needed:  # idx = block number (1-based hidden_states entry)
+        seg = jax.tree.map(lambda a: a[prev:idx], params["layers"])
+        x, _ = jax.lax.scan(step, x, seg)
+        outputs[idx] = x
+        prev = idx
+
+    feats = outputs[sel]
+    multi = jnp.concatenate([outputs[l] for l in cfg.multi_layers], axis=-1)
     if cfg.select_feature == "patch":
         feats = feats[:, 1:]
         multi = multi[:, 1:]

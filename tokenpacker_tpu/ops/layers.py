@@ -18,8 +18,19 @@ import numpy as np
 
 
 def linear(params, x):
-    """y = x @ kernel + bias. kernel: [in, out]; bias optional."""
-    y = x @ params["kernel"]
+    """y = x @ kernel + bias. kernel: [in, out]; bias optional.
+
+    int8 weight-only kernels (ops/quantize.quantize_tree leaves) are consumed
+    directly: y = (x @ q) * scale — the int8→compute-dtype cast fuses into
+    the matmul read and the per-out-channel scale is a cheap column rescale,
+    so the dense weight never materializes in HBM (8-bit serving path).
+    """
+    k = params["kernel"]
+    if isinstance(k, dict) and "q" in k:
+        y = x @ k["q"].astype(x.dtype)
+        y = y * jnp.squeeze(k["scale"], axis=-2).astype(x.dtype)
+    else:
+        y = x @ k
     if params.get("bias") is not None:
         y = y + params["bias"]
     return y

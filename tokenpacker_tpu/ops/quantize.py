@@ -34,22 +34,22 @@ def dequantize_int8(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16):
 def quantize_tree(params, dtype=jnp.bfloat16, min_size: int = 1 << 16):
     """Quantize every 2D+ 'kernel' leaf bigger than min_size elements.
 
-    Returns a pytree where quantized leaves become
-    {'q': int8, 'scale': fp32, '_int8': True}. Use `dequantize_tree` (inside
-    jit) to recover compute-ready params."""
+    Returns a pytree where quantized leaves become {'q': int8, 'scale':
+    fp32} (detected structurally by those exact keys). Use `dequantize_tree`
+    (inside jit) to recover compute-ready params."""
 
     def f(path, leaf):
         names = [str(getattr(p, "key", p)) for p in path]
         if leaf is None or "kernel" not in names or leaf.ndim < 2 or leaf.size < min_size:
             return leaf
         q, scale = quantize_int8(leaf)
-        return {"q": q, "scale": scale, "_int8": True}
+        return {"q": q, "scale": scale}
 
     return jax.tree_util.tree_map_with_path(f, params)
 
 
 def _is_qleaf(x):
-    return isinstance(x, dict) and x.get("_int8") is True
+    return isinstance(x, dict) and set(x.keys()) == {"q", "scale"}
 
 
 def dequantize_tree(params, dtype=jnp.bfloat16):

@@ -35,6 +35,7 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    gradient_accumulation_steps: int = 1
 
 
 def _group_of(path) -> str:
@@ -84,7 +85,12 @@ def make_optimizer(tcfg: TrainConfig, params) -> optax.GradientTransformation:
         if tcfg.stage != "pretrain"
         else optax.set_to_zero(),
     }
-    return optax.multi_transform(transforms, labels)
+    tx = optax.multi_transform(transforms, labels)
+    if tcfg.gradient_accumulation_steps > 1:
+        # the reference reaches its global batch (256/128) via DeepSpeed
+        # grad accumulation; optax.MultiSteps is the in-graph equivalent
+        tx = optax.MultiSteps(tx, every_k_schedule=tcfg.gradient_accumulation_steps)
+    return tx
 
 
 @partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
