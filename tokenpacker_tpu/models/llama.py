@@ -104,8 +104,28 @@ def _sdpa(q, k, v, bias):
     return jnp.einsum("nhqk,nkhd->nqhd", probs, v)
 
 
-def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len):
-    """One decoder block. layer_cache: (k, v) [N, S_max, Hkv, d] or None."""
+def _use_flash_prefill(t: int) -> bool:
+    """Flash kernel pays off for long self-attention spans on TPU; decode
+    (t==1) and short prompts stay on the fused-einsum path."""
+    return jax.default_backend() == "tpu" and t >= 512
+
+
+def _flash_causal(q, k, v):
+    from tokenpacker_tpu.ops.flash_attention import mha_flash
+
+    interpret = jax.default_backend() != "tpu"
+    return mha_flash(q, k, v, causal=True, interpret=interpret)
+
+
+def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len, use_flash=None):
+    """One decoder block. layer_cache: (k, v) [N, S_max, Hkv, d] or None.
+
+    use_flash: when True (or auto on TPU for long spans), prefill/training
+    attention runs the Pallas flash kernel with a pure causal mask — exact
+    for right-padded batches because pad positions are never attended by
+    valid queries and their own outputs are discarded by the loss/length
+    masking. Decode and custom-bias paths use the einsum SDPA.
+    """
     h = rms_norm(p["input_ln"], x, cfg.rms_norm_eps)
     n, t, _ = h.shape
     q = linear(p["attn"]["q"], h).reshape(n, t, cfg.num_attention_heads, cfg.head_dim)
@@ -114,14 +134,23 @@ def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len):
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    flash_ok = use_flash if use_flash is not None else _use_flash_prefill(t)
+
     if layer_cache is not None:
         ck, cv = layer_cache
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
-        attn_out = _sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), bias)
+        if flash_ok and t > 1:
+            # prefill: the causal span only covers the current tokens
+            attn_out = _flash_causal(q, k, v)
+        else:
+            attn_out = _sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), bias)
         new_cache = (ck, cv)
     else:
-        attn_out = _sdpa(q, k, v, bias)
+        if flash_ok:
+            attn_out = _flash_causal(q, k, v)
+        else:
+            attn_out = _sdpa(q, k, v, bias)
         new_cache = None
 
     attn_out = linear(p["attn"]["o"], attn_out.reshape(n, t, -1))
@@ -154,6 +183,7 @@ def llama_apply(
     positions,  # [N, T]
     attn_bias,  # [N, 1, T, S] additive fp32
     cache: KVCache | None = None,
+    use_flash: bool | None = None,  # None = auto (TPU & long span)
 ):
     """Run the decoder stack. Returns (hidden [N,T,D], new_cache)."""
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
@@ -163,7 +193,9 @@ def llama_apply(
     if cache is None:
 
         def step(carry, layer_params):
-            y, _ = _layer(layer_params, cfg, carry, cos, sin, attn_bias, None, cache_len)
+            y, _ = _layer(
+                layer_params, cfg, carry, cos, sin, attn_bias, None, cache_len, use_flash
+            )
             return y, None
 
         x, _ = jax.lax.scan(step, x, params["layers"])
@@ -172,7 +204,9 @@ def llama_apply(
 
         def step(carry, xs):
             layer_params, ck, cv = xs
-            y, (nk, nv) = _layer(layer_params, cfg, carry, cos, sin, attn_bias, (ck, cv), cache_len)
+            y, (nk, nv) = _layer(
+                layer_params, cfg, carry, cos, sin, attn_bias, (ck, cv), cache_len, use_flash
+            )
             return y, (nk, nv)
 
         x, (nk, nv) = jax.lax.scan(step, x, (params["layers"], cache.k, cache.v))
