@@ -1,0 +1,169 @@
+"""Serving-plane integration tests: controller registry/dispatch over real
+local HTTP, worker streaming wire format, end-to-end via a tiny model."""
+
+import json
+import socket
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+import jax
+
+from tokenpacker_tpu.config import tiny_vlm_config
+from tokenpacker_tpu.generate import Generator
+from tokenpacker_tpu.models.vlm import init_vlm
+from tokenpacker_tpu.serve.controller import Controller, make_handler as controller_handler
+from tokenpacker_tpu.serve.model_worker import ModelWorker, make_handler as worker_handler
+from tests.test_trainer import Tok
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _post(url, payload, timeout=10):
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read() or b"{}")
+
+
+@pytest.fixture(scope="module")
+def tiny_worker():
+    """A ModelWorker wired to an in-memory tiny VLM (no checkpoint load)."""
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    tok = Tok()
+    # warm vocab with words the prompts will use
+    tok("A chat between a curious user and an artificial intelligence assistant")
+
+    class FakeLoaded:
+        config = cfg
+        generator = Generator(params, cfg, tok)
+
+    w = ModelWorker.__new__(ModelWorker)
+    w.worker_id = "test"
+    w.controller_addr = None
+    w.worker_addr = None
+    w.model_name = "tiny-tokenpacker"
+    w.tokenizer = tok
+    w.model = FakeLoaded()
+    w.image_processor = None
+    w.context_len = 512
+    w.cfg = cfg
+    w.semaphore = threading.Semaphore(2)
+    w.queue_length = 0
+    w._ql_lock = threading.Lock()
+    w.call_ct = 0
+    return w
+
+
+@pytest.fixture(scope="module")
+def servers(tiny_worker):
+    cport, wport = _free_port(), _free_port()
+    controller = Controller("shortest_queue")
+    cs = ThreadingHTTPServer(("localhost", cport), controller_handler(controller))
+    ws = ThreadingHTTPServer(("localhost", wport), worker_handler(tiny_worker))
+    threading.Thread(target=cs.serve_forever, daemon=True).start()
+    threading.Thread(target=ws.serve_forever, daemon=True).start()
+    time.sleep(0.2)
+    yield {
+        "controller": f"http://localhost:{cport}",
+        "worker": f"http://localhost:{wport}",
+        "obj": controller,
+    }
+    cs.shutdown()
+    ws.shutdown()
+    controller.stop()
+
+
+def test_register_and_dispatch(servers):
+    ok = _post(
+        servers["controller"] + "/register_worker",
+        {
+            "worker_name": servers["worker"],
+            "check_heart_beat": False,
+            "worker_status": {"model_names": ["tiny-tokenpacker"], "speed": 1, "queue_length": 0},
+        },
+    )
+    models = _post(servers["controller"] + "/list_models", {})["models"]
+    assert models == ["tiny-tokenpacker"]
+    addr = _post(servers["controller"] + "/get_worker_address", {"model": "tiny-tokenpacker"})
+    assert addr["address"] == servers["worker"]
+    missing = _post(servers["controller"] + "/get_worker_address", {"model": "nope"})
+    assert missing["address"] == ""
+
+
+def test_heartbeat_updates(servers):
+    r = _post(
+        servers["controller"] + "/receive_heart_beat",
+        {"worker_name": servers["worker"], "queue_length": 3},
+    )
+    assert r["exist"] is True
+    r = _post(
+        servers["controller"] + "/receive_heart_beat",
+        {"worker_name": "http://unknown:1", "queue_length": 1},
+    )
+    assert r["exist"] is False
+
+
+def test_worker_stream_wire_format(servers):
+    """\\0-delimited JSON chunks with accumulated text (worker protocol)."""
+    payload = {
+        "prompt": "USER : hello ASSISTANT :",
+        "temperature": 0.0,
+        "max_new_tokens": 4,
+        "stop": "</s>",
+    }
+    req = urllib.request.Request(
+        servers["worker"] + "/worker_generate_stream",
+        json.dumps(payload).encode(),
+        {"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        buf = b""
+        while True:
+            b_ = resp.read(1)
+            if not b_:
+                break
+            if b_ == b"\0":
+                chunks.append(json.loads(buf))
+                buf = b""
+            else:
+                buf += b_
+    assert chunks, "no streamed chunks"
+    assert all(c["error_code"] == 0 for c in chunks)
+    assert chunks[-1]["text"].startswith(payload["prompt"])
+
+
+def test_worker_status(servers):
+    st = _post(servers["worker"] + "/worker_get_status", {})
+    assert st["model_names"] == ["tiny-tokenpacker"]
+
+
+def test_stale_worker_expiry():
+    c = Controller("lottery")
+    c.worker_info["http://dead:1"] = type(
+        "WI",
+        (),
+        {
+            "model_names": ["m"],
+            "speed": 1,
+            "queue_length": 0,
+            "check_heart_beat": True,
+            "last_heart_beat": time.time() - 1000,
+        },
+    )()
+    c.remove_stale_workers_by_expiration()
+    assert "http://dead:1" not in c.worker_info
+    c.stop()
