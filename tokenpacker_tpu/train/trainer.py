@@ -115,17 +115,18 @@ class Trainer:
 
     # -- checkpointing -----------------------------------------------------
 
-    def save_checkpoint(self, step: int):
+    def save_checkpoint(self, step: int, opt_state=None):
         out = os.path.join(self.rcfg.output_dir, f"checkpoint-{step}")
         os.makedirs(out, exist_ok=True)
         if self.tcfg.stage == "pretrain":
             # adapter-only: reference-format mm_projector.bin
             self.save_mm_projector(os.path.join(out, "mm_projector.bin"))
         else:
+            state = {"params": jax.device_get(self.params), "step": step}
+            if opt_state is not None:
+                state["opt_state"] = jax.device_get(opt_state)
             self.ckptr.save(
-                os.path.abspath(os.path.join(out, "state")),
-                jax.device_get(self.params),
-                force=True,
+                os.path.abspath(os.path.join(out, "state")), state, force=True
             )
             self.ckptr.wait_until_finished()
         self._prune_checkpoints()
@@ -154,17 +155,25 @@ class Trainer:
 
             shutil.rmtree(victim, ignore_errors=True)
 
-    def try_resume(self) -> int:
+    def try_resume(self, opt_state=None):
+        """Resume params (+ optimizer state and step) from the latest
+        checkpoint-* (reference train.py:990-993 auto-resume)."""
         ckpt = _latest_checkpoint(self.rcfg.output_dir)
         if ckpt is None or self.tcfg.stage == "pretrain":
-            return 0
+            return 0, opt_state
         state_dir = os.path.abspath(os.path.join(ckpt, "state"))
         if os.path.isdir(state_dir):
-            self.params = self.ckptr.restore(state_dir, jax.device_get(self.params))
-            step = int(re.search(r"checkpoint-(\d+)$", ckpt).group(1))
-            logger.info(f"resumed from {ckpt}")
-            return step
-        return 0
+            target = {"params": jax.device_get(self.params), "step": 0}
+            if opt_state is not None:
+                target["opt_state"] = jax.device_get(opt_state)
+            restored = self.ckptr.restore(state_dir, target)
+            self.params = restored["params"]
+            step = restored.get("step") or int(
+                re.search(r"checkpoint-(\d+)$", ckpt).group(1)
+            )
+            logger.info(f"resumed from {ckpt} at step {step}")
+            return int(step), restored.get("opt_state", opt_state)
+        return 0, opt_state
 
     # -- main loop ---------------------------------------------------------
 
@@ -182,7 +191,7 @@ class Trainer:
             opt_state = tx.init(self.params)
             step_fn = make_train_step(self.cfg, tx)
 
-            start_step = self.try_resume()
+            start_step, opt_state = self.try_resume(opt_state)
             step = start_step
             t0 = time.time()
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -207,6 +216,6 @@ class Trainer:
                             f"({dt / max(step - start_step, 1):.2f}s/step)"
                         )
                     if step % rcfg.save_steps == 0:
-                        self.save_checkpoint(step)
-            self.save_checkpoint(step)
+                        self.save_checkpoint(step, opt_state)
+            self.save_checkpoint(step, opt_state)
         return self.params
