@@ -26,7 +26,7 @@ import numpy as np
 
 from tokenpacker_tpu.data.preprocess import preprocess, preprocess_multimodal
 from tokenpacker_tpu.image.processing import process_image
-from tokenpacker_tpu.models.splice import SplicePlan, build_splice_plan
+from tokenpacker_tpu.models.splice import build_splice_plan
 
 
 class SupervisedDataset:

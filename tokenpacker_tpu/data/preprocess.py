@@ -28,7 +28,6 @@ from tokenpacker_tpu.constants import (
     IGNORE_INDEX,
 )
 from tokenpacker_tpu.data import conversation as conversation_lib
-from tokenpacker_tpu.data.conversation import SeparatorStyle
 from tokenpacker_tpu.data.mm_tokenize import tokenizer_image_token
 
 logger = logging.getLogger(__name__)

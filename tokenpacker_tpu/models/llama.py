@@ -17,7 +17,7 @@ layers implementation designed for XLA:
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ import os
 import jax
 import jax.numpy as jnp
 
-from tokenpacker_tpu.config import TokenPackerVLMConfig
 from tokenpacker_tpu.data.dataset import SupervisedDataset
 from tokenpacker_tpu.train.step import TrainConfig
 from tokenpacker_tpu.train.trainer import RunConfig, Trainer
