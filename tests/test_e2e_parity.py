@@ -1,0 +1,189 @@
+"""Full-pipeline greedy-decode parity vs a torch reference assembly.
+
+The oracle rebuilds the reference inference chain end-to-end in torch from
+independent pieces: HF CLIPVisionModel (hidden-state feature_select) → the
+torch TokenPacker oracle (tests/test_tokenpacker.py) → embedding splice at
+IMAGE_TOKEN_INDEX → HF LlamaForCausalLM greedy loop. Our stack loads the
+exact same weights through the importers and must emit identical tokens.
+This pins the whole chain: tower indexing, projector math, splicing, RoPE/
+attention, prefill+KV-cache decode.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tokenpacker_tpu.config import LMConfig, ProjectorConfig, TokenPackerVLMConfig, VisionConfig
+from tokenpacker_tpu.constants import IMAGE_TOKEN_INDEX
+from tokenpacker_tpu.generate import Generator
+from tokenpacker_tpu.io.hf_import import import_clip_vision, import_llama
+from tokenpacker_tpu.models.splice import build_splice_plan
+from tests.test_llama import make_tiny as make_tiny_llama  # noqa: F401
+from tests.test_tokenpacker import TorchOracle, params_from_oracle
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    from transformers import CLIPVisionConfig, CLIPVisionModel, LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    tower = CLIPVisionModel(
+        CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=4,
+            num_attention_heads=4, image_size=56, patch_size=14,
+        )
+    ).eval()
+    lm = LlamaForCausalLM(
+        LlamaConfig(
+            vocab_size=128, hidden_size=48, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            attn_implementation="eager",
+        )
+    ).eval()
+    pcfg = ProjectorConfig(
+        raw_grid=4, embed_dim=32, num_heads=4, kv_dim=32, kv_input_dim=128,
+        hidden_size=48, scale_factor=2,
+    )
+    projector = TorchOracle(pcfg).eval()
+
+    vcfg = VisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=4,
+        num_attention_heads=4, image_size=56, patch_size=14,
+        select_layer=-2, multi_layers=(1, 2, 3, 4),
+    )
+    lcfg = LMConfig(
+        vocab_size=128, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        eos_token_id=2,
+    )
+    cfg = TokenPackerVLMConfig(vision=vcfg, lm=lcfg, scale_factor=2, dtype=jnp.float32)
+    params = {
+        "vision": import_clip_vision(tower.state_dict(), vcfg),
+        "projector": params_from_oracle(projector),
+        "lm": import_llama(lm.state_dict(), lcfg),
+    }
+    return tower, projector, lm, cfg, params
+
+
+def torch_greedy(tower, projector, lm, ids, image, n_steps):
+    """Reference-style greedy decode with full recompute each step."""
+    with torch.no_grad():
+        out = tower(image, output_hidden_states=True)
+        feats = out.hidden_states[-2][:, 1:]
+        multi = torch.cat([out.hidden_states[l] for l in (1, 2, 3, 4)], dim=2)[:, 1:]
+        visual = projector(feats, multi)[0]  # [tpv, D]
+
+        generated = list(ids)
+        for _ in range(n_steps):
+            cur = torch.tensor(generated)
+            img_pos = int((cur == IMAGE_TOKEN_INDEX).nonzero()[0])
+            emb_tok = lm.get_input_embeddings()(torch.clamp(cur, min=0))
+            emb = torch.cat(
+                [emb_tok[:img_pos], visual, emb_tok[img_pos + 1 :]], dim=0
+            )[None]
+            logits = lm(inputs_embeds=emb).logits[0, -1]
+            nxt = int(torch.argmax(logits))
+            generated.append(nxt)
+            if nxt == 2:
+                break
+        return generated[len(ids) :]
+
+
+def torch_greedy_hd(tower, projector, lm, ids, crops, hb, wb, sep_id, ret_id, n_steps):
+    """Reference slice-mode interleave (llava_arch.py:140-154): row-major
+    crops with ',' between columns, '\\n' per row, global view + '\\n'."""
+    with torch.no_grad():
+        out = tower(crops, output_hidden_states=True)
+        feats = out.hidden_states[-2][:, 1:]
+        multi = torch.cat([out.hidden_states[l] for l in (1, 2, 3, 4)], dim=2)[:, 1:]
+        visual = projector(feats, multi)  # [n_crops, tpv, D]
+        embed = lm.get_input_embeddings()
+        sep = embed(torch.tensor([sep_id]))
+        ret = embed(torch.tensor([ret_id]))
+        parts = []
+        idx = 0
+        for i in range(hb):
+            for j in range(wb):
+                parts.append(visual[idx])
+                idx += 1
+                if j < wb - 1:
+                    parts.append(sep)
+            parts.append(ret)
+        if hb * wb > 1:
+            parts.append(visual[idx])
+            parts.append(ret)
+        block = torch.cat(parts, dim=0)
+
+        generated = list(ids)
+        for _ in range(n_steps):
+            cur = torch.tensor(generated)
+            img_pos = int((cur == IMAGE_TOKEN_INDEX).nonzero()[0])
+            emb_tok = embed(torch.clamp(cur, min=0))
+            emb = torch.cat([emb_tok[:img_pos], block, emb_tok[img_pos + 1 :]], dim=0)[None]
+            logits = lm(inputs_embeds=emb).logits[0, -1]
+            nxt = int(torch.argmax(logits))
+            generated.append(nxt)
+            if nxt == 2:
+                break
+        return generated[len(ids) :]
+
+
+def test_hd_slice_greedy_decode_token_parity(pipeline):
+    tower, projector, lm, cfg, params = pipeline
+    rng = np.random.default_rng(1)
+    hb, wb = 1, 2
+    n_crops = hb * wb + 1
+    crops = rng.standard_normal((n_crops, 3, 56, 56)).astype(np.float32)
+    ids = np.array([1, 17, IMAGE_TOKEN_INDEX, 40, 41], dtype=np.int64)
+    sep_id, ret_id = 7, 8
+    n_steps = 5
+
+    expected = torch_greedy_hd(
+        tower, projector, lm, ids, torch.from_numpy(crops), hb, wb, sep_id, ret_id, n_steps
+    )
+    plan = build_splice_plan(
+        [ids], [[(hb, wb)]], cfg.tokens_per_view, "slice", sep_id, ret_id, 0, pad_to=32
+    )
+    got = Generator(params, cfg).generate(
+        {
+            "token_ids": plan.token_ids,
+            "is_image": plan.is_image,
+            "image_slot": plan.image_slot,
+            "lengths": plan.lengths,
+            "images": crops.transpose(0, 2, 3, 1),
+        },
+        max_new_tokens=n_steps,
+        temperature=0.0,
+    ).sequences[0]
+    assert got == expected, (got, expected)
+
+
+def test_greedy_decode_token_parity(pipeline):
+    tower, projector, lm, cfg, params = pipeline
+    rng = np.random.default_rng(0)
+    image = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    ids = np.array([1, 17, 23, IMAGE_TOKEN_INDEX, 40, 41, 42], dtype=np.int64)
+    n_steps = 6
+
+    expected = torch_greedy(
+        tower, projector, lm, ids, torch.from_numpy(image), n_steps
+    )
+
+    plan = build_splice_plan([ids], [[(1, 1)]], cfg.tokens_per_view, "single", 7, 8, 0, pad_to=16)
+    got = Generator(params, cfg).generate(
+        {
+            "token_ids": plan.token_ids,
+            "is_image": plan.is_image,
+            "image_slot": plan.image_slot,
+            "lengths": plan.lengths,
+            "images": image.transpose(0, 2, 3, 1),
+        },
+        max_new_tokens=n_steps,
+        temperature=0.0,
+    ).sequences[0]
+    got = [t for t in got]
+    # our sequences include the EOS token if emitted; torch oracle does too
+    assert got == expected, (got, expected)
