@@ -161,6 +161,57 @@ def test_hd_slice_greedy_decode_token_parity(pipeline):
     assert got == expected, (got, expected)
 
 
+def test_training_loss_parity(pipeline):
+    """Masked shifted-CE loss matches HF's (labels=-100 ignore) on the same
+    spliced batch — pins the training objective (llava_llama.py:93-106)."""
+    from tokenpacker_tpu.constants import IGNORE_INDEX
+    from tokenpacker_tpu.models.vlm import vlm_loss
+
+    tower, projector, lm, cfg, params = pipeline
+    rng = np.random.default_rng(2)
+    image = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    ids = np.array([1, 17, IMAGE_TOKEN_INDEX, 40, 41, 42], dtype=np.int64)
+    labels = np.array(
+        [IGNORE_INDEX, IGNORE_INDEX, IGNORE_INDEX, 40, 41, 42], dtype=np.int64
+    )
+
+    # torch: splice embeds, expand labels with IGNORE over the visual block
+    with torch.no_grad():
+        out = tower(torch.from_numpy(image), output_hidden_states=True)
+        feats = out.hidden_states[-2][:, 1:]
+        multi = torch.cat([out.hidden_states[l] for l in (1, 2, 3, 4)], dim=2)[:, 1:]
+        visual = projector(feats, multi)[0]
+        cur = torch.tensor(ids)
+        img_pos = int((cur == IMAGE_TOKEN_INDEX).nonzero()[0])
+        emb_tok = lm.get_input_embeddings()(torch.clamp(cur, min=0))
+        emb = torch.cat([emb_tok[:img_pos], visual, emb_tok[img_pos + 1 :]], dim=0)[None]
+        lab = torch.cat(
+            [
+                torch.tensor(labels[:img_pos]),
+                torch.full((visual.shape[0],), -100, dtype=torch.long),
+                torch.tensor(labels[img_pos + 1 :]),
+            ]
+        )[None]
+        ref_loss = float(lm(inputs_embeds=emb, labels=lab).loss)
+
+    plan = build_splice_plan(
+        [ids], [[(1, 1)]], cfg.tokens_per_view, "single", 7, 8, 0,
+        labels=[labels],
+    )
+    n, l = plan.token_ids.shape
+    batch = {
+        "images": jnp.asarray(image.transpose(0, 2, 3, 1)),
+        "token_ids": jnp.asarray(plan.token_ids),
+        "is_image": jnp.asarray(plan.is_image),
+        "image_slot": jnp.asarray(plan.image_slot),
+        "positions": jnp.broadcast_to(jnp.arange(l), (n, l)),
+        "key_valid": jnp.asarray(plan.attn_mask),
+        "labels": jnp.asarray(plan.labels),
+    }
+    got_loss, _ = vlm_loss(params, cfg, batch)
+    np.testing.assert_allclose(float(got_loss), ref_loss, rtol=1e-3, atol=1e-3)
+
+
 def test_greedy_decode_token_parity(pipeline):
     tower, projector, lm, cfg, params = pipeline
     rng = np.random.default_rng(0)
