@@ -29,6 +29,13 @@ from tokenpacker_tpu.image.processing import process_image
 from tokenpacker_tpu.models.splice import build_splice_plan
 
 
+def _crop_bucket(n: int) -> int:
+    for b in (1, 2, 4, 8, 16, 32, 64, 128):
+        if n <= b:
+            return b
+    return ((n + 63) // 64) * 64
+
+
 def get_chunk(lst: list, n_chunks: int, idx: int) -> list:
     """Reference chunking (model_vqa_loader.py:22-30): ceil-sized chunks."""
     size = math.ceil(len(lst) / n_chunks)
@@ -109,6 +116,15 @@ class EvalRunner:
         images = (
             np.concatenate(crops_list, axis=0).transpose(0, 2, 3, 1) if crops_list else None
         )
+        if images is not None:
+            # bucket the crop count (pad with zero crops no slot references)
+            # so HD batches with ragged grids reuse one compiled executable
+            # per (seq bucket, crop bucket) instead of recompiling per grid
+            n = images.shape[0]
+            target = _crop_bucket(n)
+            if target > n:
+                pad = np.zeros((target - n, *images.shape[1:]), images.dtype)
+                images = np.concatenate([images, pad], axis=0)
         return plan, images
 
     def stop_strings(self) -> tuple[str, ...]:
