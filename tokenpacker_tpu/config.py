@@ -224,6 +224,52 @@ class TokenPackerVLMConfig:
         }
 
 
+def vicuna_13b() -> LMConfig:
+    """Vicuna-13B-v1.5 geometry (TokenPacker-13b checkpoints)."""
+    return LMConfig(
+        hidden_size=5120,
+        intermediate_size=13824,
+        num_hidden_layers=40,
+        num_attention_heads=40,
+    )
+
+
+# Named presets matching the released checkpoint family (reference
+# README.md:129-137). patch_num applies to the HD variants only.
+MODEL_PRESETS: dict[str, dict] = {
+    "tokenpacker-7b-144token": dict(scale_factor=2),
+    "tokenpacker-7b-64token": dict(scale_factor=3),
+    "tokenpacker-7b-36token": dict(scale_factor=4),
+    "tokenpacker-13b-144token": dict(scale_factor=2, lm_preset="13b"),
+    "tokenpacker-hd-7b-9patch-144token": dict(
+        scale_factor=2, patch_num=9, image_aspect_ratio="slice"
+    ),
+    "tokenpacker-hd-13b-9patch-144token": dict(
+        scale_factor=2, patch_num=9, image_aspect_ratio="slice", lm_preset="13b"
+    ),
+    "tokenpacker-hd-13b-16patch-144token": dict(
+        scale_factor=2, patch_num=16, image_aspect_ratio="slice", lm_preset="13b"
+    ),
+    "tokenpacker-hd-13b-16patch-64token": dict(
+        scale_factor=3, patch_num=16, image_aspect_ratio="slice", lm_preset="13b"
+    ),
+    "tokenpacker-hd-13b-16patch-36token": dict(
+        scale_factor=4, patch_num=16, image_aspect_ratio="slice", lm_preset="13b"
+    ),
+}
+
+
+def preset_config(name: str) -> TokenPackerVLMConfig:
+    """Build a config from a released-checkpoint preset name
+    (case-insensitive; matches `sunshine-lwt/TokenPacker-*` naming)."""
+    key = name.lower().lstrip("/").split("/")[-1]
+    if key not in MODEL_PRESETS:
+        raise KeyError(f"unknown preset {name!r}; known: {sorted(MODEL_PRESETS)}")
+    spec = dict(MODEL_PRESETS[key])
+    lm = vicuna_13b() if spec.pop("lm_preset", None) == "13b" else LMConfig()
+    return TokenPackerVLMConfig(lm=lm, **spec)
+
+
 def tiny_vlm_config(**overrides) -> TokenPackerVLMConfig:
     """A tiny config for CPU tests: every parity test runs on this."""
     vision = VisionConfig(
