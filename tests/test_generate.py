@@ -146,3 +146,10 @@ def test_hd_slice_generation_runs():
         max_new_tokens=4,
     )
     assert len(result.sequences[0]) >= 1
+
+
+def test_warmup_compiles_and_runs():
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(3), cfg)
+    gen = Generator(params, cfg)
+    gen.warmup(buckets=(16,), batch_sizes=(1,), max_new_tokens=8)

@@ -216,6 +216,35 @@ class Generator:
                 texts.append(text.strip())
         return GenerationResult(out_tokens, texts)
 
+    def warmup(self, buckets=(256, 512), batch_sizes=(1,), max_new_tokens=128, n_crops=1):
+        """Pre-compile prefill + decode for the given shape buckets so the
+        first real request hits warm executables (worker startup path)."""
+        cfg = self.cfg
+        for l in buckets:
+            for n in batch_sizes:
+                token_ids = np.zeros((n, l), np.int32)
+                token_ids[:, 0] = cfg.lm.bos_token_id
+                batch = {
+                    "token_ids": jnp.asarray(token_ids),
+                    "is_image": jnp.zeros((n, l), bool),
+                    "image_slot": jnp.zeros((n, l), jnp.int32),
+                    "lengths": jnp.full((n,), 2, jnp.int32),
+                    "images": jnp.zeros(
+                        (n_crops, cfg.vision.image_size, cfg.vision.image_size, 3), cfg.dtype
+                    ),
+                }
+                logits, cache = prefill(self.params, cfg, batch, l + max_new_tokens)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                decode_chunk(
+                    self.params, cfg, cache, tok, batch["lengths"],
+                    jnp.asarray(0, jnp.int32), l, 8, jax.random.PRNGKey(0), 0.0, None,
+                )
+                # the streaming path steps one token at a time
+                decode_step(
+                    self.params, cfg, cache, tok, batch["lengths"],
+                    jnp.asarray(0, jnp.int32), l,
+                )
+
     def generate_stream(
         self,
         batch: dict,

@@ -17,6 +17,7 @@ import argparse
 import base64
 import io
 import json
+import os
 import threading
 import time
 import urllib.request
@@ -66,6 +67,10 @@ class ModelWorker:
             load_pretrained_model(model_path, model_base, self.model_name)
         )
         self.cfg = self.model.config
+        if os.environ.get("TOKENPACKER_WARMUP", "1") == "1":
+            logger.info("Warming up prefill/decode executables ...")
+            n_crops = 1 if self.cfg.image_aspect_ratio != "slice" else self.cfg.patch_num + 1
+            self.model.generator.warmup(n_crops=n_crops)
         self.semaphore = threading.Semaphore(limit_model_concurrency)
         self.queue_length = 0
         self._ql_lock = threading.Lock()
