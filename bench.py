@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import time
 
 import numpy as np
@@ -45,6 +46,9 @@ def _device_random_like(tree, seed=0):
         return jax.tree.unflatten(treedef, out)
 
     return make()
+
+
+_START = time.perf_counter()
 
 
 def main():
@@ -89,10 +93,17 @@ def main():
     details = {
         "vision_images_per_sec": {str(k): round(v, 2) for k, v in results.items()},
     }
-    try:
-        details.update(bench_7b_generation())
-    except Exception as e:  # keep the headline metric robust
-        details["generation_error"] = str(e)[:500]
+    # the remote compile service's latency varies a lot; skip the secondary
+    # 7B metrics when the vision sweep already burned the budget so the
+    # required headline JSON line always prints in time
+    elapsed = time.perf_counter() - _START
+    if elapsed < float(os.environ.get("TOKENPACKER_BENCH_BUDGET_S", "360")):
+        try:
+            details.update(bench_7b_generation())
+        except Exception as e:  # keep the headline metric robust
+            details["generation_error"] = str(e)[:500]
+    else:
+        details["generation_skipped"] = f"vision sweep took {elapsed:.0f}s"
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
 
