@@ -82,6 +82,41 @@ def decode_step(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step,
     return logits, new_cache
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_step_cb(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_lens, active):
+    """Continuous-batching decode step over slot-contiguous caches.
+
+    Each slot's sequence occupies cache positions [0, cur_lens[i]); the new
+    token is written at cur_lens[i] and attends over [0, cur_lens[i]].
+    `active` masks empty slots (their writes land at their cur_len but are
+    overwritten when a request is admitted). Returns (logits, new_cache)
+    with new_cache.length = cur_lens + active.
+    """
+    s_max = cache.k.shape[2]
+    n = tokens.shape[0]
+    positions = cur_lens[:, None]
+    emb = lm_embed(params["lm"], cfg.lm, tokens[:, None])
+    key_idx = jnp.arange(s_max)[None, :]
+    key_valid = key_idx <= cur_lens[:, None]
+    bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
+    cache_at = KVCache(cache.k, cache.v, cur_lens)
+    hidden, new_cache = lm_apply(params["lm"], cfg.lm, emb, positions, bias, cache_at)
+    logits = lm_logits(params["lm"], cfg.lm, hidden[:, 0])
+    new_len = cur_lens + active.astype(cur_lens.dtype)
+    return logits, KVCache(new_cache.k, new_cache.v, new_len)
+
+
+@partial(jax.jit, static_argnames=("cfg", "slot"))
+def insert_into_cache(big: KVCache, small: KVCache, slot: int, length, cfg=None):
+    """Copy a prefilled single-request cache (batch 1, padded) into slot
+    `slot` of the shared cache; positions beyond `length` stay invalid."""
+    l_pad = small.k.shape[2]
+    k = big.k.at[:, slot, :l_pad].set(small.k[:, 0])
+    v = big.v.at[:, slot, :l_pad].set(small.v[:, 0])
+    new_len = big.length.at[slot].set(length)
+    return KVCache(k, v, new_len)
+
+
 @partial(jax.jit, static_argnames=("cfg", "prefill_len", "n", "temperature", "top_p"))
 def decode_chunk(
     params, cfg: TokenPackerVLMConfig, cache, first_tokens, lengths, step0, prefill_len: int,

@@ -138,8 +138,15 @@ def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len, use_flas
 
     if layer_cache is not None:
         ck, cv = layer_cache
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
+        if jnp.ndim(cache_len) == 1:
+            # per-sample write positions (continuous batching: each slot's
+            # sequence is contiguous and advances independently); T must be 1
+            rows = jnp.arange(n)
+            ck = ck.at[rows, cache_len].set(k[:, 0].astype(ck.dtype))
+            cv = cv.at[rows, cache_len].set(v[:, 0].astype(cv.dtype))
+        else:
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
         if flash_ok and t > 1:
             # prefill: the causal span only covers the current tokens
             attn_out = _flash_causal(q, k, v)

@@ -1,0 +1,191 @@
+"""Continuous-batching executor — slot-based shared-cache serving.
+
+Goes beyond the reference's one-request-per-generate worker
+(model_worker.py): up to `num_slots` requests decode together in ONE
+batched step per token, and new requests are admitted into free slots
+between steps (their prefill runs batch-1, then the prefilled KV rows are
+copied into the slot). Per-slot sequences are cache-contiguous, so each
+slot advances independently (generate.decode_step_cb).
+
+Usage:
+    batcher = ContinuousBatcher(params, cfg, tokenizer, num_slots=8)
+    batcher.start()
+    fut = batcher.submit(splice_batch, max_new_tokens=64)
+    tokens = fut.result()          # list[int]
+    batcher.stop()
+
+Streaming: pass `on_token=callable(token_id)`.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tokenpacker_tpu.config import TokenPackerVLMConfig
+from tokenpacker_tpu.generate import (
+    decode_step_cb,
+    insert_into_cache,
+    prefill,
+    sample_tokens,
+)
+from tokenpacker_tpu.models.llama import KVCache
+
+
+@dataclass
+class _Request:
+    batch: dict  # single-sample splice-plan arrays (+ images)
+    max_new_tokens: int
+    temperature: float
+    future: Future
+    on_token: object = None
+    produced: int = 0
+    tokens: list = field(default_factory=list)
+
+
+class ContinuousBatcher:
+    def __init__(
+        self,
+        params,
+        cfg: TokenPackerVLMConfig,
+        tokenizer=None,
+        num_slots: int = 8,
+        max_seq_len: int = 1024,
+        temperature: float = 0.0,
+    ):
+        if cfg.lm.model_family != "llama":
+            raise NotImplementedError("continuous batching currently targets the llama family")
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.num_slots = num_slots
+        self.max_seq_len = max_seq_len
+        self.temperature = temperature
+        self.queue: queue.Queue[_Request] = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+        self.cache = KVCache(
+            jnp.zeros(
+                (cfg.lm.num_hidden_layers, num_slots, max_seq_len, cfg.lm.kv_heads, cfg.lm.head_dim),
+                cfg.dtype,
+            ),
+            jnp.zeros(
+                (cfg.lm.num_hidden_layers, num_slots, max_seq_len, cfg.lm.kv_heads, cfg.lm.head_dim),
+                cfg.dtype,
+            ),
+            jnp.zeros((num_slots,), jnp.int32),
+        )
+        self.slots: list[_Request | None] = [None] * num_slots
+        self.next_tokens = np.zeros((num_slots,), np.int32)
+        self._rng = jax.random.PRNGKey(0)
+
+    # -- public api --------------------------------------------------------
+
+    def submit(self, batch: dict, max_new_tokens: int = 128, temperature: float | None = None,
+               on_token=None) -> Future:
+        fut: Future = Future()
+        self.queue.put(
+            _Request(
+                batch=batch,
+                max_new_tokens=max_new_tokens,
+                temperature=self.temperature if temperature is None else temperature,
+                future=fut,
+                on_token=on_token,
+            )
+        )
+        return fut
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    # -- internals ---------------------------------------------------------
+
+    def _admit(self, slot: int, req: _Request):
+        """Prefill batch-1, sample the first token, copy KV into the slot."""
+        b = req.batch
+        l = b["token_ids"].shape[1]
+        assert l <= self.max_seq_len, "prompt exceeds scheduler max_seq_len"
+        dev_batch = {
+            "token_ids": jnp.asarray(b["token_ids"]),
+            "is_image": jnp.asarray(b["is_image"]),
+            "image_slot": jnp.asarray(b["image_slot"]),
+            "lengths": jnp.asarray(b["lengths"], jnp.int32),
+            "images": jnp.asarray(b["images"], self.cfg.dtype)
+            if b.get("images") is not None
+            else None,
+        }
+        logits, small_cache = prefill(self.params, self.cfg, dev_batch, l)
+        self._rng, sub = jax.random.split(self._rng)
+        tok = int(np.asarray(sample_tokens(logits, req.temperature, None, sub))[0])
+        length = int(np.asarray(dev_batch["lengths"])[0])
+        # compact the prefilled rows: positions [0, length) are valid; pad
+        # rows within [length, l) get overwritten as the slot decodes
+        self.cache = insert_into_cache(self.cache, small_cache, slot, length)
+        self.slots[slot] = req
+        self.next_tokens[slot] = tok
+        self._emit(slot, tok)
+
+    def _emit(self, slot: int, tok: int):
+        req = self.slots[slot]
+        req.tokens.append(tok)
+        req.produced += 1
+        if req.on_token is not None:
+            req.on_token(tok)
+        eos = self.cfg.lm.eos_token_id
+        cur_len = int(np.asarray(self.cache.length)[slot])
+        if tok == eos or req.produced >= req.max_new_tokens or cur_len + 1 >= self.max_seq_len:
+            req.future.set_result(req.tokens)
+            self.slots[slot] = None
+
+    def _loop(self):
+        while not self._stop.is_set():
+            # admit queued requests into free slots
+            for slot in range(self.num_slots):
+                if self.slots[slot] is None:
+                    try:
+                        req = self.queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    self._admit(slot, req)
+            active = np.array([r is not None for r in self.slots])
+            if not active.any():
+                try:
+                    req = self.queue.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+                self._admit(0, req)
+                active = np.array([r is not None for r in self.slots])
+            if not active.any():  # admitted request may have finished already
+                continue
+
+            # one batched decode step across all active slots
+            logits, self.cache = decode_step_cb(
+                self.params,
+                self.cfg,
+                self.cache,
+                jnp.asarray(self.next_tokens),
+                self.cache.length,
+                jnp.asarray(active),
+            )
+            self._rng, sub = jax.random.split(self._rng)
+            temps = {r.temperature for r in self.slots if r is not None}
+            temp = temps.pop() if len(temps) == 1 else 0.0
+            toks = np.asarray(sample_tokens(logits, temp, None, sub))
+            for slot in range(self.num_slots):
+                if self.slots[slot] is not None:
+                    self.next_tokens[slot] = int(toks[slot])
+                    self._emit(slot, int(toks[slot]))
