@@ -115,45 +115,27 @@ def load_pretrained_model(
     is_lora = os.path.exists(os.path.join(model_path, "adapter_config.json"))
     has_projector_only = os.path.exists(os.path.join(model_path, "mm_projector.bin"))
 
-    if is_lora:
-        if model_base is None:
-            raise ValueError("LoRA checkpoints need model_base")
-        params = _load_lora_merged(model_path, model_base, cfg, dtype)
-        tokenizer = _load_tokenizer(model_base)
-    elif has_projector_only and model_base is not None:
-        # stage-1 delta: base LLM + projector weights
-        base_sd = _load_state_dict(model_base)
-        import torch
+    # import weights on the host: avoids double-residency spikes in HBM
+    # (bf16 + int8 during load_8bit) and lets quantization run before any
+    # device transfer; the final pytree ships to the accelerator once
+    import contextlib
 
-        proj_sd = torch.load(
-            os.path.join(model_path, "mm_projector.bin"), map_location="cpu", weights_only=True
+    cpu_devs = jax.devices("cpu") if jax.default_backend() != "cpu" else []
+    import_ctx = jax.default_device(cpu_devs[0]) if cpu_devs else contextlib.nullcontext()
+    with import_ctx:
+        params = _import_params(
+            model_path, model_base, cfg, dtype, is_lora, has_projector_only
         )
-        proj_sd = strip_prefix(proj_sd, "model.mm_projector.")
-        params = {
-            "lm": import_llama(base_sd, cfg.lm, dtype),
-            "projector": import_tokenpacker(proj_sd, cfg.projector, dtype),
-            "vision": _load_tower_params(cfg, dtype),
-        }
-        tokenizer = _load_tokenizer(model_base)
-    else:
-        sd = _load_state_dict(model_path)
-        if not any(k.startswith("model.vision_tower.") for k in sd):
-            # checkpoint shipped without tower weights: load tower separately
-            params = {
-                "lm": import_llama(sd, cfg.lm, dtype),
-                "projector": import_tokenpacker(
-                    strip_prefix(sd, "model.mm_projector."), cfg.projector, dtype
-                ),
-                "vision": _load_tower_params(cfg, dtype),
-            }
-        else:
-            params = import_vlm(sd, cfg, dtype)
-        tokenizer = _load_tokenizer(model_path)
+        if load_8bit:
+            from tokenpacker_tpu.ops.quantize import quantize_tree
 
-    if load_8bit:
-        from tokenpacker_tpu.ops.quantize import quantize_tree
+            params["lm"] = quantize_tree(params["lm"])
+    if cpu_devs:
+        params = jax.device_put(params, jax.devices()[0])
 
-        params["lm"] = quantize_tree(params["lm"])
+    tokenizer = _load_tokenizer(
+        model_base if (is_lora or (has_projector_only and model_base)) else model_path
+    )
 
     cfg = dataclass_replace(cfg, dtype=dtype)
     generator = Generator(params, cfg, tokenizer)
@@ -168,6 +150,38 @@ def load_pretrained_model(
 
     context_len = cfg.model_max_length
     return tokenizer, model, image_processor, context_len
+
+
+def _import_params(model_path, model_base, cfg, dtype, is_lora, has_projector_only):
+    if is_lora:
+        if model_base is None:
+            raise ValueError("LoRA checkpoints need model_base")
+        return _load_lora_merged(model_path, model_base, cfg, dtype)
+    if has_projector_only and model_base is not None:
+        # stage-1 delta: base LLM + projector weights
+        base_sd = _load_state_dict(model_base)
+        import torch
+
+        proj_sd = torch.load(
+            os.path.join(model_path, "mm_projector.bin"), map_location="cpu", weights_only=True
+        )
+        proj_sd = strip_prefix(proj_sd, "model.mm_projector.")
+        return {
+            "lm": import_llama(base_sd, cfg.lm, dtype),
+            "projector": import_tokenpacker(proj_sd, cfg.projector, dtype),
+            "vision": _load_tower_params(cfg, dtype),
+        }
+    sd = _load_state_dict(model_path)
+    if not any(k.startswith("model.vision_tower.") for k in sd):
+        # checkpoint shipped without tower weights: load tower separately
+        return {
+            "lm": import_llama(sd, cfg.lm, dtype),
+            "projector": import_tokenpacker(
+                strip_prefix(sd, "model.mm_projector."), cfg.projector, dtype
+            ),
+            "vision": _load_tower_params(cfg, dtype),
+        }
+    return import_vlm(sd, cfg, dtype)
 
 
 def dataclass_replace(cfg, **kw):
