@@ -178,10 +178,82 @@ def bench_7b_generation():
     t0 = time.perf_counter()
     jax.block_until_ready(decode_n(params, cache, tok0, max_new))
     dt = time.perf_counter() - t0
-    return {
+    out = {
         "ttft_p50_ms_7b": round(ttft_ms, 1),
         "decode_tokens_per_sec_7b": round(max_new / dt, 1),
     }
+    del params, cache
+    if time.perf_counter() - _START < float(os.environ.get("TOKENPACKER_BENCH_BUDGET_S", "360")):
+        try:
+            out.update(bench_7b_int8_decode())
+        except Exception as e:
+            out["int8_error"] = str(e)[:300]
+    return out
+
+
+def _int8_params_on_device(cfg, dtype):
+    """Random 7B params with the LM's big kernels directly int8 — no bf16
+    intermediate (it wouldn't co-reside in HBM)."""
+    from tokenpacker_tpu.models.vlm import init_vlm
+
+    shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, dtype))
+
+    @jax.jit
+    def make():
+        key = jax.random.PRNGKey(0)
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+        out = []
+        for i, (path, leaf) in enumerate(leaves):
+            names = [str(getattr(p, "key", p)) for p in path]
+            k = jax.random.fold_in(key, i)
+            if names[0] == "lm" and "kernel" in names and leaf.ndim >= 2 and leaf.size > (1 << 16):
+                q = jax.random.randint(k, leaf.shape, -127, 128, jnp.int8)
+                scale = jnp.full(leaf.shape[:-2] + (1, leaf.shape[-1]), 2e-4, jnp.float32)
+                out.append({"q": q, "scale": scale})
+            else:
+                out.append(0.02 * jax.random.normal(k, leaf.shape, jnp.float32).astype(leaf.dtype))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return make()
+
+
+def bench_7b_int8_decode():
+    """int8 weight-only decode (load_8bit serving path), single stream."""
+    import functools
+
+    from tokenpacker_tpu.config import TokenPackerVLMConfig
+    from tokenpacker_tpu.generate import decode_step_cb
+    from tokenpacker_tpu.models.llama import KVCache
+
+    cfg = TokenPackerVLMConfig()
+    dtype = jnp.bfloat16
+    params = _int8_params_on_device(cfg, dtype)
+    s_max, n_steps, b = 512, 64, 1
+    cache = KVCache(
+        jnp.zeros((cfg.lm.num_hidden_layers, b, s_max, cfg.lm.kv_heads, cfg.lm.head_dim), dtype),
+        jnp.zeros((cfg.lm.num_hidden_layers, b, s_max, cfg.lm.kv_heads, cfg.lm.head_dim), dtype),
+        jnp.full((b,), 100, jnp.int32),
+    )
+
+    @jax.jit
+    def loop(params, cache, toks, active, salt):
+        toks = toks + salt * 0
+
+        def body(i, carry):
+            cache, toks = carry
+            logits, cache = decode_step_cb(params, cfg, cache, toks, cache.length, active)
+            return cache, jnp.argmax(logits, -1).astype(jnp.int32)
+
+        cache, toks = jax.lax.fori_loop(0, n_steps, body, (cache, toks))
+        return jnp.sum(toks)
+
+    toks = jnp.ones((b,), jnp.int32)
+    active = jnp.ones((b,), bool)
+    float(loop(params, cache, toks, active, jnp.asarray(0)))
+    t0 = time.perf_counter()
+    float(loop(params, cache, toks, active, jnp.asarray(1)))
+    dt = time.perf_counter() - t0
+    return {"decode_tokens_per_sec_7b_int8": round(n_steps / dt, 1)}
 
 
 if __name__ == "__main__":

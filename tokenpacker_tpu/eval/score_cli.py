@@ -84,6 +84,35 @@ def run_gqa(args):
     print(f"Accuracy: {100.0 * gqa_accuracy(answers, labels):.2f}%")
 
 
+def run_mmbench(args):
+    """Dev-split accuracy: prediction letter vs the tsv 'answer' column
+    (majority vote over rotation rounds when --all-rounds was used)."""
+    import pandas as pd
+    from collections import Counter, defaultdict
+
+    df = pd.read_table(os.path.expanduser(args.annotation_file))
+    gt = {row["index"]: str(row.get("answer", "")).strip().upper() for _, row in df.iterrows()}
+    votes = defaultdict(list)
+    for r in _jsonl(args.result_file):
+        pred = (r["text"].strip().upper() or "?")[0]
+        # un-rotate: option_char[k] maps the shown letter back to canonical
+        chars = json.loads(r["option_char"]) if "option_char" in r else None
+        if chars and pred in [c.upper() for c in chars]:
+            shown_idx = [c.upper() for c in chars].index(pred)
+            pred = "ABCD"[shown_idx]
+        votes[r["question_id"]].append(pred)
+    total = correct = 0
+    for qid, vs in votes.items():
+        if qid not in gt or not gt[qid] or gt[qid] == "NAN":
+            continue
+        total += 1
+        if args.all_rounds_strict:
+            correct += int(all(v == gt[qid] for v in vs))
+        else:
+            correct += int(Counter(vs).most_common(1)[0][0] == gt[qid])
+    print(f"Samples: {total}\nAccuracy: {100.0 * correct / max(total, 1):.2f}%")
+
+
 def run_anls(args):
     """ANLS over DocVQA-style annotations with gt answers."""
     with open(os.path.expanduser(args.annotation_file)) as f:
@@ -123,6 +152,13 @@ def main(argv=None):
     sp.add_argument("--annotation-file", required=True)
     sp.add_argument("--result-file", required=True)
     sp.set_defaults(fn=run_anls)
+
+    sp = sub.add_parser("mmbench")
+    sp.add_argument("--annotation-file", required=True)
+    sp.add_argument("--result-file", required=True)
+    sp.add_argument("--all-rounds-strict", action="store_true",
+                    help="require every rotation round correct (circular eval)")
+    sp.set_defaults(fn=run_mmbench)
 
     args = p.parse_args(argv)
     args.fn(args)
