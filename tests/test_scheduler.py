@@ -82,3 +82,22 @@ def test_batcher_streaming_callback(model):
     finally:
         batcher.stop()
     assert seen == result
+
+
+def test_batcher_mpt_family():
+    """Continuous batching works for the MPT (ALiBi) decoder family too."""
+    from tests.test_vlm_mpt import mpt_tiny_cfg
+
+    cfg = mpt_tiny_cfg()
+    params = init_vlm(jax.random.PRNGKey(5), cfg)
+    gen = Generator(params, cfg)
+    req = _request(cfg, 1)
+    expected = gen.generate(req, max_new_tokens=4, temperature=0.0).sequences[0]
+
+    batcher = ContinuousBatcher(params, cfg, num_slots=2, max_seq_len=64)
+    batcher.start()
+    try:
+        got = batcher.submit(req, 4).result(timeout=120)
+    finally:
+        batcher.stop()
+    assert got == expected, (got, expected)

@@ -28,7 +28,9 @@ def _load_model(args):
     from tokenpacker_tpu.api import load_pretrained_model
 
     tokenizer, model, image_processor, context_len = load_pretrained_model(
-        args.model_path, getattr(args, "model_base", None)
+        args.model_path,
+        getattr(args, "model_base", None),
+        load_8bit=getattr(args, "load_8bit", False),
     )
     runner = EvalRunner(
         model,
@@ -231,6 +233,7 @@ def build_parser():
         sp.add_argument("--max-new-tokens", type=int, default=128)
         sp.add_argument("--temperature", type=float, default=0.0)
         sp.add_argument("--image-aspect-ratio", default=None)
+        sp.add_argument("--load-8bit", action="store_true")
 
     for name, fn in [
         ("vqa", run_vqa),  # VQAv2 / GQA / MME / TextVQA / VizWiz / POPE / MM-Vet

@@ -125,8 +125,14 @@ def _mpt_layer(p, cfg: LMConfig, x, bias, layer_cache, cache_len):
     v = v.reshape(n, t, h, hd)
     if layer_cache is not None:
         ck, cv = layer_cache
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
+        if jnp.ndim(cache_len) == 1:
+            # per-sample write positions (continuous batching), T == 1
+            rows = jnp.arange(n)
+            ck = ck.at[rows, cache_len].set(k[:, 0].astype(ck.dtype))
+            cv = cv.at[rows, cache_len].set(v[:, 0].astype(cv.dtype))
+        else:
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
         attn = _sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), bias)
         new_cache = (ck, cv)
     else:

@@ -60,8 +60,6 @@ class ContinuousBatcher:
         max_seq_len: int = 1024,
         temperature: float = 0.0,
     ):
-        if cfg.lm.model_family != "llama":
-            raise NotImplementedError("continuous batching currently targets the llama family")
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
