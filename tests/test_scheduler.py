@@ -101,3 +101,33 @@ def test_batcher_mpt_family():
     finally:
         batcher.stop()
     assert got == expected, (got, expected)
+
+
+def test_paged_batcher_matches_generator(model):
+    """Paged-KV continuous batching: same greedy tokens, pages recycled."""
+    from tokenpacker_tpu.serve.scheduler import PagedContinuousBatcher
+
+    cfg, params = model
+    gen = Generator(params, cfg)
+    max_new = 5
+    requests = [_request(cfg, s, extra_len=s) for s in range(3)]
+    expected = [
+        gen.generate(r, max_new_tokens=max_new, temperature=0.0).sequences[0]
+        for r in requests
+    ]
+
+    batcher = PagedContinuousBatcher(
+        params, cfg, num_slots=2, num_pages=32, page_size=8, max_pages_per_seq=8
+    )
+    batcher.start()
+    try:
+        futs = [batcher.submit(requests[0], max_new), batcher.submit(requests[1], max_new)]
+        time.sleep(0.3)
+        futs.append(batcher.submit(requests[2], max_new))
+        results = [f.result(timeout=120) for f in futs]
+    finally:
+        batcher.stop()
+    for got, exp in zip(results, expected):
+        assert got == exp, (got, exp)
+    # all pages returned to the free list
+    assert batcher.allocator.available() == 31  # pool minus reserved page 0

@@ -1,0 +1,178 @@
+"""Paged KV cache — block-table attention for serving (vLLM-style).
+
+BASELINE.json's north star calls for "prefill+decode with paged KV": instead
+of one contiguous [B, S_max] cache per slot, K/V live in a shared pool of
+fixed-size pages; each sequence owns a page table. Memory scales with the
+sum of actual sequence lengths (pages allocate on demand), not
+B × S_max — the difference between fitting 8 and 20 concurrent HD
+requests in HBM.
+
+Device side (jit, static shapes): per layer, the new token's K/V scatter
+into (page, offset); attention gathers the sequence's pages via the page
+table and runs the same masked SDPA. Host side: `PageAllocator` free list.
+
+Layout:
+  k_pages/v_pages: [L, P, page_size, H, D]   (P = total pages in the pool)
+  page_table:      [B, max_pages]  int32     (physical page per logical block)
+  lengths:         [B]             int32
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tokenpacker_tpu.config import LMConfig
+from tokenpacker_tpu.models.llama import _sdpa, apply_rope, rope_cos_sin
+from tokenpacker_tpu.ops.layers import linear, rms_norm
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+class PagedKV(NamedTuple):
+    k_pages: jax.Array  # [L, P, ps, H, D]
+    v_pages: jax.Array
+    page_table: jax.Array  # [B, MP] int32
+    lengths: jax.Array  # [B] int32
+
+    @classmethod
+    def create(cls, cfg: LMConfig, num_pages: int, page_size: int, batch: int,
+               max_pages_per_seq: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_hidden_layers, num_pages, page_size, cfg.kv_heads, cfg.head_dim)
+        return cls(
+            jnp.zeros(shape, dtype),
+            jnp.zeros(shape, dtype),
+            jnp.zeros((batch, max_pages_per_seq), jnp.int32),
+            jnp.zeros((batch,), jnp.int32),
+        )
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[2]
+
+
+class PageAllocator:
+    """Host-side free list over the physical page pool. Page 0 is reserved
+    as the null page (unmapped logical blocks point at it)."""
+
+    def __init__(self, num_pages: int):
+        self.free = list(range(num_pages - 1, 0, -1))
+
+    def alloc(self, n: int = 1) -> list[int]:
+        if len(self.free) < n:
+            raise RuntimeError("paged KV pool exhausted")
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, pages) -> None:
+        for p in pages:
+            if p != 0:
+                self.free.append(int(p))
+
+    def available(self) -> int:
+        return len(self.free)
+
+
+def _paged_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table, cur_lens):
+    """One decode-layer over the paged cache. x: [N, 1, D]."""
+    n = x.shape[0]
+    ps = kp.shape[1]  # note: kp here is [P, ps, H, D] (layer-sliced)
+    ps = kp.shape[1]
+    h = rms_norm(p["input_ln"], x, cfg.rms_norm_eps)
+    q = linear(p["attn"]["q"], h).reshape(n, 1, cfg.num_attention_heads, cfg.head_dim)
+    k = linear(p["attn"]["k"], h).reshape(n, 1, cfg.kv_heads, cfg.head_dim)
+    v = linear(p["attn"]["v"], h).reshape(n, 1, cfg.kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    # scatter the new K/V into (page, offset)
+    rows = jnp.arange(n)
+    page = page_table[rows, cur_lens // ps]  # [N]
+    off = cur_lens % ps
+    kp = kp.at[page, off].set(k[:, 0].astype(kp.dtype))
+    vp = vp.at[page, off].set(v[:, 0].astype(vp.dtype))
+
+    # gather this sequence's pages: [N, MP, ps, H, D] → [N, S_max, H, D]
+    kg = kp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim)
+    vg = vp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim)
+    attn = _sdpa(q, kg.astype(q.dtype), vg.astype(q.dtype), bias)
+
+    x = x + linear(p["attn"]["o"], attn.reshape(n, 1, -1))
+    h2 = rms_norm(p["post_ln"], x, cfg.rms_norm_eps)
+    h2 = linear(p["mlp"]["down"], jax.nn.silu(linear(p["mlp"]["gate"], h2)) * linear(p["mlp"]["up"], h2))
+    return x + h2, kp, vp
+
+
+def paged_decode_step(params, cfg, paged: PagedKV, tokens, active):
+    """One token across all sequences over the paged cache.
+
+    tokens: [N]; paged.lengths are the current sequence lengths (= write
+    positions). Returns (logits, new PagedKV with lengths advanced where
+    active). cfg: TokenPackerVLMConfig.
+    """
+    from tokenpacker_tpu.models.lm_api import lm_embed, lm_logits
+
+    lm_cfg = cfg.lm
+    n = tokens.shape[0]
+    mp = paged.page_table.shape[1]
+    ps = paged.page_size
+    s_max = mp * ps
+    cur_lens = paged.lengths
+    positions = cur_lens[:, None]
+    emb = lm_embed(params["lm"], lm_cfg, tokens[:, None])
+    cos, sin = rope_cos_sin(positions, lm_cfg.head_dim, lm_cfg.rope_theta)
+
+    key_idx = jnp.arange(s_max)[None, :]
+    key_valid = key_idx <= cur_lens[:, None]
+    bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
+
+    def step(carry, xs):
+        x = carry
+        layer_params, kp, vp = xs
+        x, kp, vp = _paged_layer(
+            layer_params, lm_cfg, x, cos, sin, bias, kp, vp, paged.page_table, cur_lens
+        )
+        return x, (kp, vp)
+
+    x, (nkp, nvp) = jax.lax.scan(
+        step, emb, (params["lm"]["layers"], paged.k_pages, paged.v_pages)
+    )
+    x = rms_norm(params["lm"]["norm"], x, lm_cfg.rms_norm_eps)
+    logits = lm_logits(params["lm"], lm_cfg, x[:, 0])
+    new_lens = cur_lens + active.astype(cur_lens.dtype)
+    return logits, PagedKV(nkp, nvp, paged.page_table, new_lens)
+
+
+paged_decode_step_jit = jax.jit(paged_decode_step, static_argnames=("cfg",))
+
+
+def insert_prefill(paged: PagedKV, small_cache, seq: int, page_ids, length):
+    """Copy a batch-1 prefilled contiguous cache (k/v [L, 1, L_pad, H, D])
+    into freshly allocated pages and map them in sequence `seq`'s table.
+    L_pad must be a multiple of page_size; page_ids: [L_pad/ps] physical ids.
+    """
+    ps = paged.page_size
+    l_pad = small_cache.k.shape[2]
+    n_pages = l_pad // ps
+    assert n_pages * ps == l_pad, "prefill pad must be a multiple of page_size"
+    ids = jnp.asarray(page_ids, jnp.int32)
+    layers = paged.k_pages.shape[0]
+    kp = paged.k_pages.at[:, ids].set(
+        small_cache.k[:, 0].reshape(layers, n_pages, ps, *paged.k_pages.shape[3:])
+    )
+    vp = paged.v_pages.at[:, ids].set(
+        small_cache.v[:, 0].reshape(layers, n_pages, ps, *paged.v_pages.shape[3:])
+    )
+    table = paged.page_table.at[seq, :n_pages].set(ids)
+    lens = paged.lengths.at[seq].set(length)
+    return PagedKV(kp, vp, table, lens)
+
+
+def map_page(paged: PagedKV, seq: int, logical_block: int, page_id: int):
+    """Map one more physical page into a sequence's table (on-demand growth)."""
+    return paged._replace(
+        page_table=paged.page_table.at[seq, logical_block].set(page_id)
+    )

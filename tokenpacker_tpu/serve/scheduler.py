@@ -50,6 +50,156 @@ class _Request:
     tokens: list = field(default_factory=list)
 
 
+class PagedContinuousBatcher:
+    """Continuous batching over a paged KV pool (ops/paged_kv.py): pages
+    allocate on demand as sequences grow and free on completion, so HBM
+    holds sum(active lengths) of KV instead of slots × max_seq_len."""
+
+    def __init__(
+        self,
+        params,
+        cfg: TokenPackerVLMConfig,
+        tokenizer=None,
+        num_slots: int = 8,
+        num_pages: int = 256,
+        page_size: int = 16,
+        max_pages_per_seq: int = 64,
+        temperature: float = 0.0,
+    ):
+        from tokenpacker_tpu.ops.paged_kv import PagedKV, PageAllocator
+
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.num_slots = num_slots
+        self.page_size = page_size
+        self.max_pages_per_seq = max_pages_per_seq
+        self.temperature = temperature
+        self.queue: queue.Queue[_Request] = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.paged = PagedKV.create(
+            cfg.lm, num_pages, page_size, num_slots, max_pages_per_seq, cfg.dtype
+        )
+        self.allocator = PageAllocator(num_pages)
+        self.slot_pages: list[list[int]] = [[] for _ in range(num_slots)]
+        self.slots: list[_Request | None] = [None] * num_slots
+        self.next_tokens = np.zeros((num_slots,), np.int32)
+        self._rng = jax.random.PRNGKey(0)
+
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    def _admit(self, slot: int, req: _Request):
+        from tokenpacker_tpu.ops.paged_kv import insert_prefill
+
+        b = req.batch
+        l = b["token_ids"].shape[1]
+        ps = self.page_size
+        l_pad = ((l + ps - 1) // ps) * ps
+        assert l_pad // ps <= self.max_pages_per_seq
+        token_ids = np.zeros((1, l_pad), b["token_ids"].dtype)
+        token_ids[:, :l] = b["token_ids"]
+
+        def padded(name, fill=0):
+            arr = np.full((1, l_pad), fill, np.asarray(b[name]).dtype)
+            arr[:, :l] = b[name]
+            return jnp.asarray(arr)
+
+        dev_batch = {
+            "token_ids": jnp.asarray(token_ids),
+            "is_image": padded("is_image", False),
+            "image_slot": padded("image_slot"),
+            "lengths": jnp.asarray(b["lengths"], jnp.int32),
+            "images": jnp.asarray(b["images"], self.cfg.dtype)
+            if b.get("images") is not None
+            else None,
+        }
+        logits, small_cache = prefill(self.params, self.cfg, dev_batch, l_pad)
+        self._rng, sub = jax.random.split(self._rng)
+        tok = int(np.asarray(sample_tokens(logits, req.temperature, None, sub))[0])
+        length = int(np.asarray(dev_batch["lengths"])[0])
+        pages = self.allocator.alloc(l_pad // ps)
+        self.paged = insert_prefill(self.paged, small_cache, slot, pages, length)
+        self.slot_pages[slot] = pages
+        self.slots[slot] = req
+        self.next_tokens[slot] = tok
+        self._emit(slot, tok)
+
+    def _emit(self, slot: int, tok: int):
+        req = self.slots[slot]
+        req.tokens.append(tok)
+        req.produced += 1
+        if req.on_token is not None:
+            req.on_token(tok)
+        eos = self.cfg.lm.eos_token_id
+        cur_len = int(np.asarray(self.paged.lengths)[slot])
+        out_of_room = (cur_len + 1) // self.page_size >= self.max_pages_per_seq
+        if tok == eos or req.produced >= req.max_new_tokens or out_of_room:
+            req.future.set_result(req.tokens)
+            self.slots[slot] = None
+            self.allocator.release(self.slot_pages[slot])
+            self.slot_pages[slot] = []
+
+    def _grow_pages(self):
+        """Map a fresh page for any slot whose next write crosses a page
+        boundary into an unmapped logical block."""
+        from tokenpacker_tpu.ops.paged_kv import map_page
+
+        lens = np.asarray(self.paged.lengths)
+        for slot in range(self.num_slots):
+            if self.slots[slot] is None:
+                continue
+            block = int(lens[slot]) // self.page_size
+            if block >= len(self.slot_pages[slot]):
+                (pid,) = self.allocator.alloc(1)
+                self.slot_pages[slot].append(pid)
+                self.paged = map_page(self.paged, slot, block, pid)
+
+    def _loop(self):
+        from tokenpacker_tpu.ops.paged_kv import paged_decode_step_jit
+
+        while not self._stop.is_set():
+            for slot in range(self.num_slots):
+                if self.slots[slot] is None:
+                    try:
+                        req = self.queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    self._admit(slot, req)
+            active = np.array([r is not None for r in self.slots])
+            if not active.any():
+                try:
+                    req = self.queue.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+                self._admit(0, req)
+                active = np.array([r is not None for r in self.slots])
+            if not active.any():
+                continue
+
+            self._grow_pages()
+            logits, self.paged = paged_decode_step_jit(
+                self.params, self.cfg, self.paged, jnp.asarray(self.next_tokens),
+                jnp.asarray(active),
+            )
+            self._rng, sub = jax.random.split(self._rng)
+            temps = {r.temperature for r in self.slots if r is not None}
+            temp = temps.pop() if len(temps) == 1 else 0.0
+            toks = np.asarray(sample_tokens(logits, temp, None, sub))
+            for slot in range(self.num_slots):
+                if self.slots[slot] is not None:
+                    self.next_tokens[slot] = int(toks[slot])
+                    self._emit(slot, int(toks[slot]))
+
+
 class ContinuousBatcher:
     def __init__(
         self,
@@ -187,3 +337,6 @@ class ContinuousBatcher:
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
                     self._emit(slot, int(toks[slot]))
+
+
+PagedContinuousBatcher.submit = ContinuousBatcher.submit
