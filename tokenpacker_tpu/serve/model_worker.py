@@ -112,10 +112,14 @@ class ModelWorker:
             logger.error(f"heart beat error: {e}")
 
     def get_status(self) -> dict:
+        from tokenpacker_tpu.utils.profiling import GLOBAL_STATS
+
         return {
             "model_names": [self.model_name],
             "speed": 1,
             "queue_length": self.queue_length,
+            "call_ct": self.call_ct,
+            "phase_timings": GLOBAL_STATS.summary(),
         }
 
     # -- generation --------------------------------------------------------
@@ -129,6 +133,9 @@ class ModelWorker:
         max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
         stop_str = params.get("stop", None)
 
+        from tokenpacker_tpu.utils.profiling import GLOBAL_STATS
+
+        t_start = time.perf_counter()
         try:
             crops_list, blocks = [], []
             n_prompt_imgs = prompt.count(DEFAULT_IMAGE_TOKEN)
@@ -174,6 +181,9 @@ class ModelWorker:
             )
             stop_strings = (stop_str,) if stop_str else ()
             generated = ""
+            GLOBAL_STATS.record("preprocess", time.perf_counter() - t_start)
+            t_prefill = time.perf_counter()
+            first = True
             for text in self.model.generator.generate_stream(
                 {
                     "token_ids": plan.token_ids,
@@ -187,8 +197,16 @@ class ModelWorker:
                 top_p=top_p,
                 stop_strings=stop_strings,
             ):
+                if first:
+                    GLOBAL_STATS.record("prefill_ttft", time.perf_counter() - t_prefill)
+                    t_decode = time.perf_counter()
+                    n_toks = 0
+                    first = False
+                n_toks += 1
                 generated = text
                 yield json.dumps({"text": prompt + generated, "error_code": 0}).encode() + b"\0"
+            if not first and n_toks > 1:
+                GLOBAL_STATS.record("decode_per_token", (time.perf_counter() - t_decode) / (n_toks - 1))
         except ValueError as e:
             logger.error(f"ValueError: {e}")
             yield json.dumps(
