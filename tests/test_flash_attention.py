@@ -77,3 +77,26 @@ def test_padding_lengths_not_multiple_of_block():
     ref = attention_reference(q, k, v, causal=False)
     got = flash_attention(q, k, v, None, False, None, 128, 128, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("tq,tk", [(128, 128), (64, 192), (200, 200)])
+def test_pallas_backward_no_bias(causal, tq, tk):
+    """The no-bias backward runs the Pallas dQ/dKV kernels."""
+    if causal and tq > tk:
+        pytest.skip("causal requires tq <= tk")
+    n, h, d = 1, 2, 64
+    q, k, v = _rand((n, tq, h, d), 4), _rand((n, tk, h, d), 5), _rand((n, tk, h, d), 6)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, None, causal, None, 128, 128, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, causal=causal) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=name
+        )

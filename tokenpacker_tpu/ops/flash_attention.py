@@ -142,6 +142,13 @@ def _make_flash(causal, scale, block_q, block_k, interpret):
 
     def bwd(res, do):
         q, k, v, bias, o, lse = res
+        if bias is None:
+            dq, dk, dv = _flash_bwd_pallas(
+                q, k, v, o, lse, do, causal, scale, block_q, block_k, interpret
+            )
+            return dq, dk, dv, None
+        # bias path: dbias needs the full [.., Tq, Tk] matrix anyway, so the
+        # XLA recompute backward is the right tool
         return _flash_bwd_reference(q, k, v, bias, o, lse, do, causal, scale)
 
     attn.defvjp(fwd, bwd)
@@ -216,6 +223,163 @@ def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k, interpret):
 
 def _bias_none_wrapper(kernel, q_ref, k_ref, v_ref, o_ref, lse_ref):
     kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+               causal, scale, block_k, tk_valid, tq, tk):
+    """dQ pass. Grid (BH, q_blocks). Blocks: q/do/dq [1, bq, D],
+    k/v [1, Tk, D], lse/delta [1, bq, 1]."""
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # [bq, 1]
+    delta = delta_ref[0]
+    bq = q.shape[0]
+    qi = pl.program_id(1)
+    q_start = qi * bq
+    dq = jnp.zeros_like(q)
+    num_kb = tk // block_k
+
+    def body(kb, dq):
+        k_start = kb * block_k
+        kblk = k_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
+        vblk = v_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
+        s = (q @ kblk.T) * scale
+        kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        valid = kpos < tk_valid
+        if causal:
+            qpos = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0) + (
+                tk_valid - tq
+            )
+            valid = valid & (kpos <= qpos)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dp = do @ vblk.T
+        ds = p * (dp - delta)
+        return dq + (ds @ kblk) * scale
+
+    if causal:
+        q_hi = q_start + bq - 1 + (tk_valid - tq)
+        num_needed = jnp.minimum(num_kb, (q_hi // block_k) + 1)
+        dq = jax.lax.fori_loop(0, num_needed, body, dq)
+    else:
+        dq = jax.lax.fori_loop(0, num_kb, body, dq)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *,
+                causal, scale, block_q, tk_valid, tq, tq_pad):
+    """dK/dV pass. Grid (BH, kv_blocks). Blocks: k/v/dk/dv [1, bk, D],
+    q/do [1, Tq, D], lse/delta [1, Tq, 1]."""
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    bk = k.shape[0]
+    ki = pl.program_id(1)
+    k_start = ki * bk
+    dk = jnp.zeros_like(k)
+    dv = jnp.zeros_like(v)
+    num_qb = tq_pad // block_q
+
+    def body(qb, carry):
+        dk, dv = carry
+        q_start = qb * block_q
+        qblk = q_ref[0, pl.ds(q_start, block_q), :].astype(jnp.float32)
+        doblk = do_ref[0, pl.ds(q_start, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(q_start, block_q), :]
+        delta = delta_ref[0, pl.ds(q_start, block_q), :]
+        s = (qblk @ k.T) * scale  # [bq, bk]
+        kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1)
+        qpos_row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 0)
+        valid = (kpos < tk_valid) & (qpos_row < tq)
+        if causal:
+            valid = valid & (kpos <= qpos_row + (tk_valid - tq))
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dv = dv + p.T @ doblk
+        dp = doblk @ v.T
+        ds = p * (dp - delta)
+        dk = dk + (ds.T @ qblk) * scale
+        return dk, dv
+
+    if causal:
+        # q blocks strictly before this kv block's first visible query are skipped
+        first_q = jnp.maximum((k_start - (tk_valid - tq)) // block_q, 0)
+        dk, dv = jax.lax.fori_loop(first_q, num_qb, body, (dk, dv))
+    else:
+        dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk, dv))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale, block_q, block_k, interpret):
+    """Two-pass Pallas backward (no-bias path): dQ over KV blocks, dK/dV
+    over Q blocks, probabilities recomputed from the saved LSE."""
+    n, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale_v = scale if scale is not None else d**-0.5
+
+    qf = _pad_to(_pad_to(q.transpose(0, 2, 1, 3).reshape(n * h, tq, d), 1, block_q), 2, 128)
+    kf = _pad_to(_pad_to(k.transpose(0, 2, 1, 3).reshape(n * h, tk, d), 1, block_k), 2, 128)
+    vf = _pad_to(_pad_to(v.transpose(0, 2, 1, 3).reshape(n * h, tk, d), 1, block_k), 2, 128)
+    dof = _pad_to(_pad_to(do.transpose(0, 2, 1, 3).reshape(n * h, tq, d), 1, block_q), 2, 128)
+    tq_p, tk_p, d_p = qf.shape[1], kf.shape[1], qf.shape[2]
+
+    # delta = rowsum(dO * O); lse already [BH, Tq] — pad both with safe values
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    ).transpose(0, 2, 1).reshape(n * h, tq)
+    delta = _pad_to(delta[..., None], 1, block_q)  # [BH, Tq_p, 1]
+    # pad lse with +inf so exp(s - lse) = 0 on pad query rows
+    lse_p = jnp.pad(lse[..., None], ((0, 0), (0, tq_p - tq), (0, 0)),
+                    constant_values=jnp.inf)
+
+    dq_kernel = functools.partial(
+        _dq_kernel, causal=causal, scale=scale_v, block_k=block_k,
+        tk_valid=tk, tq=tq, tk=tk_p,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(n * h, tq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_p), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tk_p, d_p), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tk_p, d_p), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, d_p), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_p), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n * h, tq_p, d_p), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse_p, delta)
+
+    dkv_kernel = functools.partial(
+        _dkv_kernel, causal=causal, scale=scale_v, block_q=block_q,
+        tk_valid=tk, tq=tq, tq_pad=tq_p,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(n * h, tk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, tq_p, d_p), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, d_p), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d_p), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tq_p, d_p), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tq_p, 1), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tq_p, 1), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d_p), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d_p), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n * h, tk_p, d_p), k.dtype),
+            jax.ShapeDtypeStruct((n * h, tk_p, d_p), v.dtype),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse_p, delta)
+
+    def unfold(x, t):
+        return x[:, :t, :d].reshape(n, h, t, d).transpose(0, 2, 1, 3)
+
+    return unfold(dq, tq), unfold(dk, tk), unfold(dv, tk)
 
 
 def _flash_bwd_reference(q, k, v, bias, o, lse, do, causal, scale):
