@@ -106,8 +106,8 @@ def decode_step_cb(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_lens, a
     return logits, KVCache(new_cache.k, new_cache.v, new_len)
 
 
-@partial(jax.jit, static_argnames=("cfg", "slot"))
-def insert_into_cache(big: KVCache, small: KVCache, slot: int, length, cfg=None):
+@partial(jax.jit, static_argnames=("slot",))
+def insert_into_cache(big: KVCache, small: KVCache, slot: int, length):
     """Copy a prefilled single-request cache (batch 1, padded) into slot
     `slot` of the shared cache; positions beyond `length` stay invalid."""
     l_pad = small.k.shape[2]

@@ -79,8 +79,7 @@ class PageAllocator:
 def _paged_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table, cur_lens):
     """One decode-layer over the paged cache. x: [N, 1, D]."""
     n = x.shape[0]
-    ps = kp.shape[1]  # note: kp here is [P, ps, H, D] (layer-sliced)
-    ps = kp.shape[1]
+    ps = kp.shape[1]  # kp is layer-sliced: [P, ps, H, D]
     h = rms_norm(p["input_ln"], x, cfg.rms_norm_eps)
     q = linear(p["attn"]["q"], h).reshape(n, 1, cfg.num_attention_heads, cfg.head_dim)
     k = linear(p["attn"]["k"], h).reshape(n, 1, cfg.kv_heads, cfg.head_dim)

@@ -36,7 +36,7 @@ def region_attention_reference(q, kr, vr, num_heads: int):
     return jnp.einsum("nghs,ngshd->nghd", attn, vh).reshape(n, g, e)
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads, s, d):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads, d):
     """Blocks: q [1, R, E], k/v [1, R, S, E], o [1, R, E]."""
     q = q_ref[0].astype(jnp.float32)  # [R, E]
     r, e = q.shape
@@ -70,7 +70,7 @@ def region_attention_pallas(q, kr, vr, num_heads: int, block_r: int = 16, interp
         block_r = g  # fall back to one block per image
     grid = (n, g // block_r)
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads, s=s, d=d),
+        functools.partial(_kernel, num_heads=num_heads, d=d),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_r, e), lambda i, j: (i, j, 0)),
