@@ -104,3 +104,20 @@ def test_assemble_embeds_gather():
     np.testing.assert_allclose(np.asarray(emb[0, :2]), np.asarray(text_emb[0, :2]))
     np.testing.assert_allclose(np.asarray(emb[0, 2 : 2 + tpv]), np.asarray(visual[0]))
     np.testing.assert_allclose(np.asarray(emb[0, 2 + tpv]), np.asarray(text_emb[0, 2 + tpv]))
+
+
+def test_multi_image_single_prompt():
+    """Two <image> holes in one prompt: slots assigned in reading order."""
+    ids = np.array([1, 5, IMAGE_TOKEN_INDEX, 9, IMAGE_TOKEN_INDEX, 11])
+    plan = build_splice_plan([ids], [[(1, 1), (1, 1)]], TPV, "single", SEP, RET, PAD)
+    assert plan.lengths[0] == 4 + 2 * TPV
+    img_positions = np.where(plan.is_image[0])[0]
+    assert len(img_positions) == 2 * TPV
+    # first image occupies slots [0, TPV), second [TPV, 2*TPV)
+    assert plan.image_slot[0, img_positions[0]] == 0
+    assert plan.image_slot[0, img_positions[TPV]] == TPV
+    # text around both images preserved
+    row = plan.token_ids[0]
+    assert row[0] == 1 and row[1] == 5
+    assert row[2 + TPV] == 9
+    assert row[3 + 2 * TPV] == 11
