@@ -140,7 +140,7 @@ class Trainer:
         try:
             import torch
 
-            torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
+            torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, path)
         except ImportError:
             np.savez(path + ".npz", **sd)
 
