@@ -100,3 +100,23 @@ def test_pallas_backward_no_bias(causal, tq, tk):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=name
         )
+
+
+def test_backward_fully_masked_row_finite_grads():
+    """A query row whose keys are ALL masked by the bias must yield zero (not
+    NaN) gradients: the forward sentinels its LSE with +inf so the backward's
+    p = exp(s - lse) collapses to 0 (ADVICE r1: lse was saved as -1e30)."""
+    n, h, t, d = 1, 2, 128, 64
+    q, k, v = _rand((n, t, h, d), 0), _rand((n, t, h, d), 1), _rand((n, t, h, d), 2)
+    neg = jnp.finfo(jnp.float32).min
+    bias = jnp.zeros((1, 1, t, t), jnp.float32).at[0, 0, 0, :].set(neg)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, bias, False, None, 128, 128, True) ** 2)
+
+    out = flash_attention(q, k, v, bias, False, None, 128, 128, True)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out)[0, 0], 0.0)  # masked row outputs 0
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()

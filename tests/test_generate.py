@@ -153,3 +153,48 @@ def test_warmup_compiles_and_runs():
     params = init_vlm(jax.random.PRNGKey(3), cfg)
     gen = Generator(params, cfg)
     gen.warmup(buckets=(16,), batch_sizes=(1,), max_new_tokens=8)
+
+
+def test_mpt_decode_bucket_padding_invariant():
+    """Regression (ADVICE r1 medium): MPT decode writes new K/V at cache slot
+    prefill_len+step, so ALiBi must use TRUE token positions — otherwise the
+    prompt->generated distance is inflated by the pad gap and logits depend
+    on the padding bucket."""
+    from tests.test_vlm_mpt import mpt_tiny_cfg
+    from tokenpacker_tpu.generate import decode_step, prefill
+    from tokenpacker_tpu.models.vlm import init_vlm
+
+    cfg = mpt_tiny_cfg()
+    params = init_vlm(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    images = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    ids = np.concatenate([[1, 19], [IMAGE_TOKEN_INDEX], [33, 34]]).astype(np.int64)
+
+    def run(pad_to, n_steps=4):
+        plan = build_splice_plan([ids], [[(1, 1)]], cfg.tokens_per_view, "single",
+                                 7, 8, 0, pad_to=pad_to)
+        batch = {
+            "token_ids": jnp.asarray(plan.token_ids),
+            "is_image": jnp.asarray(plan.is_image),
+            "image_slot": jnp.asarray(plan.image_slot),
+            "lengths": jnp.asarray(plan.lengths, jnp.int32),
+            "images": jnp.asarray(images),
+        }
+        l = plan.token_ids.shape[1]
+        logits, cache = prefill(params, cfg, batch, l + n_steps)
+        out = [np.asarray(logits)]
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        for step in range(n_steps):
+            logits, cache = decode_step(
+                params, cfg, cache, tok, batch["lengths"], jnp.asarray(step, jnp.int32), l
+            )
+            out.append(np.asarray(logits))
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return out
+
+    tight = run(pad_to=8)   # no pad gap: true length == prefill_len
+    padded = run(pad_to=16)  # 8-slot pad gap between prompt and decode slots
+    for a, b in zip(tight, padded):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

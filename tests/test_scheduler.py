@@ -131,3 +131,130 @@ def test_paged_batcher_matches_generator(model):
         assert got == exp, (got, exp)
     # all pages returned to the free list
     assert batcher.allocator.available() == 31  # pool minus reserved page 0
+
+
+def test_paged_batcher_page_reuse_no_corruption(model):
+    """Regression (ADVICE r1 high): when a finished slot's pages are released
+    and re-allocated to a still-growing sequence, the finished slot's stale
+    page table must not let its (masked) decode writes corrupt the reused
+    page. Slot A grows into slot B's released pages while B sits inactive."""
+    from tokenpacker_tpu.serve.scheduler import PagedContinuousBatcher
+
+    cfg, params = model
+    gen = Generator(params, cfg)
+
+    def req_with_pad(seed, pad_to):
+        r = _request(cfg, seed)
+        plan = build_splice_plan(
+            [np.concatenate([[1, 17 + seed], [IMAGE_TOKEN_INDEX], 30 + np.arange(2)]).astype(np.int64)],
+            [[(1, 1)]], cfg.tokens_per_view, "single", 7, 8, 0, pad_to=pad_to,
+        )
+        r.update(token_ids=plan.token_ids, is_image=plan.is_image,
+                 image_slot=plan.image_slot, lengths=plan.lengths)
+        return r
+
+    req_a = req_with_pad(0, pad_to=8)    # 2 pages; grows by 3 more over 12 tokens
+    req_b = req_with_pad(1, pad_to=16)   # 4 pages; finishes early, pages released
+    exp_a = gen.generate(req_a, max_new_tokens=12, temperature=0.0).sequences[0]
+    exp_b = gen.generate(req_b, max_new_tokens=2, temperature=0.0).sequences[0]
+
+    batcher = PagedContinuousBatcher(
+        params, cfg, num_slots=2, num_pages=24, page_size=4, max_pages_per_seq=8
+    )
+    batcher.start()
+    try:
+        fut_a = batcher.submit(req_a, 12)
+        fut_b = batcher.submit(req_b, 2)
+        got_a = fut_a.result(timeout=240)
+        got_b = fut_b.result(timeout=240)
+    finally:
+        batcher.stop()
+    assert got_b == exp_b, (got_b, exp_b)
+    assert got_a == exp_a, (got_a, exp_a)
+
+
+def test_per_slot_temperature(model):
+    """Regression (ADVICE r1): co-scheduled requests with different
+    temperatures sample independently — the greedy request stays greedy and
+    the hot request is not silently collapsed to greedy."""
+    cfg, params = model
+    gen = Generator(params, cfg)
+    req_greedy = _request(cfg, 0)
+    req_hot = _request(cfg, 1)
+    exp_greedy = gen.generate(req_greedy, max_new_tokens=12, temperature=0.0).sequences[0]
+    exp_hot_greedy = gen.generate(req_hot, max_new_tokens=12, temperature=0.0).sequences[0]
+
+    batcher = ContinuousBatcher(params, cfg, num_slots=2, max_seq_len=64)
+    batcher.start()
+    try:
+        fut_g = batcher.submit(req_greedy, 12, temperature=0.0)
+        fut_h = batcher.submit(req_hot, 12, temperature=5.0)
+        got_g = fut_g.result(timeout=240)
+        got_h = fut_h.result(timeout=240)
+    finally:
+        batcher.stop()
+    assert got_g == exp_greedy, (got_g, exp_greedy)
+    # at temperature 5 over a 256-vocab the chance of greedy-matching 12
+    # tokens in a row is negligible
+    assert got_h != exp_hot_greedy
+
+
+def test_sample_tokens_per_row_unit():
+    from tokenpacker_tpu.generate import sample_tokens_per_row
+
+    rng = np.random.default_rng(0)
+    logits = jax.numpy.asarray(rng.standard_normal((2, 64)), jax.numpy.float32)
+    greedy = np.asarray(jax.numpy.argmax(logits, axis=-1))
+    temps = np.array([0.0, 8.0], np.float32)
+    row1_hits = 0
+    for seed in range(8):
+        toks = np.asarray(sample_tokens_per_row(logits, temps, jax.random.PRNGKey(seed)))
+        assert toks[0] == greedy[0]  # temp 0 row is always greedy
+        row1_hits += int(toks[1] == greedy[1])
+    assert row1_hits < 8  # hot row actually samples
+
+
+def test_paged_decode_inactive_slot_writes_masked(model):
+    """Unit regression (ADVICE r1 high): an INACTIVE slot whose stale page
+    table aliases a page now owned by an active sequence must not corrupt it.
+    The active sequence's logits must be identical whether the stale row is
+    present or zeroed."""
+    from tokenpacker_tpu.ops.paged_kv import PagedKV, paged_decode_step_jit
+
+    cfg, params = model
+    lm = cfg.lm
+    ps, num_pages, mp = 4, 8, 4
+    rng = np.random.default_rng(7)
+    kp = jax.numpy.asarray(
+        rng.standard_normal((lm.num_hidden_layers, num_pages, ps, lm.kv_heads, lm.head_dim)),
+        jax.numpy.float32,
+    )
+    vp = jax.numpy.asarray(
+        rng.standard_normal((lm.num_hidden_layers, num_pages, ps, lm.kv_heads, lm.head_dim)),
+        jax.numpy.float32,
+    )
+    # seq0 active: length 10 over pages [1,2,3]; seq1 inactive with a STALE
+    # table whose write target (block 1 = page 2, offset 5%4=1) aliases
+    # seq0's attendable position 5.
+    table = np.zeros((2, mp), np.int32)
+    table[0, :3] = [1, 2, 3]
+    stale = table.copy()
+    stale[1, 1] = 2
+    lengths = np.array([10, 5], np.int32)
+    active = jax.numpy.asarray(np.array([True, False]))
+    tokens = jax.numpy.asarray(np.array([42, 99], np.int32))
+
+    def run(tbl):
+        paged = PagedKV(kp, vp, jax.numpy.asarray(tbl), jax.numpy.asarray(lengths))
+        out = []
+        toks = tokens
+        for _ in range(2):
+            logits, paged = paged_decode_step_jit(params, cfg, paged, toks, active)
+            out.append(np.asarray(logits)[0])
+            toks = jax.numpy.argmax(logits, axis=-1).astype(jax.numpy.int32)
+        return out
+
+    clean = run(table)
+    aliased = run(stale)
+    for a, b in zip(clean, aliased):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)

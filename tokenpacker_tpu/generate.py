@@ -76,8 +76,19 @@ def decode_step(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step,
     )
     bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
 
+    # ALiBi (MPT) must see TRUE token positions: decoded tokens live at cache
+    # slots [prefill_len, ...) but their positions are lengths+step, so slot
+    # indices would inflate prompt→generated distances by the pad gap.
+    key_positions = None
+    if cfg.lm.model_family == "mpt":
+        key_positions = jnp.where(
+            key_idx >= prefill_len, key_idx - prefill_len + lengths[:, None], key_idx
+        )
+
     cache_at = KVCache(cache.k, cache.v, prefill_len + step)
-    hidden, new_cache = lm_apply(params["lm"], cfg.lm, emb, positions, bias, cache_at)
+    hidden, new_cache = lm_apply(
+        params["lm"], cfg.lm, emb, positions, bias, cache_at, key_positions=key_positions
+    )
     logits = lm_logits(params["lm"], cfg.lm, hidden[:, 0])
     return logits, new_cache
 
@@ -142,6 +153,17 @@ def decode_chunk(
         0, n, body, (cache, first_tokens.astype(jnp.int32), toks0, rng_key)
     )
     return toks, cache, tok
+
+
+def sample_tokens_per_row(logits, temperatures, rng_key):
+    """Per-row temperature for co-scheduled requests: greedy where a row's
+    temperature is <= 0, categorical at its own temperature otherwise (the
+    batchers serve requests with different temperatures in one step)."""
+    temperatures = jnp.asarray(temperatures, jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1)
+    safe = jnp.maximum(temperatures, 1e-6)[:, None]
+    sampled = jax.random.categorical(rng_key, logits.astype(jnp.float32) / safe, axis=-1)
+    return jnp.where(temperatures <= 0.0, greedy, sampled)
 
 
 def sample_tokens(logits, temperature, top_p, rng_key):

@@ -21,10 +21,13 @@ def lm_embed(params, cfg: LMConfig, input_ids):
     return _llama.embed_tokens(params, input_ids)
 
 
-def lm_apply(params, cfg: LMConfig, inputs_embeds, positions, attn_bias, cache=None):
-    """positions are used by RoPE (LLaMA); MPT is position-free (ALiBi)."""
+def lm_apply(params, cfg: LMConfig, inputs_embeds, positions, attn_bias, cache=None,
+             key_positions=None):
+    """positions are used by RoPE (LLaMA); MPT uses ALiBi over key_positions
+    (optional [N, S] true token position per cache slot, for bucket-padded
+    decode where slot index != token position)."""
     if cfg.model_family == "mpt":
-        return _mpt.mpt_apply(params, cfg, inputs_embeds, attn_bias, cache)
+        return _mpt.mpt_apply(params, cfg, inputs_embeds, attn_bias, cache, key_positions)
     return _llama.llama_apply(params, cfg, inputs_embeds, positions, attn_bias, cache)
 
 

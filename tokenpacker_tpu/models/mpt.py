@@ -69,6 +69,18 @@ def alibi_bias(n_heads: int, s_total: int, dtype=jnp.float32) -> jnp.ndarray:
     return bias.astype(dtype)
 
 
+def alibi_bias_from_positions(n_heads: int, key_positions, dtype=jnp.float32):
+    """[N, H, 1, S] per-sample ALiBi bias from TRUE token positions:
+    slope * key_pos. Row-constant shifts cancel under softmax, so this equals
+    the |i-j| form — and stays correct when a key's cache slot differs from
+    its token position (bucket-padded decode writes at prefill_len+step while
+    the token's position is lengths+step)."""
+    return (
+        alibi_slopes(n_heads)[None, :, None, None]
+        * key_positions.astype(jnp.float32)[:, None, None, :]
+    ).astype(dtype)
+
+
 def make_prefix_lm_bias(positions, key_valid, prefix_lengths, s_total):
     """Prefix-LM attention bias: bidirectional within the prefix, causal
     after (the reference converts GPT/Bloom/OPT models to prefix-LM via
@@ -146,11 +158,17 @@ def _mpt_layer(p, cfg: LMConfig, x, bias, layer_cache, cache_len):
     return x, new_cache
 
 
-def mpt_apply(params, cfg: LMConfig, inputs_embeds, attn_bias, cache: KVCache | None = None):
+def mpt_apply(params, cfg: LMConfig, inputs_embeds, attn_bias, cache: KVCache | None = None,
+              key_positions=None):
     """attn_bias: [N,1,T,S] additive fp32 (causal+padding); ALiBi is added
-    here. Returns (hidden, new_cache)."""
+    here. key_positions: optional [N, S] true token position of each cache
+    slot — pass it whenever slots are not token positions (bucket-padded
+    decode). Returns (hidden, new_cache)."""
     s_total = cache.k.shape[2] if cache is not None else inputs_embeds.shape[1]
-    bias = attn_bias + alibi_bias(cfg.num_attention_heads, s_total)
+    if key_positions is not None:
+        bias = attn_bias + alibi_bias_from_positions(cfg.num_attention_heads, key_positions)
+    else:
+        bias = attn_bias + alibi_bias(cfg.num_attention_heads, s_total)
     cache_len = cache.length if cache is not None else jnp.zeros((), jnp.int32)
 
     x = inputs_embeds

@@ -115,7 +115,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, causal, scale,
 
     l_safe = jnp.where(l == 0, 1.0, l)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l_safe)  # [bq, 1]
+    # Sentinel fully-masked rows (zero valid keys, e.g. causal with Tq > Tk)
+    # with +inf so both backwards get p = exp(s - lse) = 0 instead of
+    # exp(s + 1e30) = inf → NaN grads.
+    lse_ref[0] = jnp.where(l == 0, jnp.inf, m + jnp.log(l_safe))  # [bq, 1]
 
 
 def _pad_to(x, axis, mult):

@@ -76,8 +76,12 @@ class PageAllocator:
         return len(self.free)
 
 
-def _paged_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table, cur_lens):
-    """One decode-layer over the paged cache. x: [N, 1, D]."""
+def _paged_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table, cur_lens, write_page):
+    """One decode-layer over the paged cache. x: [N, 1, D].
+
+    write_page: [N] physical page each sequence writes its new K/V into —
+    inactive slots are routed to the reserved null page 0 by the caller so
+    their (stale) page tables never corrupt re-allocated pages."""
     n = x.shape[0]
     ps = kp.shape[1]  # kp is layer-sliced: [P, ps, H, D]
     h = rms_norm(p["input_ln"], x, cfg.rms_norm_eps)
@@ -88,11 +92,9 @@ def _paged_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table, cur_le
     k = apply_rope(k, cos, sin)
 
     # scatter the new K/V into (page, offset)
-    rows = jnp.arange(n)
-    page = page_table[rows, cur_lens // ps]  # [N]
     off = cur_lens % ps
-    kp = kp.at[page, off].set(k[:, 0].astype(kp.dtype))
-    vp = vp.at[page, off].set(v[:, 0].astype(vp.dtype))
+    kp = kp.at[write_page, off].set(k[:, 0].astype(kp.dtype))
+    vp = vp.at[write_page, off].set(v[:, 0].astype(vp.dtype))
 
     # gather this sequence's pages: [N, MP, ps, H, D] → [N, S_max, H, D]
     kg = kp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim)
@@ -128,11 +130,18 @@ def paged_decode_step(params, cfg, paged: PagedKV, tokens, active):
     key_valid = key_idx <= cur_lens[:, None]
     bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
 
+    # Inactive slots may hold stale page tables whose pages have been freed
+    # and re-allocated; route their writes to the reserved null page 0.
+    rows = jnp.arange(n)
+    ps_sz = paged.page_size
+    write_page = jnp.where(active, paged.page_table[rows, cur_lens // ps_sz], 0)
+
     def step(carry, xs):
         x = carry
         layer_params, kp, vp = xs
         x, kp, vp = _paged_layer(
-            layer_params, lm_cfg, x, cos, sin, bias, kp, vp, paged.page_table, cur_lens
+            layer_params, lm_cfg, x, cos, sin, bias, kp, vp, paged.page_table, cur_lens,
+            write_page,
         )
         return x, (kp, vp)
 

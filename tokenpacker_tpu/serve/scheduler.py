@@ -35,6 +35,7 @@ from tokenpacker_tpu.generate import (
     insert_into_cache,
     prefill,
     sample_tokens,
+    sample_tokens_per_row,
 )
 from tokenpacker_tpu.models.llama import KVCache
 
@@ -145,6 +146,12 @@ class PagedContinuousBatcher:
         if tok == eos or req.produced >= req.max_new_tokens or out_of_room:
             req.future.set_result(req.tokens)
             self.slots[slot] = None
+            # Unmap before releasing: the freed pages may be re-allocated to a
+            # growing sequence, and a stale table row would let this slot's
+            # masked-but-still-issued decode writes corrupt them.
+            self.paged = self.paged._replace(
+                page_table=self.paged.page_table.at[slot].set(0)
+            )
             self.allocator.release(self.slot_pages[slot])
             self.slot_pages[slot] = []
 
@@ -191,9 +198,11 @@ class PagedContinuousBatcher:
                 jnp.asarray(active),
             )
             self._rng, sub = jax.random.split(self._rng)
-            temps = {r.temperature for r in self.slots if r is not None}
-            temp = temps.pop() if len(temps) == 1 else 0.0
-            toks = np.asarray(sample_tokens(logits, temp, None, sub))
+            temps = np.array(
+                [r.temperature if r is not None else 0.0 for r in self.slots],
+                np.float32,
+            )
+            toks = np.asarray(sample_tokens_per_row(logits, temps, sub))
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
@@ -330,9 +339,11 @@ class ContinuousBatcher:
                 jnp.asarray(active),
             )
             self._rng, sub = jax.random.split(self._rng)
-            temps = {r.temperature for r in self.slots if r is not None}
-            temp = temps.pop() if len(temps) == 1 else 0.0
-            toks = np.asarray(sample_tokens(logits, temp, None, sub))
+            temps = np.array(
+                [r.temperature if r is not None else 0.0 for r in self.slots],
+                np.float32,
+            )
+            toks = np.asarray(sample_tokens_per_row(logits, temps, sub))
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
