@@ -13,7 +13,7 @@ for IDX in $(seq 0 $((CHUNKS-1))); do
       --image-folder "$GQADIR/images" \
       --answers-file "$GQADIR/answers/$SPLIT/chunk$IDX.jsonl" \
       --num-chunks "$CHUNKS" --chunk-idx "$IDX" \
-      --batch-size 16 --conv-mode vicuna_v1 &
+      --batch-size 16 --conv-mode vicuna_v1 $EXTRA_ARGS &
 done
 wait
 cat "$GQADIR/answers/$SPLIT"/chunk*.jsonl > "$GQADIR/answers/$SPLIT/merge.jsonl"

@@ -173,9 +173,13 @@ class TokenPackerVLMConfig:
             eos_token_id=d.get("eos_token_id", 2),
             pad_token_id=d.get("pad_token_id", 0) or 0,
         )
+        vis_kwargs = dict(d.get("mm_vision_cfg", {}))  # non-ViT-L towers
+        if "multi_layers" in vis_kwargs:
+            vis_kwargs["multi_layers"] = tuple(vis_kwargs["multi_layers"])
         vision = VisionConfig(
             select_layer=d.get("mm_vision_select_layer", -2),
             select_feature=d.get("mm_vision_select_feature", "patch"),
+            **vis_kwargs,
         )
         return cls(
             vision=vision,
@@ -221,6 +225,26 @@ class TokenPackerVLMConfig:
             "patch_num": self.patch_num,
             "image_aspect_ratio": self.image_aspect_ratio,
             "use_mm_proj": True,
+            # non-default tower geometry round-trips through mm_vision_cfg
+            # (absent for the released ViT-L checkpoints)
+            **(
+                {}
+                if self.vision == VisionConfig(
+                    select_layer=self.vision.select_layer,
+                    select_feature=self.vision.select_feature,
+                )
+                else {
+                    "mm_vision_cfg": {
+                        "hidden_size": self.vision.hidden_size,
+                        "intermediate_size": self.vision.intermediate_size,
+                        "num_hidden_layers": self.vision.num_hidden_layers,
+                        "num_attention_heads": self.vision.num_attention_heads,
+                        "image_size": self.vision.image_size,
+                        "patch_size": self.vision.patch_size,
+                        "multi_layers": list(self.vision.multi_layers),
+                    }
+                }
+            ),
         }
 
 

@@ -26,6 +26,7 @@ def convert_gqa(src: str, dst: str):
         {"questionId": r["question_id"], "prediction": r["text"].rstrip(".").lower()}
         for r in _read_jsonl(src)
     ]
+    os.makedirs(os.path.dirname(os.path.abspath(dst)), exist_ok=True)
     with open(dst, "w") as f:
         json.dump(out, f)
 
@@ -46,19 +47,27 @@ def convert_vqav2(src: str, test_split: str, dst: str):
 
 
 def convert_vizwiz(src: str, annotation_file: str, dst: str):
+    # the reference annotation (llava_test.jsonl) is JSONL; accept a plain
+    # JSON array too (convert_vizwiz_for_submission.py:30)
     with open(annotation_file) as f:
-        annos = json.load(f)
+        text = f.read().strip()
+    try:
+        annos = json.loads(text)
+    except json.JSONDecodeError:
+        annos = [json.loads(l) for l in text.splitlines() if l.strip()]
     results = {r["question_id"]: r["text"] for r in _read_jsonl(src)}
     out = []
     for q in annos:
         image = q["image"]
         out.append({"image": image, "answer": evalai_process_answer(results.get(image, ""))})
+    os.makedirs(os.path.dirname(os.path.abspath(dst)), exist_ok=True)
     with open(dst, "w") as f:
         json.dump(out, f)
 
 
 def convert_mmvet(src: str, dst: str):
     out = {f"v1_{r['question_id']}": r["text"] for r in _read_jsonl(src)}
+    os.makedirs(os.path.dirname(os.path.abspath(dst)), exist_ok=True)
     with open(dst, "w") as f:
         json.dump(out, f, indent=2)
 
@@ -74,12 +83,20 @@ def convert_mmbench(annotation_file: str, result_file: str, dst_xlsx: str):
     for r in _read_jsonl(result_file):
         cur.loc[df["index"] == r["question_id"], "prediction"] = r["text"]
     os.makedirs(os.path.dirname(os.path.abspath(dst_xlsx)), exist_ok=True)
-    cur.to_excel(dst_xlsx, index=False)
+    try:
+        cur.to_excel(dst_xlsx, index=False)
+    except (ImportError, ModuleNotFoundError):
+        # no openpyxl in the environment: write csv next to the requested
+        # name so the submission data is still produced
+        alt = os.path.splitext(dst_xlsx)[0] + ".csv"
+        cur.to_csv(alt, index=False)
+        print(f"openpyxl unavailable; wrote {alt} instead of xlsx")
 
 
 def convert_docvqa(src: str, dst: str):
     """DocVQA evaluation-server format: questionId/answer list."""
     out = [{"questionId": r["question_id"], "answer": r["text"]} for r in _read_jsonl(src)]
+    os.makedirs(os.path.dirname(os.path.abspath(dst)), exist_ok=True)
     with open(dst, "w") as f:
         json.dump(out, f)
 

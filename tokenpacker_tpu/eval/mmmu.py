@@ -147,6 +147,11 @@ def run(args):
     for subject in SUBJECTS:
         subs.append(load_dataset(args.data_path, subject, split=args.split))
     dataset = concatenate_datasets(subs)
+    if getattr(args, "num_chunks", 1) > 1:
+        # shell fan-out parity (reference scripts/v1_5/eval/mmmu_val.sh)
+        dataset = dataset.select(
+            range(args.chunk_idx, len(dataset), args.num_chunks)
+        )
 
     metas = {}
 
@@ -183,6 +188,9 @@ def score(args):
 
 
 def main(argv=None):
+    from tokenpacker_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
     sp = sub.add_parser("run")
@@ -192,6 +200,8 @@ def main(argv=None):
     sp.add_argument("--split", default="validation")
     sp.add_argument("--conv-mode", default="vicuna_v1")
     sp.add_argument("--batch-size", type=int, default=8)
+    sp.add_argument("--num-chunks", type=int, default=1)
+    sp.add_argument("--chunk-idx", type=int, default=0)
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=run)
     sp = sub.add_parser("score")

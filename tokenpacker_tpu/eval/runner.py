@@ -100,7 +100,10 @@ class EvalRunner:
                     from PIL import Image
 
                     img = Image.open(s.image_path).convert("RGB")
-                crops, hb, wb = process_image(img, self.image_aspect_ratio, self.patch_num)
+                crops, hb, wb = process_image(
+                    img, self.image_aspect_ratio, self.patch_num,
+                    image_size=self.cfg.vision.image_size,
+                )
                 crops_list.append(crops)
                 blocks.append([(hb, wb)])
             else:

@@ -63,27 +63,33 @@ def clip_preprocess(pil_img: Image.Image, size: int = CLIP_IMAGE_SIZE) -> np.nda
 
 
 def process_image(
-    pil_img: Image.Image, image_aspect_ratio: str | None = "pad", patch_num: int = 9
+    pil_img: Image.Image,
+    image_aspect_ratio: str | None = "pad",
+    patch_num: int = 9,
+    image_size: int | None = None,
 ) -> tuple[np.ndarray, int, int]:
-    """Single-image front door. Returns (crops [n, C, 336, 336], h_block,
-    w_block); n == 1 unless image_aspect_ratio == 'slice'."""
+    """Single-image front door. Returns (crops [n, C, S, S], h_block,
+    w_block); n == 1 unless image_aspect_ratio == 'slice'. S defaults to the
+    ViT-L/14-336 input (the reference hardcodes block_size=336 in all six
+    slicing copies); pass image_size for other tower geometries."""
+    size = image_size or CLIP_IMAGE_SIZE
     if image_aspect_ratio == "pad":
         bg = tuple(int(x * 255) for x in CLIP_IMAGE_MEAN)
         sq = expand2square(pil_img, bg)
-        return clip_preprocess(sq)[None], 1, 1
+        return clip_preprocess(sq, size)[None], 1, 1
     if image_aspect_ratio == "slice":
-        return slice_image(to_tensor_normalize(pil_img), patch_num)
-    return clip_preprocess(pil_img)[None], 1, 1
+        return slice_image(to_tensor_normalize(pil_img), patch_num, block=size)
+    return clip_preprocess(pil_img, size)[None], 1, 1
 
 
-def process_images(images, image_aspect_ratio="pad", patch_num=9):
+def process_images(images, image_aspect_ratio="pad", patch_num=9, image_size=None):
     """Batch wrapper (reference mm_utils.process_images parity surface).
 
-    Returns (crops [total, C, 336, 336], [(h_block, w_block)] per image).
+    Returns (crops [total, C, S, S], [(h_block, w_block)] per image).
     """
     tensors, blocks = [], []
     for im in images:
-        t, hb, wb = process_image(im, image_aspect_ratio, patch_num)
+        t, hb, wb = process_image(im, image_aspect_ratio, patch_num, image_size)
         tensors.append(t)
         blocks.append((hb, wb))
     return np.concatenate(tensors, axis=0), blocks

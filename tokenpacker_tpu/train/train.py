@@ -59,6 +59,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from tokenpacker_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
 
     from tokenpacker_tpu.api import load_pretrained_model
