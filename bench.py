@@ -185,6 +185,11 @@ def bench_7b_generation():
             out.update(bench_7b_int8_decode())
         except Exception as e:
             out["int8_error"] = str(e)[:300]
+    if time.perf_counter() - _START < float(os.environ.get("TOKENPACKER_BENCH_BUDGET_S", "360")):
+        try:
+            out.update(bench_7b_int4_decode())
+        except Exception as e:
+            out["int4_error"] = str(e)[:300]
     return out
 
 
@@ -251,6 +256,88 @@ def bench_7b_int8_decode():
     float(loop(params, cache, toks, active, jnp.asarray(1)))
     dt = time.perf_counter() - t0
     return {"decode_tokens_per_sec_7b_int8": round(n_steps / dt, 1)}
+
+
+def bench_7b_int4_decode():
+    """int4 weight-only decode (load_4bit serving path, Pallas
+    dequant-in-kernel GEMV, fused qkv/gateup), single stream."""
+    import functools
+
+    from tokenpacker_tpu.config import TokenPackerVLMConfig
+    from tokenpacker_tpu.generate import decode_step_cb
+    from tokenpacker_tpu.models.llama import KVCache
+
+    cfg = TokenPackerVLMConfig()
+    dtype = jnp.bfloat16
+    lm = cfg.lm
+    d, dkv, inter, L = (
+        lm.hidden_size, lm.kv_heads * lm.head_dim, lm.intermediate_size,
+        lm.num_hidden_layers,
+    )
+
+    @jax.jit
+    def make():
+        from tokenpacker_tpu.models.vlm import init_vlm
+
+        shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, dtype))
+        key = jax.random.PRNGKey(3)
+
+        def q4(k, shape, block=64):
+            kd, n = shape[-2], shape[-1]
+            lead = shape[:-2]
+            packed = jax.random.randint(k, (*lead, kd // 2, n), 0, 256, jnp.int32).astype(jnp.uint8)
+            absmax = jnp.full((*lead, kd // block, n), 2e-2, jnp.float32)
+            return {"q4:int4:64": packed, "absmax": absmax}
+
+        leaves, td = jax.tree_util.tree_flatten_with_path(shapes)
+        out = []
+        for i, (path, leaf) in enumerate(leaves):
+            names = [str(getattr(p, "key", p)) for p in path]
+            k = jax.random.fold_in(key, i)
+            if names[0] == "lm" and "kernel" in names and leaf.ndim >= 2 and leaf.size > (1 << 16):
+                out.append(q4(k, leaf.shape))
+            else:
+                out.append(0.02 * jax.random.normal(k, leaf.shape, jnp.float32).astype(leaf.dtype))
+        tree = jax.tree_util.tree_unflatten(td, out)
+        layers = dict(tree["lm"]["layers"])
+        layers["attn"] = {
+            "qkv": {"kernel": q4(jax.random.fold_in(key, 1001), (L, d, d + 2 * dkv))},
+            "o": layers["attn"]["o"],
+        }
+        layers["mlp"] = {
+            "gateup": {"kernel": q4(jax.random.fold_in(key, 1002), (L, d, 2 * inter))},
+            "down": layers["mlp"]["down"],
+        }
+        tree["lm"] = {**tree["lm"], "layers": layers}
+        return tree
+
+    params = make()
+    s_max, n_steps, b = 512, 64, 1
+    cache = KVCache(
+        jnp.zeros((L, b, s_max, lm.kv_heads, lm.head_dim), dtype),
+        jnp.zeros((L, b, s_max, lm.kv_heads, lm.head_dim), dtype),
+        jnp.full((b,), 100, jnp.int32),
+    )
+
+    @jax.jit
+    def loop(params, cache, toks, active, salt):
+        toks = toks + salt * 0
+
+        def body(i, carry):
+            cache, toks = carry
+            logits, cache = decode_step_cb(params, cfg, cache, toks, cache.length, active)
+            return cache, jnp.argmax(logits, -1).astype(jnp.int32)
+
+        cache, toks = jax.lax.fori_loop(0, n_steps, body, (cache, toks))
+        return jnp.sum(toks)
+
+    toks = jnp.ones((b,), jnp.int32)
+    active = jnp.ones((b,), bool)
+    float(loop(params, cache, toks, active, jnp.asarray(0)))
+    t0 = time.perf_counter()
+    float(loop(params, cache, toks, active, jnp.asarray(1)))
+    dt = time.perf_counter() - t0
+    return {"decode_tokens_per_sec_7b_int4": round(n_steps / dt, 1)}
 
 
 if __name__ == "__main__":

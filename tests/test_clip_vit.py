@@ -75,3 +75,26 @@ def test_tower_tuple_matches_feature_select():
     n_patch = (cfg.image_size // cfg.patch_size) ** 2
     assert feats.shape == (2, n_patch, cfg.hidden_size)
     assert multi.shape == (2, n_patch, cfg.hidden_size * 4)
+
+
+def test_vit_attention_kernel_matches_einsum():
+    """The TPU tower-attention kernel (interpret mode on CPU) is numerically
+    identical to the einsum path at both tiny and production-like geometry."""
+    import jax
+    import jax.numpy as jnp
+
+    from tokenpacker_tpu.models.clip_vit import _attn_einsum
+    from tokenpacker_tpu.ops.layers import init_linear, linear
+    from tokenpacker_tpu.ops.vit_attention import vit_attention
+
+    for (n, t, w, h) in [(2, 17, 32, 4), (1, 577, 128, 2)]:
+        key = jax.random.PRNGKey(0)
+        p = {
+            name: init_linear(jax.random.fold_in(key, i), w, w)
+            for i, name in enumerate(("q", "k", "v", "o"))
+        }
+        x = jax.random.normal(jax.random.fold_in(key, 9), (n, t, w), jnp.float32)
+        ref = _attn_einsum(p, x, h)
+        q, k, v = linear(p["q"], x), linear(p["k"], x), linear(p["v"], x)
+        got = linear(p["o"], vit_attention(q, k, v, h, interpret=True))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)

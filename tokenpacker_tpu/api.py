@@ -97,6 +97,8 @@ def load_pretrained_model(
     model_name: str | None = None,
     dtype=jnp.bfloat16,
     load_8bit: bool = False,
+    load_4bit: bool = False,
+    quant_type: str = "nf4",
     **kwargs,
 ):
     """Returns (tokenizer, model: LoadedModel, image_processor, context_len).
@@ -108,6 +110,9 @@ def load_pretrained_model(
     load_8bit: hold the LM's linear weights as per-channel int8 in HBM
     (reference builder.py:29-40 BitsAndBytes slot); ops/layers.linear
     consumes them without dense materialization.
+    load_4bit: blockwise 4-bit weight-only (quant_type 'nf4' or 'int4');
+    the decode path uses the Pallas dequant-in-kernel matmul
+    (ops/q4_matmul.py) so the dense weight never lands in HBM.
     """
     model_name = model_name or get_model_name_from_path(model_path)
     cfg = TokenPackerVLMConfig.from_json(os.path.join(model_path, "config.json"))
@@ -126,10 +131,22 @@ def load_pretrained_model(
         params = _import_params(
             model_path, model_base, cfg, dtype, is_lora, has_projector_only
         )
+        if load_8bit and load_4bit:
+            raise ValueError("load_8bit and load_4bit are mutually exclusive")
         if load_8bit:
             from tokenpacker_tpu.ops.quantize import quantize_tree
 
             params["lm"] = quantize_tree(params["lm"])
+        elif load_4bit:
+            # bitsandbytes load_4bit slot (reference builder.py:29-40):
+            # nf4 (default) or int4 blockwise weight-only quantization, with
+            # q/k/v and gate/up fused to halve decode-path kernel dispatches
+            from tokenpacker_tpu.ops.quantize import fuse_llama_layers, quantize_tree_4bit
+
+            lm = params["lm"]
+            if cfg.lm.model_family == "llama":
+                lm = fuse_llama_layers(lm)
+            params["lm"] = quantize_tree_4bit(lm, quant_type=quant_type)
     if cpu_devs:
         params = jax.device_put(params, jax.devices()[0])
 

@@ -66,10 +66,8 @@ def init_clip_vit(key, cfg: VisionConfig, dtype=jnp.float32):
     return params
 
 
-def _attn(p, x, num_heads: int):
-    # measured on v5e: XLA's fused einsum+softmax beats the Pallas flash
-    # kernel at this geometry (seq 577, head_dim 64 → padding losses), so
-    # the tower keeps the einsum path; the flash kernel serves the LM.
+def _attn_einsum(p, x, num_heads: int):
+    """Reference-semantics XLA path (CPU/tests, and any non-TPU backend)."""
     n, t, w = x.shape
     d = w // num_heads
     q = linear(p["q"], x).reshape(n, t, num_heads, d)
@@ -79,6 +77,30 @@ def _attn(p, x, num_heads: int):
     a = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
     o = jnp.einsum("nhqk,nkhd->nqhd", a, v).reshape(n, t, w)
     return linear(p["o"], o)
+
+
+def _attn_pallas(p, x, num_heads: int):
+    """VMEM-resident per-image attention (ops/vit_attention.py). Measured
+    262 → 347 img/s on v5e vs the einsum path (the [N,H,T,T] probabilities
+    never touch HBM); flash variants measured SLOWER at this geometry — see
+    the kernel docstring for the full measurement history."""
+    from tokenpacker_tpu.ops.vit_attention import vit_attention
+
+    q = linear(p["q"], x)
+    k = linear(p["k"], x)
+    v = linear(p["v"], x)
+    return linear(p["o"], vit_attention(q, k, v, num_heads))
+
+
+def _attn(p, x, num_heads: int):
+    import os
+
+    impl = os.environ.get("TOKENPACKER_VIT_ATTN")
+    if impl == "einsum":
+        return _attn_einsum(p, x, num_heads)
+    if impl == "pallas" or jax.default_backend() == "tpu":
+        return _attn_pallas(p, x, num_heads)
+    return _attn_einsum(p, x, num_heads)
 
 
 def _block(p, x, cfg: VisionConfig):

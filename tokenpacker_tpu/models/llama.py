@@ -128,9 +128,19 @@ def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len, use_flas
     """
     h = rms_norm(p["input_ln"], x, cfg.rms_norm_eps)
     n, t, _ = h.shape
-    q = linear(p["attn"]["q"], h).reshape(n, t, cfg.num_attention_heads, cfg.head_dim)
-    k = linear(p["attn"]["k"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
-    v = linear(p["attn"]["v"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
+    if "qkv" in p["attn"]:
+        # fused projection (quantize.fuse_llama_layers): one matmul — on the
+        # 4-bit decode path this halves Pallas dispatches (~55us/call floor)
+        d_q = cfg.num_attention_heads * cfg.head_dim
+        d_kv = cfg.kv_heads * cfg.head_dim
+        qkv = linear(p["attn"]["qkv"], h)
+        q = qkv[..., :d_q].reshape(n, t, cfg.num_attention_heads, cfg.head_dim)
+        k = qkv[..., d_q : d_q + d_kv].reshape(n, t, cfg.kv_heads, cfg.head_dim)
+        v = qkv[..., d_q + d_kv :].reshape(n, t, cfg.kv_heads, cfg.head_dim)
+    else:
+        q = linear(p["attn"]["q"], h).reshape(n, t, cfg.num_attention_heads, cfg.head_dim)
+        k = linear(p["attn"]["k"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
+        v = linear(p["attn"]["v"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -163,7 +173,12 @@ def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len, use_flas
     attn_out = linear(p["attn"]["o"], attn_out.reshape(n, t, -1))
     x = x + attn_out
     h = rms_norm(p["post_ln"], x, cfg.rms_norm_eps)
-    h = linear(p["mlp"]["down"], jax.nn.silu(linear(p["mlp"]["gate"], h)) * linear(p["mlp"]["up"], h))
+    if "gateup" in p["mlp"]:
+        gu = linear(p["mlp"]["gateup"], h)
+        gate, up = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size :]
+        h = linear(p["mlp"]["down"], jax.nn.silu(gate) * up)
+    else:
+        h = linear(p["mlp"]["down"], jax.nn.silu(linear(p["mlp"]["gate"], h)) * linear(p["mlp"]["up"], h))
     return x + h, new_cache
 
 

@@ -29,6 +29,24 @@ def linear(params, x):
     if isinstance(k, dict) and "q" in k:
         y = x @ k["q"].astype(x.dtype)
         y = y * jnp.squeeze(k["scale"], axis=-2).astype(x.dtype)
+    elif isinstance(k, dict) and any(s.startswith("q4:") for s in k):
+        # 4-bit weight-only (nf4/int4, ops/quantize.quantize_tree_4bit):
+        # on TPU with a small left operand (decode GEMV) the Pallas
+        # dequant-in-kernel matmul avoids materializing the dense weight;
+        # otherwise dequantize and let XLA take the dense matmul.
+        import jax
+
+        from tokenpacker_tpu.ops.quantize import dequantize_4bit
+
+        m = 1
+        for s in x.shape[:-1]:
+            m *= s
+        if jax.default_backend() == "tpu" and m <= 32:
+            from tokenpacker_tpu.ops.q4_matmul import q4_matmul
+
+            y = q4_matmul(x, k)
+        else:
+            y = x @ dequantize_4bit(k, x.dtype)
     else:
         y = x @ k
     if params.get("bias") is not None:

@@ -1,0 +1,73 @@
+"""Pallas attention kernel for the frozen CLIP tower (inference only).
+
+Why not flash: at the tower's geometry (seq 577, head_dim 64) both our flash
+kernel and jax's built-in TPU flash kernel measured SLOWER than the XLA
+einsum (127 img/s vs 262 on v5e — block/padding overheads dominate the tiny
+per-program work). The einsum path's real cost is HBM: XLA materializes the
+[N, 16, 577, 577] probabilities, ~1.0 GB/image of traffic, measured at
+1.49 ms/image of the 3.8 ms/image vision step.
+
+This kernel instead holds ONE IMAGE's whole attention in VMEM: per grid
+step it loads q/k/v [577, 1024] in their natural [N, T, W] layout (no
+head transpose — that copy cost erased the win in a [N*H, T, d] variant,
+measured 264 vs 262), loops the 16 heads over lane slices, computes each
+head's [577, 577] logits + fp32 softmax entirely in VMEM, and writes only
+the [577, 1024] output. Probabilities never touch HBM; no host-side
+padding (mosaic tiles the odd 577 internally).
+
+Measured on one v5e chip, bf16, ViT-L/14-336 + projector end-to-end:
+262 -> 347 img/s at batch 32 (51% -> 67% MFU).
+
+The tower is frozen in every reference recipe (clip_encoder.py:24), so the
+kernel is forward-only; gradients are blocked by stop_gradient in
+models/vlm.encode_images.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, num_heads: int):
+    q = q_ref[0]  # [T, W]
+    k = k_ref[0]
+    v = v_ref[0]
+    t, w = q.shape
+    d = w // num_heads
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q[:, sl]
+        kh = k[:, sl]
+        vh = v[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vh.dtype)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def vit_attention(q, k, v, num_heads: int, interpret: bool = False):
+    """q/k/v: [N, T, W] (projected, natural layout) → [N, T, W].
+
+    Bidirectional multi-head SDPA with fp32 softmax, numerically matching
+    models/clip_vit._attn_einsum (bf16 probs for the value matmul).
+    """
+    n, t, w = q.shape
+    d = w // num_heads
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=d**-0.5, num_heads=num_heads),
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, t, w), lambda i: (i, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((1, t, w), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, t, w), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
