@@ -94,3 +94,45 @@ def test_dryrun_multichip_entrypoint():
 
     g.dryrun_multichip(8)
     g.dryrun_multichip(4)
+
+
+def test_13b_geometry_tp4_matches_single_device():
+    """13B-shaped TP: hidden-5120-class ratios (non-power-of-two per-shard
+    head counts: 20 heads / tp4 = 5) produce identical logits on a
+    ('data','model')=(2,4) mesh vs single device (VERDICT r1 item 9)."""
+    from tokenpacker_tpu.config import LMConfig, tiny_vlm_config
+    from tokenpacker_tpu.models.llama import embed_tokens, llama_apply, llama_logits, make_attention_bias
+
+    lm = LMConfig(
+        vocab_size=256, hidden_size=160, intermediate_size=432,
+        num_hidden_layers=2, num_attention_heads=20, num_key_value_heads=20,
+    )
+    cfg = tiny_vlm_config(lm=lm)
+    params = init_vlm(jax.random.PRNGKey(2), cfg)
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 256, (4, 10)))
+
+    def forward(p, ids):
+        n, t = ids.shape
+        emb = embed_tokens(p["lm"], ids)
+        pos = jnp.broadcast_to(jnp.arange(t), (n, t))
+        bias = make_attention_bias(pos, jnp.ones((n, t), bool), 0, t)
+        h, _ = llama_apply(p["lm"], cfg.lm, emb, pos, bias)
+        return llama_logits(p["lm"], h)
+
+    ref = np.asarray(jax.jit(forward)(params, ids))
+    for tp in (2, 4):
+        mesh = make_mesh(tp=tp)
+        with jax.set_mesh(mesh):
+            sharded = shard_params(params, mesh)
+            got = np.asarray(jax.jit(forward)(sharded, ids))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_parallel_presets():
+    from tokenpacker_tpu.parallel.sharding import PARALLEL_PRESETS, recommended_mesh
+
+    mesh = recommended_mesh("13b-bf16", n_devices=8)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    mesh = recommended_mesh("13b-int4", n_devices=8)
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    assert "13b-hd-bf16" in PARALLEL_PRESETS

@@ -98,3 +98,35 @@ def batch_shardings(batch_spec: dict, mesh: Mesh):
         k: NamedSharding(mesh, P(DATA_AXIS) if v is not None else P())
         for k, v in batch_spec.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Deployment presets: recommended (dp, tp) on a single v5e-8 host
+# ---------------------------------------------------------------------------
+
+# One v5e chip: 16 GiB HBM, ~15.75 GiB usable. Weights: 7B bf16 14.2 GB /
+# int8 7.1 / int4 3.5; 13B bf16 26.1 / int8 13.0 / int4 6.5. HD serving adds
+# ~1 GB KV per slot at ~1k visual tokens (see docs/deploy_13b.md).
+PARALLEL_PRESETS: dict[str, dict] = {
+    "7b-bf16": dict(tp=1),       # weights + 1-2 KV slots fit one chip; DP for throughput
+    "7b-hd-bf16": dict(tp=2),    # HD multi-slot KV exceeds one chip next to bf16 weights
+    "7b-int8": dict(tp=1),
+    "7b-int4": dict(tp=1),
+    "13b-bf16": dict(tp=2),      # 13.05 GB/chip + KV headroom
+    "13b-int8": dict(tp=2),      # tp=1 fits weights (13.0) but leaves <3 GB for KV
+    "13b-int4": dict(tp=1),      # 6.5 GB weights: single-chip 13B
+    "13b-hd-bf16": dict(tp=4),
+}
+
+
+def recommended_mesh(preset: str, n_devices: int | None = None) -> Mesh:
+    """Build the preset's ('data','model') mesh over the available devices."""
+    from tokenpacker_tpu.parallel.mesh import make_mesh
+
+    if preset not in PARALLEL_PRESETS:
+        raise KeyError(f"unknown preset {preset!r}; known: {sorted(PARALLEL_PRESETS)}")
+    tp = PARALLEL_PRESETS[preset]["tp"]
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    if len(devices) % tp:
+        raise ValueError(f"{len(devices)} devices not divisible by preset tp={tp}")
+    return make_mesh(dp=len(devices) // tp, tp=tp, devices=devices)
