@@ -86,3 +86,45 @@ def test_kv_cache_decode_matches_full():
             atol=5e-4,
             err_msg=f"step {step}",
         )
+
+
+def test_mpt_flash_path_matches_einsum():
+    """The flash (Pallas, interpret on CPU) MPT prefill path — ALiBi as a
+    key-only bias, pure causal mask — matches the einsum path on a
+    right-padded batch, in both forward and gradients."""
+    import jax
+
+    cfg = mpt_config(d_model=32, n_heads=4, n_layers=2, vocab_size=64, expansion_ratio=2)
+    from tokenpacker_tpu.models.mpt import init_mpt
+
+    params = init_mpt(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    n, t = 2, 12
+    ids = rng.integers(0, 64, (n, t))
+    lengths = np.array([12, 9])  # second sample right-padded
+    key_valid = np.arange(t)[None, :] < lengths[:, None]
+    positions = np.broadcast_to(np.arange(t), (n, t))
+
+    from tokenpacker_tpu.models.llama import make_attention_bias
+
+    bias = make_attention_bias(jnp.asarray(positions), jnp.asarray(key_valid), 0, t)
+    emb = mpt_embed(params, jnp.asarray(ids))
+
+    def mean_valid(h):
+        m = jnp.asarray(key_valid)[..., None]
+        return jnp.sum(h * m) / jnp.sum(m)
+
+    ref, _ = mpt_apply(params, cfg, emb, bias, use_flash=False)
+    got, _ = mpt_apply(params, cfg, emb, bias, use_flash=True)
+    # compare only valid positions (flash ignores pad rows by causality)
+    mask = key_valid[..., None]
+    np.testing.assert_allclose(
+        np.asarray(got) * mask, np.asarray(ref) * mask, rtol=2e-5, atol=2e-5
+    )
+
+    g_ref = jax.grad(lambda p: mean_valid(mpt_apply(p, cfg, emb, bias, use_flash=False)[0]))(params)
+    g_got = jax.grad(lambda p: mean_valid(mpt_apply(p, cfg, emb, bias, use_flash=True)[0]))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4),
+        g_got, g_ref,
+    )

@@ -27,6 +27,8 @@ def lm_apply(params, cfg: LMConfig, inputs_embeds, positions, attn_bias, cache=N
     (optional [N, S] true token position per cache slot, for bucket-padded
     decode where slot index != token position)."""
     if cfg.model_family == "mpt":
+        # lm_apply callers build plain causal+padding biases
+        # (make_attention_bias), so the auto-flash path is safe
         return _mpt.mpt_apply(params, cfg, inputs_embeds, attn_bias, cache, key_positions)
     return _llama.llama_apply(params, cfg, inputs_embeds, positions, attn_bias, cache)
 

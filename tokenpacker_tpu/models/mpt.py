@@ -124,7 +124,15 @@ def init_mpt(key, cfg: LMConfig, dtype=jnp.float32):
     return params
 
 
-def _mpt_layer(p, cfg: LMConfig, x, bias, layer_cache, cache_len):
+def _use_flash_prefill(t: int) -> bool:
+    return jax.default_backend() == "tpu" and t >= 512
+
+
+def _mpt_layer(p, cfg: LMConfig, x, bias, layer_cache, cache_len, flash_bias=None):
+    """flash_bias: when set (a key-only [1, H, 1, T] ALiBi bias), the
+    cache-free path runs the Pallas flash kernel (causal + right-padding
+    semantics, like the LLaMA flash path) with a full Pallas backward —
+    the reference's Triton kernel slot (mpt/flash_attn_triton.py:51-483)."""
     n, t, d = x.shape
     h = cfg.num_attention_heads
     hd = d // h
@@ -135,6 +143,12 @@ def _mpt_layer(p, cfg: LMConfig, x, bias, layer_cache, cache_len):
     q = q.reshape(n, t, h, hd)
     k = k.reshape(n, t, h, hd)
     v = v.reshape(n, t, h, hd)
+    if layer_cache is None and flash_bias is not None:
+        from tokenpacker_tpu.ops.flash_attention import flash_attention
+
+        interpret = jax.default_backend() != "tpu"
+        attn = flash_attention(q, k, v, bias=flash_bias, causal=True, interpret=interpret)
+        return _mpt_layer_tail(p, res, attn, n, t, d), None
     if layer_cache is not None:
         ck, cv = layer_cache
         if jnp.ndim(cache_len) == 1:
@@ -150,20 +164,25 @@ def _mpt_layer(p, cfg: LMConfig, x, bias, layer_cache, cache_len):
     else:
         attn = _sdpa(q, k, v, bias)
         new_cache = None
+    return _mpt_layer_tail(p, res, attn, n, t, d), new_cache
+
+
+def _mpt_layer_tail(p, res, attn, n, t, d):
     x = res + (attn.reshape(n, t, d) @ p["attn"]["out"]["kernel"])
-    res = x
     y = layer_norm(p["norm_2"], x)
     y = jax.nn.gelu(y @ p["ffn"]["up"]["kernel"], approximate=False)
-    x = res + (y @ p["ffn"]["down"]["kernel"])
-    return x, new_cache
+    return x + (y @ p["ffn"]["down"]["kernel"])
 
 
 def mpt_apply(params, cfg: LMConfig, inputs_embeds, attn_bias, cache: KVCache | None = None,
-              key_positions=None):
+              key_positions=None, use_flash: bool | None = None):
     """attn_bias: [N,1,T,S] additive fp32 (causal+padding); ALiBi is added
     here. key_positions: optional [N, S] true token position of each cache
     slot — pass it whenever slots are not token positions (bucket-padded
-    decode). Returns (hidden, new_cache)."""
+    decode). use_flash: None = auto (cache-free long spans on TPU take the
+    Pallas flash kernel with the ALiBi key bias — exact for right-padded
+    causal batches); pass False when attn_bias is NOT plain causal+padding
+    (e.g. make_prefix_lm_bias). Returns (hidden, new_cache)."""
     s_total = cache.k.shape[2] if cache is not None else inputs_embeds.shape[1]
     if key_positions is not None:
         bias = attn_bias + alibi_bias_from_positions(cfg.num_attention_heads, key_positions)
@@ -173,9 +192,14 @@ def mpt_apply(params, cfg: LMConfig, inputs_embeds, attn_bias, cache: KVCache | 
 
     x = inputs_embeds
     if cache is None:
+        t = inputs_embeds.shape[1]
+        flash_ok = use_flash if use_flash is not None else _use_flash_prefill(t)
+        flash_bias = (
+            alibi_bias(cfg.num_attention_heads, t)[:, :, :1, :] if flash_ok else None
+        )
 
         def step(carry, layer_params):
-            y, _ = _mpt_layer(layer_params, cfg, carry, bias, None, cache_len)
+            y, _ = _mpt_layer(layer_params, cfg, carry, bias, None, cache_len, flash_bias)
             return y, None
 
         x, _ = jax.lax.scan(step, x, params["layers"])

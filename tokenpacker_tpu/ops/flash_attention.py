@@ -121,6 +121,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, causal, scale,
     lse_ref[0] = jnp.where(l == 0, jnp.inf, m + jnp.log(l_safe))  # [bq, 1]
 
 
+def _is_key_bias(bias) -> bool:
+    """[1, H|1, 1, Tk]: a per-key additive bias (ALiBi's exact shape)."""
+    return bias.shape[0] == 1 and bias.shape[-2] == 1
+
+
 def _pad_to(x, axis, mult):
     size = x.shape[axis]
     pad = (-size) % mult
@@ -150,8 +155,19 @@ def _make_flash(causal, scale, block_q, block_k, interpret):
                 q, k, v, o, lse, do, causal, scale, block_q, block_k, interpret
             )
             return dq, dk, dv, None
-        # bias path: dbias needs the full [.., Tq, Tk] matrix anyway, so the
-        # XLA recompute backward is the right tool
+        if _is_key_bias(bias):
+            # key-only bias ([1, H, 1, Tk] — the ALiBi shape): full Pallas
+            # backward with the bias folded into the logit recompute. The
+            # bias itself is treated as NON-TRAINABLE (ALiBi slopes are
+            # constants; the zero cotangent is DCE'd) — every MPT training
+            # step takes this path instead of the XLA recompute fallback.
+            dq, dk, dv = _flash_bwd_pallas(
+                q, k, v, o, lse, do, causal, scale, block_q, block_k, interpret,
+                bias=bias,
+            )
+            return dq, dk, dv, jnp.zeros_like(bias)
+        # full-bias path (trainable [.., Tq, Tk] biases): dbias needs the
+        # full matrix anyway, so the XLA recompute backward is the right tool
         return _flash_bwd_reference(q, k, v, bias, o, lse, do, causal, scale)
 
     attn.defvjp(fwd, bwd)
@@ -176,7 +192,14 @@ def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k, interpret):
     tq_p, tk_p, d_p = qf.shape[1], kf.shape[1], qf.shape[2]
 
     bias_f = None
-    if bias is not None:
+    key_bias = bias is not None and _is_key_bias(bias)
+    if key_bias:
+        # [1, H, 1, Tk] → [H, 1, Tk_p]; the kernel's bias-slice broadcasts
+        # the [1, bk] row over the q block, so no [Tq, Tk] materialization
+        bias_f = _pad_to(
+            jnp.broadcast_to(bias, (1, h, 1, tk)).reshape(h, 1, tk), 2, block_k
+        )
+    elif bias is not None:
         bias_b = jnp.broadcast_to(bias, (n, h, tq, tk)).reshape(n * h, tq, tk)
         bias_f = _pad_to(_pad_to(bias_b, 1, block_q), 2, block_k)
 
@@ -197,7 +220,12 @@ def _flash_fwd(q, k, v, bias, causal, scale, block_q, block_k, interpret):
     ]
     args = [qf, kf, vf]
     if bias_f is not None:
-        in_specs.append(pl.BlockSpec((1, block_q, tk_p), lambda b, i: (b, i, 0)))
+        if key_bias:
+            in_specs.append(
+                pl.BlockSpec((1, 1, tk_p), lambda b, i, h=h: (jax.lax.rem(b, h), 0, 0))
+            )
+        else:
+            in_specs.append(pl.BlockSpec((1, block_q, tk_p), lambda b, i: (b, i, 0)))
         args.append(bias_f)
         wrapped = kernel
     else:
@@ -228,10 +256,19 @@ def _bias_none_wrapper(kernel, q_ref, k_ref, v_ref, o_ref, lse_ref):
     kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref)
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+def _dq_nobias_wrapper(kernel, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref):
+    kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, None, dq_ref)
+
+
+def _dkv_nobias_wrapper(kernel, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        dk_ref, dv_ref):
+    kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, None, dk_ref, dv_ref)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref, dq_ref, *,
                causal, scale, block_k, tk_valid, tq, tk):
     """dQ pass. Grid (BH, q_blocks). Blocks: q/do/dq [1, bq, D],
-    k/v [1, Tk, D], lse/delta [1, bq, 1]."""
+    k/v [1, Tk, D], lse/delta [1, bq, 1], bias (key-only) [1, 1, Tk]."""
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0]  # [bq, 1]
@@ -247,6 +284,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
         kblk = k_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
         vblk = v_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
         s = (q @ kblk.T) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0, :, pl.ds(k_start, block_k)].astype(jnp.float32)
         kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
         valid = kpos < tk_valid
         if causal:
@@ -268,10 +307,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *,
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+                dk_ref, dv_ref, *,
                 causal, scale, block_q, tk_valid, tq, tq_pad):
     """dK/dV pass. Grid (BH, kv_blocks). Blocks: k/v/dk/dv [1, bk, D],
-    q/do [1, Tq, D], lse/delta [1, Tq, 1]."""
+    q/do [1, Tq, D], lse/delta [1, Tq, 1], bias (key-only) [1, 1, bk]."""
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     bk = k.shape[0]
@@ -289,6 +329,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
         lse = lse_ref[0, pl.ds(q_start, block_q), :]
         delta = delta_ref[0, pl.ds(q_start, block_q), :]
         s = (qblk @ k.T) * scale  # [bq, bk]
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)  # [1, bk] broadcasts
         kpos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1)
         qpos_row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 0)
         valid = (kpos < tk_valid) & (qpos_row < tq)
@@ -311,9 +353,11 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale, block_q, block_k, interpret):
-    """Two-pass Pallas backward (no-bias path): dQ over KV blocks, dK/dV
-    over Q blocks, probabilities recomputed from the saved LSE."""
+def _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale, block_q, block_k, interpret,
+                      bias=None):
+    """Two-pass Pallas backward: dQ over KV blocks, dK/dV over Q blocks,
+    probabilities recomputed from the saved LSE. bias, when given, must be
+    key-only ([1, H|1, 1, Tk], e.g. ALiBi) and is treated as a constant."""
     n, tq, h, d = q.shape
     tk = k.shape[1]
     scale_v = scale if scale is not None else d**-0.5
@@ -333,41 +377,68 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale, block_q, block_k, inte
     lse_p = jnp.pad(lse[..., None], ((0, 0), (0, tq_p - tq), (0, 0)),
                     constant_values=jnp.inf)
 
+    bias_f = None
+    if bias is not None:
+        assert _is_key_bias(bias), "pallas bwd only supports key-only biases"
+        bias_f = _pad_to(
+            jnp.broadcast_to(bias, (1, h, 1, tk)).reshape(h, 1, tk), 2, block_k
+        )
+
     dq_kernel = functools.partial(
         _dq_kernel, causal=causal, scale=scale_v, block_k=block_k,
         tk_valid=tk, tq=tq, tk=tk_p,
     )
+    dq_in_specs = [
+        pl.BlockSpec((1, block_q, d_p), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, tk_p, d_p), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, tk_p, d_p), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, block_q, d_p), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+    ]
+    dq_args = [qf, kf, vf, dof, lse_p, delta]
+    if bias_f is not None:
+        dq_in_specs.append(
+            pl.BlockSpec((1, 1, tk_p), lambda b, i, h=h: (jax.lax.rem(b, h), 0, 0))
+        )
+        dq_args.append(bias_f)
+        dq_wrapped = dq_kernel
+    else:
+        dq_wrapped = functools.partial(_dq_nobias_wrapper, dq_kernel)
     dq = pl.pallas_call(
-        dq_kernel,
+        dq_wrapped,
         grid=(n * h, tq_p // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d_p), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, tk_p, d_p), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, tk_p, d_p), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, block_q, d_p), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
-        ],
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((1, block_q, d_p), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((n * h, tq_p, d_p), q.dtype),
         interpret=interpret,
-    )(qf, kf, vf, dof, lse_p, delta)
+    )(*dq_args)
 
     dkv_kernel = functools.partial(
         _dkv_kernel, causal=causal, scale=scale_v, block_q=block_q,
         tk_valid=tk, tq=tq, tq_pad=tq_p,
     )
+    dkv_in_specs = [
+        pl.BlockSpec((1, tq_p, d_p), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, block_k, d_p), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, block_k, d_p), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, tq_p, d_p), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, tq_p, 1), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, tq_p, 1), lambda b, i: (b, 0, 0)),
+    ]
+    dkv_args = [qf, kf, vf, dof, lse_p, delta]
+    if bias_f is not None:
+        dkv_in_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda b, i, h=h: (jax.lax.rem(b, h), 0, i))
+        )
+        dkv_args.append(bias_f)
+        dkv_wrapped = dkv_kernel
+    else:
+        dkv_wrapped = functools.partial(_dkv_nobias_wrapper, dkv_kernel)
     dk, dv = pl.pallas_call(
-        dkv_kernel,
+        dkv_wrapped,
         grid=(n * h, tk_p // block_k),
-        in_specs=[
-            pl.BlockSpec((1, tq_p, d_p), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, block_k, d_p), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d_p), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, tq_p, d_p), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, tq_p, 1), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, tq_p, 1), lambda b, i: (b, 0, 0)),
-        ],
+        in_specs=dkv_in_specs,
         out_specs=[
             pl.BlockSpec((1, block_k, d_p), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, block_k, d_p), lambda b, i: (b, i, 0)),
@@ -377,7 +448,7 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale, block_q, block_k, inte
             jax.ShapeDtypeStruct((n * h, tk_p, d_p), v.dtype),
         ],
         interpret=interpret,
-    )(qf, kf, vf, dof, lse_p, delta)
+    )(*dkv_args)
 
     def unfold(x, t):
         return x[:, :t, :d].reshape(n, h, t, d).transpose(0, 2, 1, 3)
