@@ -42,21 +42,12 @@ def questions(tmp_path):
     return str(qfile), str(img_dir)
 
 
-def test_runner_answers_jsonl(questions, tmp_path, monkeypatch):
+def test_runner_answers_jsonl(questions, tmp_path):
     qfile, img_dir = questions
     loaded = TinyLoaded()
 
-    # tiny tower is 56px; monkeypatch process_image to resize crops
-    import tokenpacker_tpu.eval.runner as runner_mod
-
-    orig = runner_mod.process_image
-
-    def small_process(img, aspect, patch_num):
-        crops, hb, wb = orig(img, aspect, patch_num)
-        return crops[:, :, :56, :56].copy(), hb, wb
-
-    monkeypatch.setattr(runner_mod, "process_image", small_process)
-
+    # EvalRunner preprocesses at the model's own tower geometry (56px here),
+    # so no monkeypatching is needed
     runner = EvalRunner(loaded, loaded.tok, conv_mode="vicuna_v1", batch_size=2, max_new_tokens=3)
     samples = iter_vqa_jsonl(qfile, img_dir)
     answers = list(runner.run(samples))

@@ -6,6 +6,7 @@ forward at every step (no cache). This pins prefill/cache/position math.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -198,3 +199,55 @@ def test_mpt_decode_bucket_padding_invariant():
     padded = run(pad_to=16)  # 8-slot pad gap between prompt and decode slots
     for a, b in zip(tight, padded):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("family", ["llama", "mpt"])
+def test_decode_attention_kernel_matches_xla(family, monkeypatch):
+    """Pallas decode attention (forced via TOKENPACKER_DECODE_ATTN, interpret
+    on CPU) produces the same decode logits as the XLA bias path on the
+    bucketed layout — both families, right-padded prompts."""
+    from tokenpacker_tpu.generate import decode_step, prefill
+    from tokenpacker_tpu.models.vlm import init_vlm
+
+    if family == "mpt":
+        from tests.test_vlm_mpt import mpt_tiny_cfg
+
+        cfg = mpt_tiny_cfg()
+    else:
+        cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(4)
+    images = rng.standard_normal(
+        (2, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    ids0 = np.concatenate([[1, 19], [IMAGE_TOKEN_INDEX], [33, 34, 35]]).astype(np.int64)
+    ids1 = np.concatenate([[1, 20], [IMAGE_TOKEN_INDEX], [36]]).astype(np.int64)
+    plan = build_splice_plan(
+        [ids0, ids1], [[(1, 1)], [(1, 1)]], cfg.tokens_per_view, "single", 7, 8, 0, pad_to=16
+    )
+    batch = {
+        "token_ids": jnp.asarray(plan.token_ids),
+        "is_image": jnp.asarray(plan.is_image),
+        "image_slot": jnp.asarray(plan.image_slot),
+        "lengths": jnp.asarray(plan.lengths, jnp.int32),
+        "images": jnp.asarray(images),
+    }
+    l = plan.token_ids.shape[1]
+
+    def run(impl):
+        monkeypatch.setenv("TOKENPACKER_DECODE_ATTN", impl)
+        logits, cache = prefill(params, cfg, batch, l + 4)
+        out = []
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        for step in range(3):
+            logits, cache = decode_step(
+                params, cfg, cache, tok, batch["lengths"], jnp.asarray(step, jnp.int32), l
+            )
+            out.append(np.asarray(logits))
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return out
+
+    ref = run("xla")
+    got = run("pallas")
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)

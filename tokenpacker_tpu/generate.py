@@ -86,8 +86,13 @@ def decode_step(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step,
         )
 
     cache_at = KVCache(cache.k, cache.v, prefill_len + step)
+    # bucketed two-range mask for the Pallas decode-attention kernel:
+    # prompt [0, lengths_i) + decoded span [prefill_len, prefill_len+step]
+    needed = jnp.broadcast_to(prefill_len + step + 1, lengths.shape).astype(jnp.int32)
     hidden, new_cache = lm_apply(
-        params["lm"], cfg.lm, emb, positions, bias, cache_at, key_positions=key_positions
+        params["lm"], cfg.lm, emb, positions, bias, cache_at,
+        key_positions=key_positions,
+        decode_info=(lengths.astype(jnp.int32), needed, prefill_len),
     )
     logits = lm_logits(params["lm"], cfg.lm, hidden[:, 0])
     return logits, new_cache
@@ -111,7 +116,11 @@ def decode_step_cb(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_lens, a
     key_valid = key_idx <= cur_lens[:, None]
     bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
     cache_at = KVCache(cache.k, cache.v, cur_lens)
-    hidden, new_cache = lm_apply(params["lm"], cfg.lm, emb, positions, bias, cache_at)
+    needed = (cur_lens + 1).astype(jnp.int32)
+    hidden, new_cache = lm_apply(
+        params["lm"], cfg.lm, emb, positions, bias, cache_at,
+        decode_info=(needed, needed, 0),
+    )
     logits = lm_logits(params["lm"], cfg.lm, hidden[:, 0])
     new_len = cur_lens + active.astype(cur_lens.dtype)
     return logits, KVCache(new_cache.k, new_cache.v, new_len)

@@ -117,7 +117,21 @@ def _flash_causal(q, k, v):
     return mha_flash(q, k, v, causal=True, interpret=interpret)
 
 
-def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len, use_flash=None):
+def _use_decode_kernel() -> bool:
+    """Opt-in (TOKENPACKER_DECODE_ATTN=pallas). Measured on v5e: the kernel
+    alone is 1.7x the XLA decode attention (190us vs 326us, B=8 S=1024 at
+    44% fill — length-prefetch skips unneeded KV blocks and the [N,1,1,S]
+    fp32 bias is never built), but integrated over 32 layers the ~55us
+    per-pallas_call dispatch makes it a wash at single-chip serving shapes
+    (int8 B=8 S=512: 304 vs 311 agg tok/s). Default stays XLA until larger
+    caches/batches are the serving norm; see ROADMAP.md."""
+    import os
+
+    return os.environ.get("TOKENPACKER_DECODE_ATTN") == "pallas"
+
+
+def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len, use_flash=None,
+           decode_info=None):
     """One decoder block. layer_cache: (k, v) [N, S_max, Hkv, d] or None.
 
     use_flash: when True (or auto on TPU for long spans), prefill/training
@@ -160,6 +174,19 @@ def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len, use_flas
         if flash_ok and t > 1:
             # prefill: the causal span only covers the current tokens
             attn_out = _flash_causal(q, k, v)
+        elif t == 1 and decode_info is not None and _use_decode_kernel():
+            # Pallas decode attention: per-sample lengths ride scalar
+            # prefetch, KV blocks past a sequence's length are never DMA'd,
+            # and the [N,1,1,S] fp32 bias is never materialized
+            from tokenpacker_tpu.ops.decode_attention import decode_attention
+
+            lengths, needed, span = decode_info
+            attn_out = decode_attention(
+                q[:, 0], ck, cv, lengths, needed,
+                groups=cfg.num_attention_heads // cfg.kv_heads,
+                span_start=span,
+                interpret=jax.default_backend() != "tpu",
+            )[:, None]
         else:
             attn_out = _sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), bias)
         new_cache = (ck, cv)
@@ -206,6 +233,7 @@ def llama_apply(
     attn_bias,  # [N, 1, T, S] additive fp32
     cache: KVCache | None = None,
     use_flash: bool | None = None,  # None = auto (TPU & long span)
+    decode_info=None,  # (lengths [N], needed [N], span_start) for t==1
 ):
     """Run the decoder stack. Returns (hidden [N,T,D], new_cache)."""
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
@@ -227,7 +255,8 @@ def llama_apply(
         def step(carry, xs):
             layer_params, ck, cv = xs
             y, (nk, nv) = _layer(
-                layer_params, cfg, carry, cos, sin, attn_bias, (ck, cv), cache_len, use_flash
+                layer_params, cfg, carry, cos, sin, attn_bias, (ck, cv), cache_len,
+                use_flash, decode_info,
             )
             return y, (nk, nv)
 

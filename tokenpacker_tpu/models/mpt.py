@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from tokenpacker_tpu.config import LMConfig
-from tokenpacker_tpu.models.llama import KVCache, _sdpa
+from tokenpacker_tpu.models.llama import KVCache, _sdpa, _use_decode_kernel
 from tokenpacker_tpu.ops.layers import init_layer_norm, layer_norm
 
 
@@ -128,7 +128,8 @@ def _use_flash_prefill(t: int) -> bool:
     return jax.default_backend() == "tpu" and t >= 512
 
 
-def _mpt_layer(p, cfg: LMConfig, x, bias, layer_cache, cache_len, flash_bias=None):
+def _mpt_layer(p, cfg: LMConfig, x, bias, layer_cache, cache_len, flash_bias=None,
+               decode_info=None):
     """flash_bias: when set (a key-only [1, H, 1, T] ALiBi bias), the
     cache-free path runs the Pallas flash kernel (causal + right-padding
     semantics, like the LLaMA flash path) with a full Pallas backward —
@@ -159,7 +160,19 @@ def _mpt_layer(p, cfg: LMConfig, x, bias, layer_cache, cache_len, flash_bias=Non
         else:
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
-        attn = _sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), bias)
+        if t == 1 and decode_info is not None and _use_decode_kernel():
+            # Pallas decode attention with in-kernel ALiBi over compacted
+            # token positions (= alibi_bias_from_positions semantics)
+            from tokenpacker_tpu.ops.decode_attention import decode_attention
+
+            lengths, needed, span = decode_info
+            attn = decode_attention(
+                q[:, 0], ck, cv, lengths, needed,
+                slopes=alibi_slopes(h), groups=1, span_start=span,
+                interpret=jax.default_backend() != "tpu",
+            )[:, None]
+        else:
+            attn = _sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), bias)
         new_cache = (ck, cv)
     else:
         attn = _sdpa(q, k, v, bias)
@@ -175,7 +188,7 @@ def _mpt_layer_tail(p, res, attn, n, t, d):
 
 
 def mpt_apply(params, cfg: LMConfig, inputs_embeds, attn_bias, cache: KVCache | None = None,
-              key_positions=None, use_flash: bool | None = None):
+              key_positions=None, use_flash: bool | None = None, decode_info=None):
     """attn_bias: [N,1,T,S] additive fp32 (causal+padding); ALiBi is added
     here. key_positions: optional [N, S] true token position of each cache
     slot — pass it whenever slots are not token positions (bucket-padded
@@ -208,7 +221,10 @@ def mpt_apply(params, cfg: LMConfig, inputs_embeds, attn_bias, cache: KVCache | 
 
         def step(carry, xs):
             layer_params, ck, cv = xs
-            y, (nk, nv) = _mpt_layer(layer_params, cfg, carry, bias, (ck, cv), cache_len)
+            y, (nk, nv) = _mpt_layer(
+                layer_params, cfg, carry, bias, (ck, cv), cache_len,
+                decode_info=decode_info,
+            )
             return y, (nk, nv)
 
         x, (nk, nv) = jax.lax.scan(step, x, (params["layers"], cache.k, cache.v))
