@@ -128,3 +128,45 @@ def test_mpt_flash_path_matches_einsum():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4),
         g_got, g_ref,
     )
+
+
+def test_prefix_lm_bias_semantics():
+    """make_prefix_lm_bias: bidirectional inside the per-sample prefix,
+    causal after, padding masked (the reference's hf_prefixlm_converter
+    capability, expressed as an additive mask)."""
+    from tokenpacker_tpu.models.mpt import make_prefix_lm_bias
+
+    n, t = 2, 6
+    positions = jnp.broadcast_to(jnp.arange(t), (n, t))
+    key_valid = jnp.asarray([[True] * 6, [True] * 5 + [False]])
+    prefix_lengths = jnp.asarray([3, 2])
+    bias = np.asarray(make_prefix_lm_bias(positions, key_valid, prefix_lengths, t))
+    allowed = bias[:, 0] == 0.0  # [N, T, S]
+    # sample 0: query 0 sees keys 0..2 (prefix is bidirectional)
+    assert allowed[0, 0].tolist() == [True, True, True, False, False, False]
+    # sample 0: query 4 is causal
+    assert allowed[0, 4].tolist() == [True, True, True, True, True, False]
+    # sample 1: prefix 2 wide, key 5 padded out everywhere
+    assert allowed[1, 0].tolist() == [True, True, False, False, False, False]
+    assert allowed[1, 5].tolist() == [True, True, True, True, True, False]
+
+    # and it runs through the decoder (use_flash must stay off for
+    # non-causal biases)
+    cfg = mpt_config(d_model=32, n_heads=4, n_layers=2, vocab_size=64, expansion_ratio=2)
+    from tokenpacker_tpu.models.mpt import init_mpt, mpt_embed
+
+    import jax
+
+    params = init_mpt(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (n, t)))
+    emb = mpt_embed(params, ids)
+    hidden, _ = mpt_apply(params, cfg, emb, make_prefix_lm_bias(positions, key_valid, prefix_lengths, t), use_flash=False)
+    assert np.isfinite(np.asarray(hidden)).all()
+    # a later PREFIX token must influence an earlier prefix position
+    # (bidirectional), unlike the causal mask
+    from tokenpacker_tpu.models.llama import make_attention_bias
+
+    causal_bias = make_attention_bias(positions, key_valid, 0, t)
+    hidden_causal, _ = mpt_apply(params, cfg, emb, causal_bias, use_flash=False)
+    diff = np.abs(np.asarray(hidden)[0, 0] - np.asarray(hidden_causal)[0, 0]).max()
+    assert diff > 1e-6
