@@ -258,3 +258,40 @@ def test_paged_decode_inactive_slot_writes_masked(model):
     aliased = run(stale)
     for a, b in zip(clean, aliased):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_paged_attention_kernel_matches_gather(model, monkeypatch):
+    """The Pallas paged-attention kernel (forced via TOKENPACKER_PAGED_ATTN,
+    interpret on CPU) produces the same logits as the XLA gather path —
+    including a stale-table inactive slot and partially-filled pages."""
+    from tokenpacker_tpu.ops.paged_kv import PagedKV, paged_decode_step
+
+    cfg, params = model
+    lm = cfg.lm
+    ps, num_pages, mp = 8, 10, 4
+    rng = np.random.default_rng(11)
+    kp = jax.numpy.asarray(
+        rng.standard_normal((lm.num_hidden_layers, num_pages, ps, lm.kv_heads, lm.head_dim)),
+        jax.numpy.float32,
+    )
+    vp = jax.numpy.asarray(
+        rng.standard_normal((lm.num_hidden_layers, num_pages, ps, lm.kv_heads, lm.head_dim)),
+        jax.numpy.float32,
+    )
+    table = np.zeros((3, mp), np.int32)
+    table[0, :3] = [1, 2, 3]   # len 19: page 3 partially filled
+    table[1, :2] = [4, 5]      # len 10
+    table[2, :1] = [6]         # inactive slot, stale row
+    lengths = np.array([19, 10, 3], np.int32)
+    active = jax.numpy.asarray(np.array([True, True, False]))
+    tokens = jax.numpy.asarray(np.array([42, 99, 7], np.int32))
+
+    def run(impl):
+        monkeypatch.setenv("TOKENPACKER_PAGED_ATTN", impl)
+        paged = PagedKV(kp, vp, jax.numpy.asarray(table), jax.numpy.asarray(lengths))
+        logits, newp = paged_decode_step(params, cfg, paged, tokens, active)
+        return np.asarray(logits)
+
+    ref = run("xla")
+    got = run("pallas")
+    np.testing.assert_allclose(got[:2], ref[:2], rtol=2e-5, atol=2e-5)

@@ -33,6 +33,18 @@ from tokenpacker_tpu.ops.layers import linear, rms_norm
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
+def _use_paged_kernel() -> bool:
+    """Default ON for TPU (the XLA path's page gather materializes the
+    dense cache every layer); TOKENPACKER_PAGED_ATTN=xla opts out,
+    =pallas forces it (interpret mode) on CPU."""
+    import os
+
+    impl = os.environ.get("TOKENPACKER_PAGED_ATTN")
+    if impl == "xla":
+        return False
+    return impl == "pallas" or jax.default_backend() == "tpu"
+
+
 class PagedKV(NamedTuple):
     k_pages: jax.Array  # [L, P, ps, H, D]
     v_pages: jax.Array
@@ -96,10 +108,21 @@ def _paged_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table, cur_le
     kp = kp.at[write_page, off].set(k[:, 0].astype(kp.dtype))
     vp = vp.at[write_page, off].set(v[:, 0].astype(vp.dtype))
 
-    # gather this sequence's pages: [N, MP, ps, H, D] → [N, S_max, H, D]
-    kg = kp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim)
-    vg = vp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim)
-    attn = _sdpa(q, kg.astype(q.dtype), vg.astype(q.dtype), bias)
+    if _use_paged_kernel():
+        # vLLM-style Pallas paged attention: pages read in place via the
+        # scalar-prefetched table — no [N, MP*ps, H, D] gather tensor
+        from tokenpacker_tpu.ops.paged_attention import paged_attention
+
+        attn = paged_attention(
+            q[:, 0], kp, vp, page_table, cur_lens + 1,
+            groups=cfg.num_attention_heads // cfg.kv_heads,
+            interpret=jax.default_backend() != "tpu",
+        )[:, None]
+    else:
+        # gather this sequence's pages: [N, MP, ps, H, D] → [N, S_max, H, D]
+        kg = kp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim)
+        vg = vp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim)
+        attn = _sdpa(q, kg.astype(q.dtype), vg.astype(q.dtype), bias)
 
     x = x + linear(p["attn"]["o"], attn.reshape(n, 1, -1))
     h2 = rms_norm(p["post_ln"], x, cfg.rms_norm_eps)

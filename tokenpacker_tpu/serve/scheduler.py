@@ -63,8 +63,11 @@ class PagedContinuousBatcher:
         tokenizer=None,
         num_slots: int = 8,
         num_pages: int = 256,
-        page_size: int = 16,
-        max_pages_per_seq: int = 64,
+        page_size: int = 64,  # one page = one KV-block DMA in the Pallas
+        # paged-attention kernel; measured on v5e (int8 7B, 8 slots):
+        # ps=64 -> 292 agg tok/s vs 186 (XLA gather) — small vLLM-style
+        # pages (16) fragment the grid and lose (267 vs 285)
+        max_pages_per_seq: int = 16,
         temperature: float = 0.0,
     ):
         from tokenpacker_tpu.ops.paged_kv import PagedKV, PageAllocator
