@@ -185,4 +185,68 @@ int tpp_hd_slice(const float* img, int h, int w, int hb, int wb, int block,
   return n_crops;
 }
 
+// ---------------------------------------------------------------------------
+// JPEG decode (libjpeg): the eval/serving loaders' decode hot path.
+// ---------------------------------------------------------------------------
+
+// Returns 0 on success; fills h/w/channels. out must hold h*w*3 bytes when
+// decoding (pass out=nullptr to probe dimensions only). Output is RGB HWC.
+int tpp_jpeg_decode(const uint8_t* data, int len, uint8_t* out, long out_cap,
+                    int* h, int* w);
+
 }  // extern "C"
+
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+
+namespace {
+struct JpegError {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+};
+static void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegError* err = reinterpret_cast<JpegError*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+}  // namespace
+
+extern "C" int tpp_jpeg_decode(const uint8_t* data, int len, uint8_t* out,
+                               long out_cap, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegError jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  *h = static_cast<int>(cinfo.image_height);
+  *w = static_cast<int>(cinfo.image_width);
+  if (out == nullptr) {  // dimension probe
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  const long need = static_cast<long>(*h) * (*w) * 3;
+  if (out_cap < need) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+  jpeg_start_decompress(&cinfo);
+  const int stride = (*w) * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + static_cast<size_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}

@@ -72,3 +72,25 @@ def test_crop_bucket():
     assert _crop_bucket(3) == 4
     assert _crop_bucket(17) == 32
     assert _crop_bucket(200) == 256
+
+
+def test_device_prefetcher_order_and_errors():
+    from tokenpacker_tpu.data.prefetch import DevicePrefetcher
+
+    out = list(DevicePrefetcher(range(10), transform=lambda x: x * 2, depth=3))
+    assert out == [x * 2 for x in range(10)]
+
+    def bad(x):
+        if x == 3:
+            raise ValueError("boom")
+        return x
+
+    pf = DevicePrefetcher(range(10), transform=bad, depth=2)
+    got = []
+    try:
+        for v in pf:
+            got.append(v)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert got == [0, 1, 2]

@@ -43,3 +43,39 @@ def test_single_crop_no_global():
     hb, wb = choose_grid(300, 320, 9)
     crops, hb2, wb2 = slice_image(img, patch_num=9, use_native=True)
     assert crops.shape[0] == hb * wb + (1 if hb * wb > 1 else 0)
+
+
+def test_native_jpeg_decode_matches_pil(tmp_path):
+    import io as _io
+
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from tokenpacker_tpu.image import native
+    from tokenpacker_tpu.image.io import load_image
+
+    if not native.jpeg_available():
+        pytest.skip("libtpp.so without jpeg support")
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (47, 63, 3), dtype=np.uint8)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(arr).save(p, "JPEG", quality=95)
+    ref = np.asarray(Image.open(p).convert("RGB"))
+    got = native.decode_jpeg(p.read_bytes())
+    assert got.shape == ref.shape
+    # libjpeg and PIL (which wraps libjpeg) should agree exactly; allow a
+    # tolerance for build-variant IDCT differences
+    assert np.mean(np.abs(got.astype(int) - ref.astype(int))) < 1.0
+
+    img = load_image(str(p))
+    assert img.size == (63, 47)
+
+    # corrupt data falls back / raises cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        native.decode_jpeg(b"not a jpeg")
+    png = tmp_path / "y.png"
+    Image.fromarray(arr).save(png)
+    assert load_image(str(png)).size == (63, 47)  # non-jpeg via PIL

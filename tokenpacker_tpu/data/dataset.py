@@ -82,7 +82,9 @@ class SupervisedDataset:
             from PIL import Image
 
             path = os.path.join(self.image_folder, rec["image"])
-            img = Image.open(path).convert("RGB")
+            from tokenpacker_tpu.image.io import load_image
+
+            img = load_image(path)
             aspect = self.image_aspect_ratio
             crops, hb, wb = process_image(img, aspect, self.patch_num)
             item["image"] = crops

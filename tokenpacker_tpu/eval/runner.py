@@ -97,9 +97,9 @@ class EvalRunner:
             if has_image:
                 img = s.image
                 if img is None:
-                    from PIL import Image
+                    from tokenpacker_tpu.image.io import load_image
 
-                    img = Image.open(s.image_path).convert("RGB")
+                    img = load_image(s.image_path)
                 crops, hb, wb = process_image(
                     img, self.image_aspect_ratio, self.patch_num,
                     image_size=self.cfg.vision.image_size,
@@ -139,18 +139,33 @@ class EvalRunner:
         return (conv.sep,) if conv.sep else ()
 
     def run(self, samples: Iterable[EvalSample]) -> Iterator[dict]:
-        """Yields {"question_id", "text", **extra} per sample, in order."""
-        batch: list[EvalSample] = []
-        for s in samples:
-            batch.append(s)
-            if len(batch) == self.batch_size:
-                yield from self._run_batch(batch)
-                batch = []
-        if batch:
-            yield from self._run_batch(batch)
+        """Yields {"question_id", "text", **extra} per sample, in order.
 
-    def _run_batch(self, samples: list[EvalSample]) -> Iterator[dict]:
-        plan, images = self._prepare(samples)
+        Host-side batch preparation (image decode + preprocess + splice
+        plan) runs in a background thread two batches ahead
+        (data/prefetch.DevicePrefetcher), overlapping with the previous
+        batch's device generate."""
+        from tokenpacker_tpu.data.prefetch import DevicePrefetcher
+
+        def batches():
+            batch: list[EvalSample] = []
+            for s in samples:
+                batch.append(s)
+                if len(batch) == self.batch_size:
+                    yield batch
+                    batch = []
+            if batch:
+                yield batch
+
+        prepared = DevicePrefetcher(
+            batches(), transform=lambda b: (b, self._prepare(b)), depth=2
+        )
+        for batch, (plan, images) in prepared:
+            yield from self._run_batch(batch, plan, images)
+
+    def _run_batch(self, samples: list[EvalSample], plan=None, images=None) -> Iterator[dict]:
+        if plan is None:
+            plan, images = self._prepare(samples)
         result = self.generator.generate(
             {
                 "token_ids": plan.token_ids,

@@ -42,9 +42,43 @@ def _find_lib():
                 ctypes.c_int, f32p, ctypes.c_int,
             ]
             lib.tpp_hd_slice.restype = ctypes.c_int
+            if hasattr(lib, "tpp_jpeg_decode"):
+                lib.tpp_jpeg_decode.argtypes = [
+                    u8p, ctypes.c_int, u8p, ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ]
+                lib.tpp_jpeg_decode.restype = ctypes.c_int
             _LIB = lib
             break
     return _LIB
+
+
+def jpeg_available() -> bool:
+    lib = _find_lib()
+    return lib is not None and hasattr(lib, "tpp_jpeg_decode")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes → RGB uint8 [H, W, 3] via libjpeg (raises on non-JPEG or
+    corrupt input). Use image/io.load_image for the PIL-fallback front door."""
+    lib = _find_lib()
+    if lib is None or not hasattr(lib, "tpp_jpeg_decode"):
+        raise RuntimeError("native jpeg decode unavailable (build native/)")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    src = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.tpp_jpeg_decode(src, len(data), None, 0, ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"jpeg header decode failed (rc={rc})")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.tpp_jpeg_decode(
+        src, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.size, ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc != 0:
+        raise ValueError(f"jpeg decode failed (rc={rc})")
+    return out
 
 
 def available() -> bool:
