@@ -1,0 +1,110 @@
+"""HD-7b end-to-end prefill benchmark on one TPU chip (worst-case grid).
+
+TokenPacker-HD-7b, patch_num 9, worst-case 3x3 grid + global view = 10 crops
+per image → 1459 visual tokens (9*144 + separators + global 144). Measures
+images/s/chip and TTFT for the full pipeline: 10-crop ViT+projector, slice
+splice, int8-LM prefill. The BASELINE.md north star (≥20 img/s on v5e-8)
+is this number × 8-way data parallelism.
+
+Run: python scripts/bench_hd.py   (real TPU)
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tokenpacker_tpu.config import TokenPackerVLMConfig
+from tokenpacker_tpu.constants import IMAGE_TOKEN_INDEX
+from tokenpacker_tpu.generate import prefill
+from tokenpacker_tpu.models.splice import build_splice_plan
+from tokenpacker_tpu.models.vlm import init_vlm
+
+
+def int8_params(cfg, dtype):
+    shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, dtype))
+
+    @jax.jit
+    def make():
+        key = jax.random.PRNGKey(0)
+        leaves, td = jax.tree_util.tree_flatten_with_path(shapes)
+        out = []
+        for i, (path, leaf) in enumerate(leaves):
+            names = [str(getattr(p, "key", p)) for p in path]
+            k = jax.random.fold_in(key, i)
+            if names[0] == "lm" and "kernel" in names and leaf.ndim >= 2 and leaf.size > (1 << 16):
+                out.append({"q": jax.random.randint(k, leaf.shape, -127, 128, jnp.int8),
+                            "scale": jnp.full(leaf.shape[:-2] + (1, leaf.shape[-1]), 2e-4, jnp.float32)})
+            else:
+                out.append(0.02 * jax.random.normal(k, leaf.shape, jnp.float32).astype(leaf.dtype))
+        return jax.tree_util.tree_unflatten(td, out)
+
+    return make()
+
+
+def main():
+    cfg = TokenPackerVLMConfig()
+    dtype = jnp.bfloat16
+    params = int8_params(cfg, dtype)
+
+    hb = wb = 3  # worst-case patch_num-9 grid; 10 crops incl. global view
+    ids = np.concatenate([[1], np.arange(100, 135), [IMAGE_TOKEN_INDEX], np.arange(150, 160)]).astype(np.int64)
+    plan = build_splice_plan([ids], [[(hb, wb)]], cfg.tokens_per_view, "slice",
+                             29892, 13, 0, pad_to=1536)
+    l = plan.token_ids.shape[1]
+    n_crops = hb * wb + 1
+    batch = {
+        "images": jax.random.normal(jax.random.PRNGKey(2), (n_crops, 336, 336, 3), dtype),
+        "token_ids": jnp.asarray(plan.token_ids),
+        "is_image": jnp.asarray(plan.is_image),
+        "image_slot": jnp.asarray(plan.image_slot),
+        "lengths": jnp.asarray(plan.lengths, jnp.int32),
+    }
+    s_max = l + 64
+    print(f"visual tokens: {int(plan.is_image.sum())}, seq {int(plan.lengths[0])} (bucket {l})", flush=True)
+
+    # TTFT: median of 5 — inputs varied per call and a scalar fetched
+    # (identical repeated calls are memoized over the axon tunnel; CLAUDE.md)
+    logits, cache = prefill(params, cfg, batch, s_max)
+    float(logits[0, 0])
+    ts = []
+    for i in range(5):
+        b = dict(batch)
+        b["images"] = batch["images"] + jnp.asarray(i + 1, dtype)
+        t0 = time.perf_counter()
+        logits, cache = prefill(params, cfg, b, s_max)
+        float(logits[0, 0])
+        ts.append(time.perf_counter() - t0)
+    ttft_ms = sorted(ts)[2] * 1e3
+
+    # throughput: chained loop (tunnel-proof)
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(params, batch, n):
+        def body(i, c):
+            b = dict(batch)
+            b["images"] = batch["images"] + c
+            lg, _ = prefill.__wrapped__(params, cfg, b, s_max)
+            return jnp.max(lg).astype(dtype) * jnp.asarray(0, dtype)
+
+        return jax.lax.fori_loop(0, n, body, jnp.asarray(0, dtype))
+
+    n = 8
+    float(loop(params, batch, n))
+    t0 = time.perf_counter()
+    float(loop(params, batch, n))
+    dt = time.perf_counter() - t0
+    ips = n / dt
+    print(f"HD-7b (3x3+global, int8 LM): {ips:.2f} images/s/chip, TTFT p50 {ttft_ms:.0f} ms")
+    print(f"x8 DP extrapolation: {ips * 8:.1f} images/s on v5e-8 (north star: >=20)")
+
+
+if __name__ == "__main__":
+    main()
