@@ -71,3 +71,62 @@ def test_export_lora_state_dict():
     assert len(sd) == 7 * 2 * n_layers
     a = sd["base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight"]
     assert a.shape == (4, cfg.lm.hidden_size)  # [r, in] torch layout
+
+
+def test_qlora_int8_base_adapters_active():
+    """Regression: with an int8-quantized frozen base, adapters must
+    actually influence the forward (they were silently dropped — the merge
+    only handled dense kernels) and training must reduce the loss without
+    densifying the base."""
+    from tokenpacker_tpu.ops.quantize import quantize_tree, tree_bytes
+
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    base = dict(params)
+    base["lm"] = quantize_tree(params["lm"], min_size=1024)
+    lcfg = LoraConfig(r=4, alpha=8)
+    lora = init_lora(jax.random.PRNGKey(1), base, lcfg)
+    # adapters exist over the quantized kernels
+    assert lora["lm"]["layers"]["attn"]["q"]["kernel"] is not None
+
+    batch = _tiny_batch(cfg)
+    # zero-B identity still holds
+    merged = merge_lora_params(base, lora, lcfg)
+    # base stays quantized (no densification)
+    assert tree_bytes(merged["lm"]) < tree_bytes(params["lm"])
+    l0, _ = vlm_loss(base, cfg, batch)
+    l1, _ = vlm_loss(merged, cfg, batch)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+
+    # a nonzero B changes the loss (adapters are live)
+    hot = jax.tree.map(lambda x: x + 0.05 if x is not None else None, lora)
+    l2, _ = vlm_loss(merge_lora_params(base, hot, lcfg), cfg, batch)
+    assert abs(float(l2) - float(l0)) > 1e-4
+
+    # and training over the int8 base reduces loss
+    trainable = (lora, base["projector"])
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(trainable)
+    step = lora_train_step_factory(cfg, lcfg, tx)
+    losses = []
+    for _ in range(6):
+        trainable, opt_state, metrics = step(trainable, base, opt_state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_qlora_int8_matches_dense_merge_numerics():
+    """The attached-adapter formulation equals mathematically merging the
+    dequantized base with the same adapters."""
+    from tokenpacker_tpu.ops.layers import linear
+    from tokenpacker_tpu.ops.quantize import dequantize_int8, quantize_int8
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 48)) * 0.02, jnp.float32)
+    q, scale = quantize_int8(w)
+    a = jnp.asarray(rng.standard_normal((64, 4)) * 0.01, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((4, 48)) * 0.01, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((3, 64)), jnp.float32)
+    got = linear({"kernel": {"q": q, "scale": scale, "lora_a": a, "lora_b": b}}, x)
+    ref = x @ (dequantize_int8(q, scale, jnp.float32) + a @ b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)

@@ -29,6 +29,8 @@ def linear(params, x):
     if isinstance(k, dict) and "q" in k:
         y = x @ k["q"].astype(x.dtype)
         y = y * jnp.squeeze(k["scale"], axis=-2).astype(x.dtype)
+        if "lora_a" in k:  # QLoRA: low-rank term beside the frozen int8 base
+            y = y + (x @ k["lora_a"].astype(x.dtype)) @ k["lora_b"].astype(x.dtype)
     elif isinstance(k, dict) and any(s.startswith("q4:") for s in k):
         # 4-bit weight-only (nf4/int4, ops/quantize.quantize_tree_4bit):
         # on TPU with a small left operand (decode GEMV) the Pallas
@@ -47,6 +49,8 @@ def linear(params, x):
             y = q4_matmul(x, k)
         else:
             y = x @ dequantize_4bit(k, x.dtype)
+        if "lora_a" in k:  # QLoRA over a 4-bit frozen base
+            y = y + (x @ k["lora_a"].astype(x.dtype)) @ k["lora_b"].astype(x.dtype)
     else:
         y = x @ k
     if params.get("bias") is not None:

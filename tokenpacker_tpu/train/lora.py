@@ -42,28 +42,57 @@ def _is_target(path) -> bool:
     return names[-1] == "kernel" and names[-2] in _TARGET_LEAVES
 
 
+def _is_quant_leaf(x) -> bool:
+    return isinstance(x, dict) and (
+        "q" in x and "scale" in x or any(k.startswith("q4:") for k in x)
+    )
+
+
+def _quant_leaf_shape_dtype(x):
+    if "q" in x:
+        return x["q"].shape, jnp.bfloat16
+    key = next(k for k in x if k.startswith("q4:"))
+    packed = x[key]
+    return (*packed.shape[:-2], packed.shape[-2] * 2, packed.shape[-1]), jnp.bfloat16
+
+
 def init_lora(key, params, cfg: LoraConfig):
     """Build the adapter tree: {path: {'a': [.., in, r], 'b': [.., r, out]}}
-    for every target kernel (stacked-layer leading dims preserved)."""
-    leaves = []
+    for every target kernel (stacked-layer leading dims preserved). Works on
+    dense AND quantized (int8/q4) base trees — QLoRA initializes adapters
+    over the already-quantized frozen base (reference train.py:827-874)."""
 
     def make(path, leaf):
-        if not _is_target(path):
+        if leaf is None or not _is_target(path):
             return None
-        *batch_dims, d_in, d_out = leaf.shape
+        if _is_quant_leaf(leaf):
+            shape, dtype = _quant_leaf_shape_dtype(leaf)
+        else:
+            shape, dtype = leaf.shape, leaf.dtype
+        *batch_dims, d_in, d_out = shape
         k = jax.random.fold_in(key, hash(jax.tree_util.keystr(path)) % (2**31))
-        a = jax.random.normal(k, (*batch_dims, d_in, cfg.r), leaf.dtype) * 0.01
-        b = jnp.zeros((*batch_dims, cfg.r, d_out), leaf.dtype)
+        a = jax.random.normal(k, (*batch_dims, d_in, cfg.r), dtype) * 0.01
+        b = jnp.zeros((*batch_dims, cfg.r, d_out), dtype)
         return {"a": a, "b": b}
 
-    return jax.tree_util.tree_map_with_path(make, params)
+    return jax.tree_util.tree_map_with_path(
+        make, params, is_leaf=lambda x: x is None or _is_quant_leaf(x)
+    )
 
 
 def merge_lora_params(params, lora, cfg: LoraConfig):
-    """Effective params: W + (alpha/r) * A @ B where an adapter exists."""
+    """Effective params: W + (alpha/r) * A @ B for dense kernels.
+
+    Quantized kernels (int8 {'q','scale'} / 4-bit 'q4:*' dicts) are NOT
+    densified — bnb-QLoRA semantics keep the frozen base quantized and add
+    the low-rank term beside it: the adapter (with the alpha/r scale folded
+    into B) is attached to the leaf dict and ops/layers.linear computes
+    y = x @ W_q + (x @ A) @ B."""
     scale = cfg.alpha / cfg.r
 
     def merge(path, leaf):
+        if leaf is None:
+            return leaf
         # walk the lora tree by path
         node = lora
         for p in path:
@@ -75,10 +104,15 @@ def merge_lora_params(params, lora, cfg: LoraConfig):
             node = node[key]
         if node is None or not isinstance(node, dict) or "a" not in node:
             return leaf
+        if _is_quant_leaf(leaf):
+            return {**leaf, "lora_a": node["a"],
+                    "lora_b": (node["b"] * scale).astype(node["b"].dtype)}
         delta = jnp.einsum("...ir,...ro->...io", node["a"], node["b"]) * scale
         return leaf + delta.astype(leaf.dtype)
 
-    return jax.tree_util.tree_map_with_path(merge, params)
+    return jax.tree_util.tree_map_with_path(
+        merge, params, is_leaf=lambda x: x is None or _is_quant_leaf(x)
+    )
 
 
 def lora_train_step_factory(vlm_cfg, lcfg: LoraConfig, tx):
