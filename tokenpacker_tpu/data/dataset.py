@@ -41,6 +41,7 @@ class SupervisedDataset:
         is_multimodal: bool = True,
         model_max_length: int = 2048,
         mm_use_im_start_end: bool = False,
+        image_size: int | None = None,  # tower input size (None = ViT-L 336)
     ):
         with open(data_path) as f:
             self.records = json.load(f)
@@ -52,6 +53,7 @@ class SupervisedDataset:
         self.is_multimodal = is_multimodal
         self.model_max_length = model_max_length
         self.mm_use_im_start_end = mm_use_im_start_end
+        self.image_size = image_size
 
     def __len__(self):
         return len(self.records)
@@ -86,7 +88,8 @@ class SupervisedDataset:
 
             img = load_image(path)
             aspect = self.image_aspect_ratio
-            crops, hb, wb = process_image(img, aspect, self.patch_num)
+            crops, hb, wb = process_image(img, aspect, self.patch_num,
+                                          image_size=self.image_size)
             item["image"] = crops
             item["h_block"], item["w_block"] = hb, wb
             item["mode"] = "slice" if aspect == "slice" else "single"

@@ -55,6 +55,12 @@ def build_parser():
     p.add_argument("--logging-steps", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
+    # quantized / LoRA training (reference train.py:100-111, 827-874)
+    p.add_argument("--bits", type=int, default=16, choices=[16, 8, 4])
+    p.add_argument("--lora-enable", action="store_true")
+    p.add_argument("--lora-r", type=int, default=64)
+    p.add_argument("--lora-alpha", type=int, default=16)
+    p.add_argument("--lora-dropout", type=float, default=0.05)
     return p
 
 
@@ -97,6 +103,7 @@ def main(argv=None):
         patch_num=args.patch_num,
         version=args.version,
         model_max_length=args.model_max_length,
+        image_size=cfg.vision.image_size,
     )
 
     tcfg = TrainConfig(
@@ -106,6 +113,12 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         warmup_ratio=args.warmup_ratio,
     )
+    lora_cfg = None
+    if args.lora_enable:
+        from tokenpacker_tpu.train.lora import LoraConfig
+
+        lora_cfg = LoraConfig(r=args.lora_r, alpha=args.lora_alpha,
+                              dropout=args.lora_dropout)
     rcfg = RunConfig(
         output_dir=args.output_dir,
         num_train_epochs=args.num_train_epochs,
@@ -117,6 +130,8 @@ def main(argv=None):
         seed=args.seed,
         tp=args.tp,
         seq_pad_to=args.model_max_length,
+        bits=args.bits,
+        lora=lora_cfg,
     )
     trainer = Trainer(cfg, tcfg, rcfg, params, dataset, tokenizer)
     trainer.train()

@@ -51,6 +51,10 @@ class RunConfig:
     seed: int = 42
     tp: int = 1
     seq_pad_to: int = 2048
+    # quantized/LoRA training (reference train.py:827-874): bits 8/4
+    # quantize the frozen base; lora trains adapters + projector only
+    bits: int = 16
+    lora: object = None  # train.lora.LoraConfig | None
 
 
 def _latest_checkpoint(output_dir: str) -> str | None:
@@ -91,6 +95,12 @@ class Trainer:
         rcfg = self.rcfg
         n_dev = self.mesh.shape["data"]
         global_bs = rcfg.per_device_batch_size * n_dev
+        if len(self.dataset) < global_bs:
+            raise ValueError(
+                f"dataset ({len(self.dataset)} samples) smaller than one global "
+                f"batch ({rcfg.per_device_batch_size} x {n_dev} devices = "
+                f"{global_bs}); training would silently run zero steps"
+            )
         if rcfg.group_by_modality_length:
             sampler = LengthGroupedSampler(
                 rcfg.per_device_batch_size,
@@ -175,9 +185,98 @@ class Trainer:
             return int(step), restored.get("opt_state", opt_state)
         return 0, opt_state
 
+    def save_lora_checkpoint(self, step: int, lora, lcfg):
+        """Reference LoRA layout (train.py:998-1008): adapter_model.bin +
+        adapter_config.json + non_lora_trainables.bin — loadable by
+        api.load_pretrained_model's LoRA branch."""
+        import json
+
+        from tokenpacker_tpu.io.hf_import import export_tokenpacker
+        from tokenpacker_tpu.train.lora import export_lora_state_dict
+
+        out = os.path.join(self.rcfg.output_dir, f"checkpoint-{step}")
+        os.makedirs(out, exist_ok=True)
+        adapter_sd = export_lora_state_dict(jax.device_get(lora), lcfg)
+        proj_sd = export_tokenpacker(jax.device_get(self.params["projector"]))
+        nlt = {
+            f"base_model.model.model.mm_projector.{k}": v for k, v in proj_sd.items()
+        }
+        with open(os.path.join(out, "adapter_config.json"), "w") as f:
+            json.dump({"r": lcfg.r, "lora_alpha": lcfg.alpha,
+                       "lora_dropout": lcfg.dropout, "peft_type": "LORA"}, f)
+        try:
+            import torch
+
+            torch.save({k: torch.from_numpy(np.array(v)) for k, v in adapter_sd.items()},
+                       os.path.join(out, "adapter_model.bin"))
+            torch.save({k: torch.from_numpy(np.array(v)) for k, v in nlt.items()},
+                       os.path.join(out, "non_lora_trainables.bin"))
+        except ImportError:
+            np.savez(os.path.join(out, "adapter_model.npz"), **adapter_sd)
+            np.savez(os.path.join(out, "non_lora_trainables.npz"), **nlt)
+        self._prune_checkpoints()
+        logger.info(f"saved LoRA checkpoint-{step}")
+
+    def _train_lora(self):
+        """QLoRA loop: quantized (or dense) frozen base, trainable =
+        (adapters, projector)."""
+        import optax
+
+        from tokenpacker_tpu.ops.quantize import quantize_tree, quantize_tree_4bit
+        from tokenpacker_tpu.train.lora import init_lora, lora_train_step_factory
+
+        rcfg, tcfg = self.rcfg, self.tcfg
+        lcfg = rcfg.lora
+        n_batches = len(self.dataset) // (rcfg.per_device_batch_size * self.mesh.shape["data"])
+        total_steps = max(n_batches * rcfg.num_train_epochs, 1)
+        tcfg = dataclasses.replace(tcfg, total_steps=total_steps)
+
+        base = dict(self.params)
+        if rcfg.bits == 8:
+            base["lm"] = quantize_tree(base["lm"])
+        elif rcfg.bits == 4:
+            base["lm"] = quantize_tree_4bit(base["lm"])
+        self.params = base
+        lora = init_lora(jax.random.PRNGKey(rcfg.seed), base, lcfg)
+        trainable = (lora, base["projector"])
+        warmup = max(min(int(tcfg.warmup_ratio * total_steps), total_steps - 1), 0)
+        if total_steps > 1:
+            lr = optax.warmup_cosine_decay_schedule(
+                0.0, tcfg.learning_rate, max(warmup, 1) if warmup else 1,
+                total_steps + 1,
+            )
+        else:
+            lr = tcfg.learning_rate
+        tx = optax.chain(optax.clip_by_global_norm(tcfg.max_grad_norm), optax.adamw(lr))
+        opt_state = tx.init(trainable)
+        step_fn = lora_train_step_factory(self.cfg, lcfg, tx)
+
+        step = 0
+        t0 = time.time()
+        for epoch in range(rcfg.num_train_epochs):
+            for batch in self._batches():
+                batch.pop("mode", None)
+                batch.pop("attn_mask", None)
+                batch.pop("lengths", None)
+                trainable, opt_state, metrics = step_fn(trainable, base, opt_state, batch)
+                step += 1
+                if step % rcfg.logging_steps == 0:
+                    logger.info(
+                        f"step {step}/{total_steps} loss {float(metrics['loss']):.4f} "
+                        f"({(time.time() - t0) / max(step, 1):.2f}s/step)"
+                    )
+                if step % rcfg.save_steps == 0:
+                    self.params = {**self.params, "projector": trainable[1]}
+                    self.save_lora_checkpoint(step, trainable[0], lcfg)
+        self.params = {**self.params, "projector": trainable[1]}
+        self.save_lora_checkpoint(step, trainable[0], lcfg)
+        return trainable
+
     # -- main loop ---------------------------------------------------------
 
     def train(self):
+        if self.rcfg.lora is not None:
+            return self._train_lora()
         rcfg, tcfg = self.rcfg, self.tcfg
         n_batches = len(self.dataset) // (
             rcfg.per_device_batch_size * self.mesh.shape["data"]
