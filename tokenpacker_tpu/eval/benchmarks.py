@@ -31,6 +31,7 @@ def _load_model(args):
         args.model_path,
         getattr(args, "model_base", None),
         load_8bit=getattr(args, "load_8bit", False),
+        load_4bit=getattr(args, "load_4bit", False),
     )
     runner = EvalRunner(
         model,
@@ -234,6 +235,7 @@ def build_parser():
         sp.add_argument("--temperature", type=float, default=0.0)
         sp.add_argument("--image-aspect-ratio", default=None)
         sp.add_argument("--load-8bit", action="store_true")
+        sp.add_argument("--load-4bit", action="store_true")
 
     for name, fn in [
         ("vqa", run_vqa),  # VQAv2 / GQA / MME / TextVQA / VizWiz / POPE / MM-Vet

@@ -54,12 +54,17 @@ def main(argv=None):
     parser.add_argument("--conv-mode", default=None)
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--max-new-tokens", type=int, default=512)
+    parser.add_argument("--load-8bit", action="store_true")
+    parser.add_argument("--load-4bit", action="store_true")
     args = parser.parse_args(argv)
 
     from tokenpacker_tpu.api import load_pretrained_model
 
     model_name = get_model_name_from_path(args.model_path)
-    tokenizer, model, _, context_len = load_pretrained_model(args.model_path, args.model_base)
+    tokenizer, model, _, context_len = load_pretrained_model(
+        args.model_path, args.model_base,
+        load_8bit=args.load_8bit, load_4bit=args.load_4bit,
+    )
     cfg = model.config
 
     conv_mode = args.conv_mode or pick_conv_mode(model_name)

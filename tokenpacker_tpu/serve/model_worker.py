@@ -55,6 +55,7 @@ class ModelWorker:
         limit_model_concurrency: int = 5,
         no_register: bool = False,
         load_8bit: bool = False,
+        load_4bit: bool = False,
     ):
         from tokenpacker_tpu.api import load_pretrained_model
         from tokenpacker_tpu.data.mm_tokenize import get_model_name_from_path
@@ -65,7 +66,8 @@ class ModelWorker:
         self.model_name = model_name or get_model_name_from_path(model_path)
         logger.info(f"Loading model {self.model_name} on worker {self.worker_id} ...")
         self.tokenizer, self.model, self.image_processor, self.context_len = (
-            load_pretrained_model(model_path, model_base, self.model_name, load_8bit=load_8bit)
+            load_pretrained_model(model_path, model_base, self.model_name,
+                                  load_8bit=load_8bit, load_4bit=load_4bit)
         )
         self.cfg = self.model.config
         if os.environ.get("TOKENPACKER_WARMUP", "1") == "1":
@@ -276,6 +278,7 @@ def main(argv=None):
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
     parser.add_argument("--no-register", action="store_true")
     parser.add_argument("--load-8bit", action="store_true")
+    parser.add_argument("--load-4bit", action="store_true")
     args = parser.parse_args(argv)
     worker = ModelWorker(
         args.controller_address,
@@ -286,6 +289,7 @@ def main(argv=None):
         args.limit_model_concurrency,
         args.no_register,
         args.load_8bit,
+        args.load_4bit,
     )
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
     logger.info(f"worker listening on {args.host}:{args.port}")
