@@ -167,3 +167,59 @@ def test_stale_worker_expiry():
     c.remove_stale_workers_by_expiration()
     assert "http://dead:1" not in c.worker_info
     c.stop()
+
+
+def test_worker_stream_via_continuous_batcher(tiny_worker):
+    """The worker's --scheduler continuous path: two concurrent HTTP streams
+    share batched decode steps and produce the same text as the plain
+    Generator path."""
+    from tokenpacker_tpu.serve.scheduler import ContinuousBatcher
+
+    cfg = tiny_worker.cfg
+    params = tiny_worker.model.generator.params
+    batcher = ContinuousBatcher(params, cfg, tiny_worker.tokenizer, num_slots=2, max_seq_len=128)
+    batcher.start()
+    tiny_worker.batcher = batcher
+    wport = _free_port()
+    ws = ThreadingHTTPServer(("localhost", wport), worker_handler(tiny_worker))
+    threading.Thread(target=ws.serve_forever, daemon=True).start()
+    time.sleep(0.2)
+    try:
+        def stream_one(prompt):
+            req = urllib.request.Request(
+                f"http://localhost:{wport}/worker_generate_stream",
+                json.dumps({"prompt": prompt, "temperature": 0.0, "max_new_tokens": 5}).encode(),
+                {"Content-Type": "application/json"},
+            )
+            chunks = []
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                buf = b""
+                while True:
+                    b = resp.read(1)
+                    if not b:
+                        break
+                    if b == b"\0":
+                        chunks.append(json.loads(buf))
+                        buf = b""
+                    else:
+                        buf += b
+            return chunks
+
+        results = [None, None]
+        def run(i, p):
+            results[i] = stream_one(p)
+        t1 = threading.Thread(target=run, args=(0, "a curious user"))
+        t2 = threading.Thread(target=run, args=(1, "an artificial intelligence"))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+        for r in results:
+            assert r and r[-1]["error_code"] == 0
+            assert len(r) >= 1
+        # parity with the non-batcher path for the same prompt
+        tiny_worker.batcher = None
+        ref = stream_one("a curious user")
+        tiny_worker.batcher = batcher
+        assert results[0][-1]["text"] == ref[-1]["text"]
+    finally:
+        tiny_worker.batcher = None
+        ws.shutdown()
+        batcher.stop()

@@ -56,6 +56,9 @@ class ModelWorker:
         no_register: bool = False,
         load_8bit: bool = False,
         load_4bit: bool = False,
+        scheduler: str = "none",  # none | continuous | paged
+        scheduler_slots: int = 4,
+        scheduler_max_len: int = 1024,
     ):
         from tokenpacker_tpu.api import load_pretrained_model
         from tokenpacker_tpu.data.mm_tokenize import get_model_name_from_path
@@ -75,6 +78,32 @@ class ModelWorker:
             n_crops = 1 if self.cfg.image_aspect_ratio != "slice" else self.cfg.patch_num + 1
             self.model.generator.warmup(n_crops=n_crops)
         self.semaphore = threading.Semaphore(limit_model_concurrency)
+        self.batcher = None
+        if scheduler != "none":
+            # continuous batching: up to scheduler_slots requests decode in
+            # ONE batched device step per token (beyond the reference's
+            # one-generate-at-a-time worker); 'paged' backs the slots with
+            # the paged KV pool
+            from tokenpacker_tpu.serve.scheduler import (
+                ContinuousBatcher,
+                PagedContinuousBatcher,
+            )
+
+            if scheduler == "paged":
+                self.batcher = PagedContinuousBatcher(
+                    self.model.params, self.cfg, self.tokenizer,
+                    num_slots=scheduler_slots,
+                    num_pages=max(2 * scheduler_slots * (scheduler_max_len // 64), 16) + 1,
+                    page_size=64,
+                    max_pages_per_seq=max(scheduler_max_len // 64, 1),
+                )
+            else:
+                self.batcher = ContinuousBatcher(
+                    self.model.params, self.cfg, self.tokenizer,
+                    num_slots=scheduler_slots, max_seq_len=scheduler_max_len,
+                )
+            self.batcher.start()
+            logger.info(f"{scheduler} batching executor: {scheduler_slots} slots")
         self.queue_length = 0
         self._ql_lock = threading.Lock()
         self.call_ct = 0
@@ -185,6 +214,19 @@ class ModelWorker:
             generated = ""
             GLOBAL_STATS.record("preprocess", time.perf_counter() - t_start)
             t_prefill = time.perf_counter()
+            if getattr(self, "batcher", None) is not None:
+                yield from self._stream_via_batcher(
+                    prompt,
+                    {
+                        "token_ids": plan.token_ids,
+                        "is_image": plan.is_image,
+                        "image_slot": plan.image_slot,
+                        "lengths": plan.lengths,
+                        "images": images,
+                    },
+                    max_new_tokens, temperature, stop_strings, t_prefill,
+                )
+                return
             first = True
             for text in self.model.generator.generate_stream(
                 {
@@ -219,6 +261,52 @@ class ModelWorker:
             yield json.dumps(
                 {"text": f"internal error\n(error_code: 1)", "error_code": 1}
             ).encode() + b"\0"
+
+    def _stream_via_batcher(self, prompt, batch, max_new_tokens, temperature,
+                            stop_strings, t_prefill):
+        """Stream through the continuous-batching executor: tokens arrive via
+        the slot's on_token callback while other requests decode in the same
+        device step. top_p is not applied on this path (greedy/temperature
+        sampling only)."""
+        import queue as _queue
+
+        from tokenpacker_tpu.utils.profiling import GLOBAL_STATS
+
+        q: _queue.Queue = _queue.Queue()
+        fut = self.batcher.submit(
+            batch, max_new_tokens=max_new_tokens,
+            temperature=temperature if temperature > 0 else 0.0,
+            on_token=q.put,
+        )
+        fut.add_done_callback(lambda f: q.put(None))
+        eos = self.cfg.lm.eos_token_id
+        toks: list[int] = []
+        first = True
+        n = 0
+        t_decode = time.perf_counter()
+        while True:
+            tok = q.get(timeout=600)
+            if tok is None:
+                break
+            if first:
+                GLOBAL_STATS.record("prefill_ttft", time.perf_counter() - t_prefill)
+                t_decode = time.perf_counter()
+                first = False
+            n += 1
+            if tok == eos:
+                continue
+            toks.append(int(tok))
+            text = self.tokenizer.decode(toks, skip_special_tokens=True)
+            stopped = False
+            for s in stop_strings:
+                if s and s in text:
+                    text = text.split(s)[0]
+                    stopped = True
+            yield json.dumps({"text": prompt + text, "error_code": 0}).encode() + b"\0"
+            if stopped:
+                break
+        if n > 1:
+            GLOBAL_STATS.record("decode_per_token", (time.perf_counter() - t_decode) / (n - 1))
 
     def generate_stream_gate(self, params: dict):
         with self._ql_lock:
@@ -279,6 +367,10 @@ def main(argv=None):
     parser.add_argument("--no-register", action="store_true")
     parser.add_argument("--load-8bit", action="store_true")
     parser.add_argument("--load-4bit", action="store_true")
+    parser.add_argument("--scheduler", default="none",
+                        choices=["none", "continuous", "paged"])
+    parser.add_argument("--scheduler-slots", type=int, default=4)
+    parser.add_argument("--scheduler-max-len", type=int, default=1024)
     args = parser.parse_args(argv)
     worker = ModelWorker(
         args.controller_address,
@@ -290,6 +382,9 @@ def main(argv=None):
         args.no_register,
         args.load_8bit,
         args.load_4bit,
+        scheduler=args.scheduler,
+        scheduler_slots=args.scheduler_slots,
+        scheduler_max_len=args.scheduler_max_len,
     )
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
     logger.info(f"worker listening on {args.host}:{args.port}")
