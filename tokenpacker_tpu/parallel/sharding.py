@@ -54,18 +54,20 @@ def _spec_for(path: tuple, leaf, mesh: Mesh) -> P:
             full = [None] * off + list(axes)
             return spec(*full)
 
-        if joined.endswith("embed"):
+        if joined.endswith("embed") or joined.endswith("wte"):
             return spec(DATA_AXIS, MODEL_AXIS)
         if "lm_head" in names:
             return spec(DATA_AXIS, MODEL_AXIS)
         if "kernel" in names and ndim >= 2:
-            if "attn" in names and names[-2] in ("q", "k", "v"):
+            # LLaMA family (q/k/v/o, gate/up/down) incl. the fused
+            # qkv/gateup layout, and the MPT family (wqkv/out, ffn up/down)
+            if "attn" in names and names[-2] in ("q", "k", "v", "qkv", "wqkv"):
                 return lspec(DATA_AXIS, MODEL_AXIS)
-            if "attn" in names and names[-2] == "o":
+            if "attn" in names and names[-2] in ("o", "out"):
                 return lspec(MODEL_AXIS, DATA_AXIS)
-            if "mlp" in names and names[-2] in ("gate", "up"):
+            if ("mlp" in names or "ffn" in names) and names[-2] in ("gate", "up", "gateup"):
                 return lspec(DATA_AXIS, MODEL_AXIS)
-            if "mlp" in names and names[-2] == "down":
+            if ("mlp" in names or "ffn" in names) and names[-2] == "down":
                 return lspec(MODEL_AXIS, DATA_AXIS)
         return P()  # norms, biases
 
