@@ -34,18 +34,9 @@ import jax.numpy as jnp
 def _device_random_like(tree, seed=0):
     """Materialize params on-device with ONE jitted program — no host->TPU
     weight transfer (14 GB over the axon tunnel would dominate the bench)."""
+    from tokenpacker_tpu.utils.bench_params import random_params_like
 
-    @jax.jit
-    def make():
-        key = jax.random.PRNGKey(seed)
-        leaves, treedef = jax.tree.flatten(tree)
-        out = []
-        for i, leaf in enumerate(leaves):
-            k = jax.random.fold_in(key, i)
-            out.append(0.02 * jax.random.normal(k, leaf.shape, jnp.float32).astype(leaf.dtype))
-        return jax.tree.unflatten(treedef, out)
-
-    return make()
+    return random_params_like(tree, seed)
 
 
 _START = time.perf_counter()
@@ -197,26 +188,10 @@ def _int8_params_on_device(cfg, dtype):
     """Random 7B params with the LM's big kernels directly int8 — no bf16
     intermediate (it wouldn't co-reside in HBM)."""
     from tokenpacker_tpu.models.vlm import init_vlm
+    from tokenpacker_tpu.utils.bench_params import int8_params_like
 
     shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, dtype))
-
-    @jax.jit
-    def make():
-        key = jax.random.PRNGKey(0)
-        leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
-        out = []
-        for i, (path, leaf) in enumerate(leaves):
-            names = [str(getattr(p, "key", p)) for p in path]
-            k = jax.random.fold_in(key, i)
-            if names[0] == "lm" and "kernel" in names and leaf.ndim >= 2 and leaf.size > (1 << 16):
-                q = jax.random.randint(k, leaf.shape, -127, 128, jnp.int8)
-                scale = jnp.full(leaf.shape[:-2] + (1, leaf.shape[-1]), 2e-4, jnp.float32)
-                out.append({"q": q, "scale": scale})
-            else:
-                out.append(0.02 * jax.random.normal(k, leaf.shape, jnp.float32).astype(leaf.dtype))
-        return jax.tree_util.tree_unflatten(treedef, out)
-
-    return make()
+    return int8_params_like(shapes)
 
 
 def bench_7b_int8_decode():
@@ -266,52 +241,16 @@ def bench_7b_int4_decode():
     from tokenpacker_tpu.config import TokenPackerVLMConfig
     from tokenpacker_tpu.generate import decode_step_cb
     from tokenpacker_tpu.models.llama import KVCache
+    from tokenpacker_tpu.models.vlm import init_vlm
+    from tokenpacker_tpu.utils.bench_params import q4_params_like
 
     cfg = TokenPackerVLMConfig()
     dtype = jnp.bfloat16
     lm = cfg.lm
-    d, dkv, inter, L = (
-        lm.hidden_size, lm.kv_heads * lm.head_dim, lm.intermediate_size,
-        lm.num_hidden_layers,
-    )
+    L = lm.num_hidden_layers
+    shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, dtype))
+    params = q4_params_like(shapes, lm, quant_type="int4", fused=True)
 
-    @jax.jit
-    def make():
-        from tokenpacker_tpu.models.vlm import init_vlm
-
-        shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, dtype))
-        key = jax.random.PRNGKey(3)
-
-        def q4(k, shape, block=64):
-            kd, n = shape[-2], shape[-1]
-            lead = shape[:-2]
-            packed = jax.random.randint(k, (*lead, kd // 2, n), 0, 256, jnp.int32).astype(jnp.uint8)
-            absmax = jnp.full((*lead, kd // block, n), 2e-2, jnp.float32)
-            return {"q4:int4:64": packed, "absmax": absmax}
-
-        leaves, td = jax.tree_util.tree_flatten_with_path(shapes)
-        out = []
-        for i, (path, leaf) in enumerate(leaves):
-            names = [str(getattr(p, "key", p)) for p in path]
-            k = jax.random.fold_in(key, i)
-            if names[0] == "lm" and "kernel" in names and leaf.ndim >= 2 and leaf.size > (1 << 16):
-                out.append(q4(k, leaf.shape))
-            else:
-                out.append(0.02 * jax.random.normal(k, leaf.shape, jnp.float32).astype(leaf.dtype))
-        tree = jax.tree_util.tree_unflatten(td, out)
-        layers = dict(tree["lm"]["layers"])
-        layers["attn"] = {
-            "qkv": {"kernel": q4(jax.random.fold_in(key, 1001), (L, d, d + 2 * dkv))},
-            "o": layers["attn"]["o"],
-        }
-        layers["mlp"] = {
-            "gateup": {"kernel": q4(jax.random.fold_in(key, 1002), (L, d, 2 * inter))},
-            "down": layers["mlp"]["down"],
-        }
-        tree["lm"] = {**tree["lm"], "layers": layers}
-        return tree
-
-    params = make()
     s_max, n_steps, b = 512, 64, 1
     cache = KVCache(
         jnp.zeros((L, b, s_max, lm.kv_heads, lm.head_dim), dtype),

@@ -28,24 +28,11 @@ from tokenpacker_tpu.models.vlm import init_vlm
 
 
 def int8_params(cfg, dtype):
+    from tokenpacker_tpu.models.vlm import init_vlm
+    from tokenpacker_tpu.utils.bench_params import int8_params_like
+
     shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, dtype))
-
-    @jax.jit
-    def make():
-        key = jax.random.PRNGKey(0)
-        leaves, td = jax.tree_util.tree_flatten_with_path(shapes)
-        out = []
-        for i, (path, leaf) in enumerate(leaves):
-            names = [str(getattr(p, "key", p)) for p in path]
-            k = jax.random.fold_in(key, i)
-            if names[0] == "lm" and "kernel" in names and leaf.ndim >= 2 and leaf.size > (1 << 16):
-                out.append({"q": jax.random.randint(k, leaf.shape, -127, 128, jnp.int8),
-                            "scale": jnp.full(leaf.shape[:-2] + (1, leaf.shape[-1]), 2e-4, jnp.float32)})
-            else:
-                out.append(0.02 * jax.random.normal(k, leaf.shape, jnp.float32).astype(leaf.dtype))
-        return jax.tree_util.tree_unflatten(td, out)
-
-    return make()
+    return int8_params_like(shapes)
 
 
 def main():

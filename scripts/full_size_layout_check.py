@@ -93,25 +93,13 @@ def main():
     params = import_vlm(sd, cfg, jnp.float32)
     gen = Generator(params, cfg)
 
+    from tests.torch_oracles import torch_reference_greedy
+
     def torch_greedy(ids, image, n_steps):
-        with torch.no_grad():
-            out = tower(image, output_hidden_states=True)
-            feats = out.hidden_states[-2][:, 1:]
-            multi = torch.cat([out.hidden_states[l] for l in MULTI_LAYERS], dim=2)[:, 1:]
-            visual = projector((feats, multi))[0]
-            generated = list(ids)
-            for step in range(n_steps):
-                cur = torch.tensor(generated)
-                img_pos = int((cur == IMAGE_TOKEN_INDEX).nonzero()[0])
-                emb_tok = lm.get_input_embeddings()(torch.clamp(cur, min=0))
-                emb = torch.cat([emb_tok[:img_pos], visual, emb_tok[img_pos + 1 :]], dim=0)[None]
-                logits = lm(inputs_embeds=emb).logits[0, -1]
-                nxt = int(torch.argmax(logits))
-                log(f"  torch step {step}: token {nxt}")
-                generated.append(nxt)
-                if nxt == 2:
-                    break
-            return generated[len(ids):]
+        return torch_reference_greedy(
+            tower, projector, lm, ids, image, n_steps, MULTI_LAYERS,
+            on_step=lambda step, tok: log(f"  torch step {step}: token {tok}"),
+        )
 
     n_steps = 3
     ok = True

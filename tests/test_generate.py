@@ -236,7 +236,10 @@ def test_decode_attention_kernel_matches_xla(family, monkeypatch):
 
     def run(impl):
         monkeypatch.setenv("TOKENPACKER_DECODE_ATTN", impl)
-        logits, cache = prefill(params, cfg, batch, l + 4)
+        # the env is read at TRACE time; decode_step is cached by shapes
+        # only, so the second impl would silently reuse the first trace
+        jax.clear_caches()
+        logits, cache = prefill(params, cfg, batch, l + 8)
         out = []
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         for step in range(3):

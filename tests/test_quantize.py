@@ -232,3 +232,37 @@ def test_fused_llama_layers_equivalent():
     ref, _ = llama_apply(params, cfg, emb, pos, bias)
     got, _ = llama_apply(fused, cfg, emb, pos, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_quantized_mpt_forward_and_decode():
+    """Regression (review r2): MPT consumed kernels with raw matmuls, so
+    int8/4-bit quantized MPT trees crashed at trace time. Now routed through
+    ops.layers.linear: quantized MPT runs prefill + decode and stays close
+    to the dense forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from tokenpacker_tpu.models.llama import KVCache, make_attention_bias
+    from tokenpacker_tpu.models.mpt import init_mpt, mpt_apply, mpt_config, mpt_embed
+    from tokenpacker_tpu.ops.quantize import quantize_tree, quantize_tree_4bit
+
+    cfg = mpt_config(d_model=64, n_heads=4, n_layers=2, vocab_size=128, expansion_ratio=2)
+    params = init_mpt(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 6)))
+    emb = mpt_embed(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(6), (2, 6))
+    bias = make_attention_bias(pos, jnp.ones((2, 6), bool), 0, 6)
+    ref, _ = mpt_apply(params, cfg, emb, bias, use_flash=False)
+
+    for quant in (lambda p: quantize_tree(p, min_size=1024),
+                  lambda p: quantize_tree_4bit(p, min_size=1024)):
+        qp = quant(params)
+        got, _ = mpt_apply(qp, cfg, mpt_embed(qp, ids), bias, use_flash=False)
+        # quantization error is bounded, not exact
+        err = float(jnp.mean(jnp.abs(got - ref)) / (jnp.mean(jnp.abs(ref)) + 1e-9))
+        assert err < 0.2, err
+        # decode with cache works too
+        cache = KVCache.create(cfg, 2, 8, jnp.float32)
+        bias1 = make_attention_bias(pos[:, :1] * 0 + 6, jnp.ones((2, 8), bool), 0, 8)
+        h, _ = mpt_apply(qp, cfg, mpt_embed(qp, ids[:, :1]), bias1, cache)
+        assert np.isfinite(np.asarray(h)).all()

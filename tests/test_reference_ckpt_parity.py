@@ -107,28 +107,11 @@ def real_layout_pipeline():
     return tower, projector, lm, cfg, params, sd
 
 
-def torch_reference_greedy(tower, projector, lm, ids, image, n_steps):
-    """Reference chain: CLIPVisionTower.feature_select semantics
-    (clip_encoder.py:47-62) → reference TokenPacker.forward((x, x_multi)) →
-    splice at IMAGE_TOKEN_INDEX → greedy loop."""
-    with torch.no_grad():
-        out = tower(image, output_hidden_states=True)
-        feats = out.hidden_states[-2][:, 1:]
-        multi = torch.cat([out.hidden_states[l] for l in MULTI_LAYERS], dim=2)[:, 1:]
-        visual = projector((feats, multi))[0]  # [tpv, D]
+from tests.torch_oracles import torch_reference_greedy as _shared_greedy
 
-        generated = list(ids)
-        for _ in range(n_steps):
-            cur = torch.tensor(generated)
-            img_pos = int((cur == IMAGE_TOKEN_INDEX).nonzero()[0])
-            emb_tok = lm.get_input_embeddings()(torch.clamp(cur, min=0))
-            emb = torch.cat([emb_tok[:img_pos], visual, emb_tok[img_pos + 1 :]], dim=0)[None]
-            logits = lm(inputs_embeds=emb).logits[0, -1]
-            nxt = int(torch.argmax(logits))
-            generated.append(nxt)
-            if nxt == 2:
-                break
-        return generated[len(ids) :]
+
+def torch_reference_greedy(tower, projector, lm, ids, image, n_steps):
+    return _shared_greedy(tower, projector, lm, ids, image, n_steps, MULTI_LAYERS)
 
 
 def _generate_ours(params, cfg, ids, image_nhwc, n_steps):

@@ -52,17 +52,7 @@ def test_train_cli_runs_stage1(tmp_path, monkeypatch):
     data = tmp_path / "data.json"
     data.write_text(json.dumps(records))
 
-    # shrink dataset images to the tiny tower geometry
-    import tokenpacker_tpu.data.dataset as ds_mod
-
-    orig = ds_mod.process_image
-
-    def small(img, aspect, patch_num):
-        crops, hb, wb = orig(img, aspect, patch_num)
-        s = cfg.vision.image_size
-        return crops[:, :, :s, :s].copy(), hb, wb
-
-    monkeypatch.setattr(ds_mod, "process_image", small)
+    # the CLI threads cfg.vision.image_size into the dataset natively
 
     out = tmp_path / "out"
     train_cli.main(
@@ -136,14 +126,8 @@ def test_train_cli_qlora_roundtrip(tmp_path, monkeypatch):
     data = tmp_path / "data.json"
     data.write_text(json.dumps(records))
 
-    import tokenpacker_tpu.data.dataset as ds_mod
-
-    orig = ds_mod.process_image
-    monkeypatch.setattr(
-        ds_mod, "process_image",
-        lambda img, aspect, pn: (orig(img, aspect, pn, image_size=cfg.vision.image_size)),
-    )
-
+    # the CLI passes cfg.vision.image_size into the dataset, so tiny-tower
+    # preprocessing needs no monkeypatching
     out = tmp_path / "qlora_run"
     import tokenpacker_tpu.train.train as train_cli
 

@@ -48,6 +48,9 @@ def main(argv=None):
     parser.add_argument("--sep", default=",")
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--max-new-tokens", type=int, default=512)
+    from tokenpacker_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     eval_model(parser.parse_args(argv))
 
 

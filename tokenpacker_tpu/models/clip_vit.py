@@ -89,7 +89,8 @@ def _attn_pallas(p, x, num_heads: int):
     q = linear(p["q"], x)
     k = linear(p["k"], x)
     v = linear(p["v"], x)
-    return linear(p["o"], vit_attention(q, k, v, num_heads))
+    interpret = jax.default_backend() != "tpu"
+    return linear(p["o"], vit_attention(q, k, v, num_heads, interpret=interpret))
 
 
 def _attn(p, x, num_heads: int):

@@ -174,7 +174,8 @@ def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len, use_flas
         if flash_ok and t > 1:
             # prefill: the causal span only covers the current tokens
             attn_out = _flash_causal(q, k, v)
-        elif t == 1 and decode_info is not None and _use_decode_kernel():
+        elif (t == 1 and decode_info is not None and _use_decode_kernel()
+              and ck.shape[1] % 8 == 0):
             # Pallas decode attention: per-sample lengths ride scalar
             # prefetch, KV blocks past a sequence's length are never DMA'd,
             # and the [N,1,1,S] fp32 bias is never materialized

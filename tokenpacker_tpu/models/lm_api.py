@@ -22,22 +22,24 @@ def lm_embed(params, cfg: LMConfig, input_ids):
 
 
 def lm_apply(params, cfg: LMConfig, inputs_embeds, positions, attn_bias, cache=None,
-             key_positions=None, decode_info=None):
+             key_positions=None, decode_info=None, use_flash=None):
     """positions are used by RoPE (LLaMA); MPT uses ALiBi over key_positions
     (optional [N, S] true token position per cache slot, for bucket-padded
     decode where slot index != token position). decode_info: optional
     (lengths, needed, span_start) enabling the Pallas decode-attention
-    kernel for t==1 steps."""
+    kernel for t==1 steps. use_flash: pass False when attn_bias is NOT a
+    plain right-padded causal mask (e.g. prefix-LM) — the auto flash path
+    replaces the bias with pure causal+ALiBi semantics."""
     if cfg.model_family == "mpt":
         # lm_apply callers build plain causal+padding biases
         # (make_attention_bias), so the auto-flash path is safe
         return _mpt.mpt_apply(
             params, cfg, inputs_embeds, attn_bias, cache, key_positions,
-            decode_info=decode_info,
+            use_flash=use_flash, decode_info=decode_info,
         )
     return _llama.llama_apply(
         params, cfg, inputs_embeds, positions, attn_bias, cache,
-        decode_info=decode_info,
+        use_flash=use_flash, decode_info=decode_info,
     )
 
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from tokenpacker_tpu.config import LMConfig
 from tokenpacker_tpu.models.llama import KVCache, _sdpa, _use_decode_kernel
-from tokenpacker_tpu.ops.layers import init_layer_norm, layer_norm
+from tokenpacker_tpu.ops.layers import init_layer_norm, layer_norm, linear
 
 
 def mpt_config(
@@ -139,7 +139,7 @@ def _mpt_layer(p, cfg: LMConfig, x, bias, layer_cache, cache_len, flash_bias=Non
     hd = d // h
     res = x
     y = layer_norm(p["norm_1"], x)
-    qkv = y @ p["attn"]["wqkv"]["kernel"]  # [N, T, 3D]
+    qkv = linear(p["attn"]["wqkv"], y)  # [N, T, 3D]; linear handles int8/q4 kernels
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(n, t, h, hd)
     k = k.reshape(n, t, h, hd)
@@ -160,7 +160,8 @@ def _mpt_layer(p, cfg: LMConfig, x, bias, layer_cache, cache_len, flash_bias=Non
         else:
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
-        if t == 1 and decode_info is not None and _use_decode_kernel():
+        if (t == 1 and decode_info is not None and _use_decode_kernel()
+                and ck.shape[1] % 8 == 0):
             # Pallas decode attention with in-kernel ALiBi over compacted
             # token positions (= alibi_bias_from_positions semantics)
             from tokenpacker_tpu.ops.decode_attention import decode_attention
@@ -181,10 +182,10 @@ def _mpt_layer(p, cfg: LMConfig, x, bias, layer_cache, cache_len, flash_bias=Non
 
 
 def _mpt_layer_tail(p, res, attn, n, t, d):
-    x = res + (attn.reshape(n, t, d) @ p["attn"]["out"]["kernel"])
+    x = res + linear(p["attn"]["out"], attn.reshape(n, t, d))
     y = layer_norm(p["norm_2"], x)
-    y = jax.nn.gelu(y @ p["ffn"]["up"]["kernel"], approximate=False)
-    return x + (y @ p["ffn"]["down"]["kernel"])
+    y = jax.nn.gelu(linear(p["ffn"]["up"], y), approximate=False)
+    return x + linear(p["ffn"]["down"], y)
 
 
 def mpt_apply(params, cfg: LMConfig, inputs_embeds, attn_bias, cache: KVCache | None = None,

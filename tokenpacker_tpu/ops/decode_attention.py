@@ -129,7 +129,12 @@ def decode_attention(q, ck, cv, lengths, needed, slopes=None, *,
     hkv = ck.shape[2]
     assert h % hkv == 0 and h // hkv == groups
     if s % block_k:
-        block_k = next(b for b in (64, 32, 16, 8) if s % b == 0)
+        block_k = next((b for b in (64, 32, 16, 8) if s % b == 0), None)
+        if block_k is None:
+            raise ValueError(
+                f"decode_attention needs the cache length ({s}) divisible by 8; "
+                "callers gate on this and fall back to the XLA path"
+            )
     num_kb = s // block_k
     kf = ck.reshape(n, s, hkv * d)
     vf = cv.reshape(n, s, hkv * d)

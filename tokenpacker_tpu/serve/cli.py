@@ -57,6 +57,9 @@ def main(argv=None):
     parser.add_argument("--load-8bit", action="store_true")
     parser.add_argument("--load-4bit", action="store_true")
     args = parser.parse_args(argv)
+    from tokenpacker_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
 
     from tokenpacker_tpu.api import load_pretrained_model
 

@@ -272,6 +272,9 @@ def main(argv=None):
         "--dispatch-method", choices=["lottery", "shortest_queue"], default="shortest_queue"
     )
     args = parser.parse_args(argv)
+    from tokenpacker_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     controller = Controller(args.dispatch_method)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(controller))
     logger.info(f"controller listening on {args.host}:{args.port}")

@@ -93,9 +93,9 @@ class ModelWorker:
                 self.batcher = PagedContinuousBatcher(
                     self.model.params, self.cfg, self.tokenizer,
                     num_slots=scheduler_slots,
-                    num_pages=max(2 * scheduler_slots * (scheduler_max_len // 64), 16) + 1,
+                    num_pages=max(2 * scheduler_slots * ((scheduler_max_len + 63) // 64), 16) + 1,
                     page_size=64,
-                    max_pages_per_seq=max(scheduler_max_len // 64, 1),
+                    max_pages_per_seq=max((scheduler_max_len + 63) // 64, 1),
                 )
             else:
                 self.batcher = ContinuousBatcher(
@@ -285,8 +285,21 @@ class ModelWorker:
         n = 0
         t_decode = time.perf_counter()
         while True:
-            tok = q.get(timeout=600)
+            try:
+                tok = q.get(timeout=600)
+            except _queue.Empty:
+                yield json.dumps(
+                    {"text": "scheduler timeout\n(error_code: 1)", "error_code": 1}
+                ).encode() + b"\0"
+                return
             if tok is None:
+                err = fut.exception() if fut.done() else None
+                if err is not None:
+                    logger.error(f"batcher error: {err}")
+                    yield json.dumps(
+                        {"text": f"{err}\n(error_code: 1)", "error_code": 1}
+                    ).encode() + b"\0"
+                    return
                 break
             if first:
                 GLOBAL_STATS.record("prefill_ttft", time.perf_counter() - t_prefill)
@@ -372,6 +385,9 @@ def main(argv=None):
     parser.add_argument("--scheduler-slots", type=int, default=4)
     parser.add_argument("--scheduler-max-len", type=int, default=1024)
     args = parser.parse_args(argv)
+    from tokenpacker_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     worker = ModelWorker(
         args.controller_address,
         args.worker_address,

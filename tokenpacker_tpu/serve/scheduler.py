@@ -82,6 +82,7 @@ class PagedContinuousBatcher:
         self.queue: queue.Queue[_Request] = queue.Queue()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self.dead: Exception | None = None
         self.paged = PagedKV.create(
             cfg.lm, num_pages, page_size, num_slots, max_pages_per_seq, cfg.dtype
         )
@@ -93,13 +94,32 @@ class PagedContinuousBatcher:
 
 
     def start(self):
-        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def stop(self):
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=30)
+
+    def _run(self):
+        """_loop with a crash net: a device/pool error fails every in-flight
+        and queued future instead of silently wedging clients."""
+        try:
+            self._loop()
+        except BaseException as e:  # noqa: BLE001
+            self.dead = e
+            err = RuntimeError(f"batcher loop died: {e!r}")
+            for req in self.slots:
+                if req is not None and not req.future.done():
+                    req.future.set_exception(err)
+            while True:
+                try:
+                    req = self.queue.get_nowait()
+                except queue.Empty:
+                    break
+                if not req.future.done():
+                    req.future.set_exception(err)
 
     def _admit(self, slot: int, req: _Request):
         from tokenpacker_tpu.ops.paged_kv import insert_prefill
@@ -232,6 +252,7 @@ class ContinuousBatcher:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
+        self.dead: Exception | None = None
         self.cache = KVCache(
             jnp.zeros(
                 (cfg.lm.num_hidden_layers, num_slots, max_seq_len, cfg.lm.kv_heads, cfg.lm.head_dim),
@@ -252,6 +273,9 @@ class ContinuousBatcher:
     def submit(self, batch: dict, max_new_tokens: int = 128, temperature: float | None = None,
                on_token=None) -> Future:
         fut: Future = Future()
+        if self.dead is not None:
+            fut.set_exception(RuntimeError(f"batcher loop died: {self.dead!r}"))
+            return fut
         self.queue.put(
             _Request(
                 batch=batch,
@@ -264,13 +288,15 @@ class ContinuousBatcher:
         return fut
 
     def start(self):
-        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def stop(self):
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=30)
+
+    _run = PagedContinuousBatcher._run  # same crash net
 
     # -- internals ---------------------------------------------------------
 

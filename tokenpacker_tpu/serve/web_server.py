@@ -203,6 +203,9 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--controller-address", default="http://localhost:21001")
     args = parser.parse_args(argv)
+    from tokenpacker_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     server = ThreadingHTTPServer((args.host, args.port), make_handler(args.controller_address))
     logger.info(f"web UI on http://{args.host}:{args.port}")
     server.serve_forever()

@@ -113,6 +113,11 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         warmup_ratio=args.warmup_ratio,
     )
+    if args.bits in (4, 8) and not args.lora_enable:
+        raise SystemExit(
+            "--bits 4/8 quantizes a FROZEN base and therefore requires "
+            "--lora-enable (QLoRA); full-precision training ignores --bits"
+        )
     lora_cfg = None
     if args.lora_enable:
         from tokenpacker_tpu.train.lora import LoraConfig

@@ -1,0 +1,110 @@
+"""On-device random parameter builders for benchmarks.
+
+Random params must be materialized by ONE jitted program on the device —
+per-op dispatch or multi-GB host→device transfers don't survive the axon
+tunnel (CLAUDE.md). Shared by bench.py, scripts/bench_hd.py, and ad-hoc
+measurements so the int8/int4 fake-quantization layouts stay consistent
+with ops/quantize.py's real ones.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def random_params_like(shapes, seed: int = 0):
+    """Dense random params with the given eval_shape tree."""
+
+    @jax.jit
+    def make():
+        key = jax.random.PRNGKey(seed)
+        leaves, td = jax.tree.flatten(shapes)
+        out = [
+            0.02 * jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.float32).astype(l.dtype)
+            for i, l in enumerate(leaves)
+        ]
+        return jax.tree.unflatten(td, out)
+
+    return make()
+
+
+def _is_big_lm_kernel(names, leaf) -> bool:
+    return (
+        names[0] == "lm" and "kernel" in names and leaf.ndim >= 2 and leaf.size > (1 << 16)
+    )
+
+
+def int8_params_like(shapes, seed: int = 0):
+    """Random params with the LM's big kernels in the int8 {'q','scale'}
+    layout (ops/quantize.quantize_tree)."""
+
+    @jax.jit
+    def make():
+        key = jax.random.PRNGKey(seed)
+        leaves, td = jax.tree_util.tree_flatten_with_path(shapes)
+        out = []
+        for i, (path, leaf) in enumerate(leaves):
+            names = [str(getattr(p, "key", p)) for p in path]
+            k = jax.random.fold_in(key, i)
+            if _is_big_lm_kernel(names, leaf):
+                out.append({
+                    "q": jax.random.randint(k, leaf.shape, -127, 128, jnp.int8),
+                    "scale": jnp.full(leaf.shape[:-2] + (1, leaf.shape[-1]), 2e-4, jnp.float32),
+                })
+            else:
+                out.append(
+                    0.02 * jax.random.normal(k, leaf.shape, jnp.float32).astype(leaf.dtype)
+                )
+        return jax.tree_util.tree_unflatten(td, out)
+
+    return make()
+
+
+def q4_params_like(shapes, lm_cfg, quant_type: str = "int4", block: int = 64,
+                   fused: bool = True, seed: int = 3):
+    """Random params with the LM in the 4-bit packed layout
+    (ops/quantize.quantize_tree_4bit), optionally with fused qkv/gateup
+    kernels (quantize.fuse_llama_layers layout)."""
+    d = lm_cfg.hidden_size
+    dkv = lm_cfg.kv_heads * lm_cfg.head_dim
+    inter = lm_cfg.intermediate_size
+    n_layers = lm_cfg.num_hidden_layers
+
+    @jax.jit
+    def make():
+        key = jax.random.PRNGKey(seed)
+
+        def q4(k, shape):
+            kd, n = shape[-2], shape[-1]
+            lead = shape[:-2]
+            packed = jax.random.randint(k, (*lead, kd // 2, n), 0, 256, jnp.int32).astype(jnp.uint8)
+            absmax = jnp.full((*lead, kd // block, n), 2e-2, jnp.float32)
+            return {f"q4:{quant_type}:{block}": packed, "absmax": absmax}
+
+        leaves, td = jax.tree_util.tree_flatten_with_path(shapes)
+        out = []
+        for i, (path, leaf) in enumerate(leaves):
+            names = [str(getattr(p, "key", p)) for p in path]
+            k = jax.random.fold_in(key, i)
+            if _is_big_lm_kernel(names, leaf):
+                out.append(q4(k, leaf.shape))
+            else:
+                out.append(
+                    0.02 * jax.random.normal(k, leaf.shape, jnp.float32).astype(leaf.dtype)
+                )
+        tree = jax.tree_util.tree_unflatten(td, out)
+        if fused:
+            layers = dict(tree["lm"]["layers"])
+            layers["attn"] = {
+                "qkv": {"kernel": q4(jax.random.fold_in(key, 1001), (n_layers, d, d + 2 * dkv))},
+                "o": layers["attn"]["o"],
+            }
+            layers["mlp"] = {
+                "gateup": {"kernel": q4(jax.random.fold_in(key, 1002), (n_layers, d, 2 * inter))},
+                "down": layers["mlp"]["down"],
+            }
+            tree["lm"] = {**tree["lm"], "layers": layers}
+        return tree
+
+    return make()
