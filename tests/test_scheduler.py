@@ -295,3 +295,29 @@ def test_paged_attention_kernel_matches_gather(model, monkeypatch):
     ref = run("xla")
     got = run("pallas")
     np.testing.assert_allclose(got[:2], ref[:2], rtol=2e-5, atol=2e-5)
+
+
+def test_batcher_crash_fails_futures(model, monkeypatch):
+    """Crash net: if the batcher loop dies, in-flight futures get the
+    exception (clients unblock immediately) and new submits are rejected."""
+    import tokenpacker_tpu.serve.scheduler as sched
+
+    cfg, params = model
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic device failure")
+
+    monkeypatch.setattr(sched, "prefill", boom)
+    batcher = ContinuousBatcher(params, cfg, num_slots=1, max_seq_len=64)
+    batcher.start()
+    try:
+        fut = batcher.submit(_request(cfg, 0), 4)
+        with pytest.raises(RuntimeError, match="batcher loop died"):
+            fut.result(timeout=30)
+        # loop is dead: later submits fail fast instead of hanging
+        time.sleep(0.1)
+        fut2 = batcher.submit(_request(cfg, 1), 4)
+        with pytest.raises(RuntimeError, match="batcher loop died"):
+            fut2.result(timeout=5)
+    finally:
+        batcher.stop()

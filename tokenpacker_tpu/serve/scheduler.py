@@ -121,6 +121,17 @@ class PagedContinuousBatcher:
                 if not req.future.done():
                     req.future.set_exception(err)
 
+    def _admit_safe(self, slot: int, req: _Request):
+        """Admission crash net: a request dying during its own prefill must
+        fail ITS future too (it is neither in a slot nor in the queue when
+        _run's net fires)."""
+        try:
+            self._admit(slot, req)
+        except BaseException as e:  # noqa: BLE001
+            if not req.future.done():
+                req.future.set_exception(RuntimeError(f"batcher loop died: {e!r}"))
+            raise
+
     def _admit(self, slot: int, req: _Request):
         from tokenpacker_tpu.ops.paged_kv import insert_prefill
 
@@ -203,14 +214,14 @@ class PagedContinuousBatcher:
                         req = self.queue.get_nowait()
                     except queue.Empty:
                         break
-                    self._admit(slot, req)
+                    self._admit_safe(slot, req)
             active = np.array([r is not None for r in self.slots])
             if not active.any():
                 try:
                     req = self.queue.get(timeout=0.05)
                 except queue.Empty:
                     continue
-                self._admit(0, req)
+                self._admit_safe(0, req)
                 active = np.array([r is not None for r in self.slots])
             if not active.any():
                 continue
@@ -297,6 +308,7 @@ class ContinuousBatcher:
             self._thread.join(timeout=30)
 
     _run = PagedContinuousBatcher._run  # same crash net
+    _admit_safe = PagedContinuousBatcher._admit_safe
 
     # -- internals ---------------------------------------------------------
 
@@ -346,14 +358,14 @@ class ContinuousBatcher:
                         req = self.queue.get_nowait()
                     except queue.Empty:
                         break
-                    self._admit(slot, req)
+                    self._admit_safe(slot, req)
             active = np.array([r is not None for r in self.slots])
             if not active.any():
                 try:
                     req = self.queue.get(timeout=0.05)
                 except queue.Empty:
                     continue
-                self._admit(0, req)
+                self._admit_safe(0, req)
                 active = np.array([r is not None for r in self.slots])
             if not active.any():  # admitted request may have finished already
                 continue
