@@ -223,3 +223,61 @@ def test_worker_stream_via_continuous_batcher(tiny_worker):
         tiny_worker.batcher = None
         ws.shutdown()
         batcher.stop()
+
+
+def test_web_server_chat_end_to_end(servers, tiny_worker):
+    """Full three-tier chain over real HTTP: web UI /chat → controller
+    /get_worker_address → worker /worker_generate_stream, with prompt
+    rendering, streaming frames, and prompt-echo stripping."""
+    from tokenpacker_tpu.serve.web_server import make_handler as web_handler
+
+    # ensure the worker is registered with the controller
+    _post(
+        servers["controller"] + "/register_worker",
+        {
+            "worker_name": servers["worker"],
+            "check_heart_beat": False,
+            "worker_status": {
+                "model_names": ["tiny-tokenpacker"], "speed": 1, "queue_length": 0,
+            },
+        },
+    )
+    gport = _free_port()
+    gs = ThreadingHTTPServer(("localhost", gport), web_handler(servers["controller"]))
+    threading.Thread(target=gs.serve_forever, daemon=True).start()
+    time.sleep(0.2)
+    try:
+        # the landing page and model list
+        with urllib.request.urlopen(f"http://localhost:{gport}/", timeout=10) as r:
+            assert b"<html" in r.read(200).lower()
+        with urllib.request.urlopen(f"http://localhost:{gport}/list_models", timeout=10) as r:
+            assert "tiny-tokenpacker" in json.loads(r.read())["models"]
+
+        req = urllib.request.Request(
+            f"http://localhost:{gport}/chat",
+            json.dumps({
+                "model": "tiny-tokenpacker",
+                "history": [["user", "a curious user"]],
+                "temperature": 0.0,
+                "max_new_tokens": 4,
+            }).encode(),
+            {"Content-Type": "application/json"},
+        )
+        frames = []
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            buf = b""
+            while True:
+                b = resp.read(1)
+                if not b:
+                    break
+                if b == b"\0":
+                    frames.append(json.loads(buf))
+                    buf = b""
+                else:
+                    buf += b
+        assert frames, "no stream frames from /chat"
+        assert all("text" in f for f in frames)
+        # the UI frames must not echo the rendered conversation prompt
+        assert "USER:" not in frames[-1]["text"]
+    finally:
+        gs.shutdown()
