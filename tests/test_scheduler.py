@@ -321,3 +321,32 @@ def test_batcher_crash_fails_futures(model, monkeypatch):
             fut2.result(timeout=5)
     finally:
         batcher.stop()
+
+
+def test_batcher_hd_slice_request(model):
+    """HD slice-mode requests (multi-crop + separators) through the
+    continuous batcher match the Generator."""
+    cfg, params = model
+    rng = np.random.default_rng(21)
+    hb, wb = 2, 2
+    crops = rng.standard_normal(
+        (hb * wb + 1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    ids = np.concatenate([[1, 25], [IMAGE_TOKEN_INDEX], [40, 41]]).astype(np.int64)
+    plan = build_splice_plan([ids], [[(hb, wb)]], cfg.tokens_per_view, "slice",
+                             7, 8, 0, pad_to=64)
+    req = {
+        "token_ids": plan.token_ids,
+        "is_image": plan.is_image,
+        "image_slot": plan.image_slot,
+        "lengths": plan.lengths,
+        "images": crops,
+    }
+    expected = Generator(params, cfg).generate(req, max_new_tokens=4, temperature=0.0).sequences[0]
+    batcher = ContinuousBatcher(params, cfg, num_slots=2, max_seq_len=96)
+    batcher.start()
+    try:
+        got = batcher.submit(req, 4).result(timeout=240)
+    finally:
+        batcher.stop()
+    assert got == expected, (got, expected)
