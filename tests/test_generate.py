@@ -254,3 +254,63 @@ def test_decode_attention_kernel_matches_xla(family, monkeypatch):
     got = run("pallas")
     for a, b in zip(ref, got):
         np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("family", ["llama", "mpt"])
+def test_chunked_prefill_matches_full(family):
+    """Incremental prefill_chunk over 4-token chunks reproduces the full
+    prefill: identical next-token logits and identical cache contents."""
+    from tokenpacker_tpu.generate import prefill, prefill_chunk
+    from tokenpacker_tpu.models.lm_api import lm_logits
+    from tokenpacker_tpu.models.llama import KVCache
+    from tokenpacker_tpu.models.vlm import encode_images, init_vlm
+
+    if family == "mpt":
+        from tests.test_vlm_mpt import mpt_tiny_cfg
+
+        cfg = mpt_tiny_cfg()
+    else:
+        cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(6), cfg)
+    rng = np.random.default_rng(6)
+    images = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    ids = np.concatenate([[1, 19], [IMAGE_TOKEN_INDEX], 30 + np.arange(5)]).astype(np.int64)
+    plan = build_splice_plan([ids], [[(1, 1)]], cfg.tokens_per_view, "single",
+                             7, 8, 0, pad_to=12)
+    l = plan.token_ids.shape[1]
+    s_max = l + 4
+    batch = {
+        "token_ids": jnp.asarray(plan.token_ids),
+        "is_image": jnp.asarray(plan.is_image),
+        "image_slot": jnp.asarray(plan.image_slot),
+        "lengths": jnp.asarray(plan.lengths, jnp.int32),
+        "images": jnp.asarray(images),
+    }
+    ref_logits, ref_cache = prefill(params, cfg, batch, s_max)
+
+    visual = encode_images(params, cfg, batch["images"])
+    cache = KVCache.create(cfg.lm, 1, s_max, jnp.float32)
+    true_len = int(plan.lengths[0])
+    chunk = 4
+    hidden = None
+    off = 0
+    while off < true_len:
+        n = min(chunk, true_len - off)
+        hidden, cache = prefill_chunk(
+            params, cfg, cache,
+            visual,
+            batch["token_ids"][:, off : off + n],
+            batch["is_image"][:, off : off + n],
+            batch["image_slot"][:, off : off + n],
+            jnp.asarray(off, jnp.int32), n,
+        )
+        off += n
+    got_logits = np.asarray(lm_logits(params["lm"], cfg.lm, hidden[:, -1]))
+    np.testing.assert_allclose(got_logits, np.asarray(ref_logits), rtol=2e-5, atol=2e-5)
+    # cache contents identical over the valid range
+    np.testing.assert_allclose(
+        np.asarray(cache.k[:, :, :true_len]),
+        np.asarray(ref_cache.k[:, :, :true_len]), rtol=2e-5, atol=2e-5,
+    )

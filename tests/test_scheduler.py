@@ -350,3 +350,29 @@ def test_batcher_hd_slice_request(model):
     finally:
         batcher.stop()
     assert got == expected, (got, expected)
+
+
+def test_batcher_chunked_prefill_matches_generator(model):
+    """Chunked-admission mode (prefill interleaved with decode): same greedy
+    tokens as the Generator, including a mid-flight admission whose prompt
+    prefills in chunks while another slot decodes."""
+    cfg, params = model
+    gen = Generator(params, cfg)
+    max_new = 6
+    requests = [_request(cfg, s, extra_len=3 * s) for s in range(3)]
+    expected = [
+        gen.generate(r, max_new_tokens=max_new, temperature=0.0).sequences[0]
+        for r in requests
+    ]
+    batcher = ContinuousBatcher(params, cfg, num_slots=2, max_seq_len=64,
+                                prefill_chunk_size=8)
+    batcher.start()
+    try:
+        futs = [batcher.submit(requests[0], max_new), batcher.submit(requests[1], max_new)]
+        time.sleep(0.3)
+        futs.append(batcher.submit(requests[2], max_new))
+        results = [f.result(timeout=240) for f in futs]
+    finally:
+        batcher.stop()
+    for got, exp in zip(results, expected):
+        assert got == exp, (got, exp)

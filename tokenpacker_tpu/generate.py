@@ -57,6 +57,37 @@ def prefill(params, cfg: TokenPackerVLMConfig, batch, s_max: int):
     return logits, cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "chunk_len"))
+def prefill_chunk(params, cfg: TokenPackerVLMConfig, cache, visual, token_ids,
+                  is_image, image_slot, offset, chunk_len: int):
+    """One chunk of an incremental single-request prefill (chunked prefill
+    for the continuous batcher: admission work is sliced so decode steps for
+    active slots interleave instead of stalling behind a long prompt).
+
+    cache: batch-1 KVCache whose first `offset` positions are already
+    prefilled. visual: [crops, tpv, D] projector output (encoded once at
+    admission). token_ids/is_image/image_slot: [1, chunk_len] slices of the
+    splice plan (image_slot values are global, matching `visual`). Returns
+    (hidden [1, chunk_len, D], new cache with length offset+chunk_len).
+    """
+    from tokenpacker_tpu.models.splice import assemble_embeds
+
+    s_max = cache.k.shape[2]
+    embeds = assemble_embeds(params["lm"], visual, token_ids, is_image, image_slot, cfg.lm)
+    positions = offset + jnp.arange(chunk_len)[None, :]
+    key_valid = jnp.arange(s_max)[None, :] < (offset + chunk_len)
+    bias = make_attention_bias(positions, key_valid, 0, s_max)
+    key_positions = None
+    if cfg.lm.model_family == "mpt":
+        key_positions = jnp.broadcast_to(jnp.arange(s_max)[None, :], (1, s_max))
+    cache_at = KVCache(cache.k, cache.v, offset)
+    hidden, new_cache = lm_apply(
+        params["lm"], cfg.lm, embeds, positions, bias, cache_at,
+        key_positions=key_positions,
+    )
+    return hidden, new_cache
+
+
 @partial(jax.jit, static_argnames=("cfg", "prefill_len"))
 def decode_step(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step, prefill_len: int):
     """One token for every sample.

@@ -59,6 +59,7 @@ class ModelWorker:
         scheduler: str = "none",  # none | continuous | paged
         scheduler_slots: int = 4,
         scheduler_max_len: int = 1024,
+        scheduler_prefill_chunk: int | None = 256,  # chunked admission
     ):
         from tokenpacker_tpu.api import load_pretrained_model
         from tokenpacker_tpu.data.mm_tokenize import get_model_name_from_path
@@ -101,6 +102,7 @@ class ModelWorker:
                 self.batcher = ContinuousBatcher(
                     self.model.params, self.cfg, self.tokenizer,
                     num_slots=scheduler_slots, max_seq_len=scheduler_max_len,
+                    prefill_chunk_size=scheduler_prefill_chunk,
                 )
             self.batcher.start()
             logger.info(f"{scheduler} batching executor: {scheduler_slots} slots")
@@ -384,6 +386,8 @@ def main(argv=None):
                         choices=["none", "continuous", "paged"])
     parser.add_argument("--scheduler-slots", type=int, default=4)
     parser.add_argument("--scheduler-max-len", type=int, default=1024)
+    parser.add_argument("--scheduler-prefill-chunk", type=int, default=256,
+                        help="0 disables chunked admission (whole-prompt prefill)")
     args = parser.parse_args(argv)
     from tokenpacker_tpu.utils.platform import apply_platform_env
 
@@ -401,6 +405,7 @@ def main(argv=None):
         scheduler=args.scheduler,
         scheduler_slots=args.scheduler_slots,
         scheduler_max_len=args.scheduler_max_len,
+        scheduler_prefill_chunk=args.scheduler_prefill_chunk or None,
     )
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
     logger.info(f"worker listening on {args.host}:{args.port}")

@@ -34,6 +34,7 @@ from tokenpacker_tpu.generate import (
     decode_step_cb,
     insert_into_cache,
     prefill,
+    prefill_chunk,
     sample_tokens,
     sample_tokens_per_row,
 )
@@ -252,7 +253,12 @@ class ContinuousBatcher:
         num_slots: int = 8,
         max_seq_len: int = 1024,
         temperature: float = 0.0,
+        prefill_chunk_size: int | None = None,
     ):
+        """prefill_chunk_size: when set, admissions run CHUNKED prefill —
+        one chunk of the new prompt per loop iteration, interleaved with the
+        active slots' decode steps, so a long (e.g. HD) prompt no longer
+        head-of-line blocks every running request for its whole prefill."""
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -264,6 +270,8 @@ class ContinuousBatcher:
         self._thread: threading.Thread | None = None
 
         self.dead: Exception | None = None
+        self.prefill_chunk_size = prefill_chunk_size
+        self._pending = None  # in-progress chunked admission state
         self.cache = KVCache(
             jnp.zeros(
                 (cfg.lm.num_hidden_layers, num_slots, max_seq_len, cfg.lm.kv_heads, cfg.lm.head_dim),
@@ -349,21 +357,111 @@ class ContinuousBatcher:
             req.future.set_result(req.tokens)
             self.slots[slot] = None
 
+    # -- chunked admission (prefill interleaved with decode steps) ----------
+
+    def _start_pending(self, slot: int, req: _Request):
+        import jax.numpy as jnp
+
+        from tokenpacker_tpu.models.vlm import encode_images
+
+        b = req.batch
+        l = b["token_ids"].shape[1]
+        assert l <= self.max_seq_len, "prompt exceeds scheduler max_seq_len"
+        visual = (
+            encode_images(self.params, self.cfg,
+                          jnp.asarray(b["images"], self.cfg.dtype))
+            if b.get("images") is not None
+            else jnp.zeros((1, self.cfg.tokens_per_view, self.cfg.lm.hidden_size),
+                           self.cfg.dtype)
+        )
+        small = KVCache.create(self.cfg.lm, 1, l, self.cfg.dtype)
+        self._pending = {
+            "req": req, "slot": slot, "cache": small, "visual": visual,
+            "offset": 0, "true_len": int(np.asarray(b["lengths"])[0]),
+            "hidden": None,
+            "token_ids": jnp.asarray(b["token_ids"]),
+            "is_image": jnp.asarray(b["is_image"]),
+            "image_slot": jnp.asarray(b["image_slot"]),
+        }
+
+    def _step_pending(self):
+        import jax.numpy as jnp
+
+        from tokenpacker_tpu.models.lm_api import lm_logits
+
+        p = self._pending
+        cs = min(self.prefill_chunk_size, p["token_ids"].shape[1])
+        off = p["offset"]
+        # fixed chunk length for a stable jit signature: slice cs tokens,
+        # clamped at the padded array edge (the overlap recomputes identical
+        # K/V; pad rows past true_len are overwritten by decode writes)
+        start = max(0, min(off, p["token_ids"].shape[1] - cs))
+        hidden, p["cache"] = prefill_chunk(
+            self.params, self.cfg, p["cache"], p["visual"],
+            jax.lax.dynamic_slice_in_dim(p["token_ids"], start, cs, 1),
+            jax.lax.dynamic_slice_in_dim(p["is_image"], start, cs, 1),
+            jax.lax.dynamic_slice_in_dim(p["image_slot"], start, cs, 1),
+            jnp.asarray(start, jnp.int32), cs,
+        )
+        p["offset"] = start + cs
+        if p["offset"] >= p["true_len"]:
+            # admission complete: sample the first token from the last valid
+            # position, copy the prefilled rows into the slot
+            req, slot = p["req"], p["slot"]
+            idx = p["true_len"] - 1 - start
+            logits = lm_logits(self.params["lm"], self.cfg.lm, hidden[:, idx])
+            self._rng, sub = jax.random.split(self._rng)
+            tok = int(np.asarray(sample_tokens(logits, req.temperature, None, sub))[0])
+            self.cache = insert_into_cache(self.cache, p["cache"], slot, p["true_len"])
+            self.slots[slot] = req
+            self.next_tokens[slot] = tok
+            self._pending = None
+            self._emit(slot, tok)
+
+    def _step_pending_safe(self):
+        p = self._pending
+        try:
+            self._step_pending()
+        except BaseException as e:  # noqa: BLE001
+            self._pending = None
+            if p is not None and not p["req"].future.done():
+                p["req"].future.set_exception(RuntimeError(f"batcher loop died: {e!r}"))
+            raise
+
     def _loop(self):
+        chunked = self.prefill_chunk_size is not None
         while not self._stop.is_set():
             # admit queued requests into free slots
-            for slot in range(self.num_slots):
-                if self.slots[slot] is None:
-                    try:
-                        req = self.queue.get_nowait()
-                    except queue.Empty:
-                        break
-                    self._admit_safe(slot, req)
+            if chunked:
+                if self._pending is None:
+                    for slot in range(self.num_slots):
+                        if self.slots[slot] is None:
+                            try:
+                                req = self.queue.get_nowait()
+                            except queue.Empty:
+                                break
+                            self._start_pending(slot, req)
+                            break
+                if self._pending is not None:
+                    self._step_pending_safe()
+            else:
+                for slot in range(self.num_slots):
+                    if self.slots[slot] is None:
+                        try:
+                            req = self.queue.get_nowait()
+                        except queue.Empty:
+                            break
+                        self._admit_safe(slot, req)
             active = np.array([r is not None for r in self.slots])
             if not active.any():
+                if chunked and self._pending is not None:
+                    continue  # keep chunking the admission
                 try:
                     req = self.queue.get(timeout=0.05)
                 except queue.Empty:
+                    continue
+                if chunked:
+                    self._start_pending(0, req)
                     continue
                 self._admit_safe(0, req)
                 active = np.array([r is not None for r in self.slots])
