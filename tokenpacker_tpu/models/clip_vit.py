@@ -81,9 +81,10 @@ def _attn_einsum(p, x, num_heads: int):
 
 def _attn_pallas(p, x, num_heads: int):
     """VMEM-resident per-image attention (ops/vit_attention.py). Measured
-    262 → 347 img/s on v5e vs the einsum path (the [N,H,T,T] probabilities
-    never touch HBM); flash variants measured SLOWER at this geometry — see
-    the kernel docstring for the full measurement history."""
+    262 → 360.5 img/s on v5e vs the einsum path (the [N,H,T,T] probabilities
+    never touch HBM; softmax VPU work minimized); flash variants measured
+    SLOWER at this geometry — see the kernel docstring for the full
+    measurement history."""
     from tokenpacker_tpu.ops.vit_attention import vit_attention
 
     q = linear(p["q"], x)
