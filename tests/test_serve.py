@@ -225,6 +225,46 @@ def test_worker_stream_via_continuous_batcher(tiny_worker):
         batcher.stop()
 
 
+def test_worker_stream_speculative_parity(servers, tiny_worker):
+    """--speculative-k over the live worker HTTP surface: the final streamed
+    text matches the plain (non-speculative) stream for the same greedy
+    request."""
+    payload = {
+        "prompt": "USER : a curious user ASSISTANT :",
+        "temperature": 0.0,
+        "max_new_tokens": 6,
+    }
+
+    def stream():
+        req = urllib.request.Request(
+            servers["worker"] + "/worker_generate_stream",
+            json.dumps(payload).encode(),
+            {"Content-Type": "application/json"},
+        )
+        chunks = []
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            buf = b""
+            while True:
+                b_ = resp.read(1)
+                if not b_:
+                    break
+                if b_ == b"\0":
+                    chunks.append(json.loads(buf))
+                    buf = b""
+                else:
+                    buf += b_
+        assert chunks and all(c["error_code"] == 0 for c in chunks)
+        return chunks[-1]["text"]
+
+    plain = stream()
+    tiny_worker.speculative_k = 3
+    try:
+        spec = stream()
+    finally:
+        tiny_worker.speculative_k = 0
+    assert spec == plain
+
+
 def test_web_server_chat_end_to_end(servers, tiny_worker):
     """Full three-tier chain over real HTTP: web UI /chat → controller
     /get_worker_address → worker /worker_generate_stream, with prompt

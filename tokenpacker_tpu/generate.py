@@ -243,12 +243,19 @@ class Generator:
         stop_strings: tuple[str, ...] = (),
         rng_key=None,
         check_every: int = 8,
+        speculative: int = 0,
     ) -> GenerationResult:
         """batch: splice-plan numpy arrays (token_ids/is_image/image_slot/
-        lengths) + optional images [n_crops, H, W, 3]."""
+        lengths) + optional images [n_crops, H, W, 3].
+
+        speculative: draft length k for prompt-lookup speculative decoding
+        (speculative.py) — greedy-parity guaranteed; used when > 0, greedy
+        (temperature <= 0), and batch size 1; otherwise silently ignored.
+        """
         cfg = self.cfg
         n, l = batch["token_ids"].shape
-        s_max = l + max_new_tokens
+        use_spec = speculative > 0 and temperature <= 0.0 and n == 1
+        s_max = l + max_new_tokens + (speculative + 1 if use_spec else 0)
         dev_batch = {
             "token_ids": jnp.asarray(batch["token_ids"]),
             "is_image": jnp.asarray(batch["is_image"]),
@@ -290,16 +297,42 @@ class Generator:
         tok = sample_tokens(logits, temperature, top_p, sub).astype(jnp.int32)
         all_done = absorb(np.asarray(tok)[:, None])
         produced = 1
-        # then decode in on-device chunks (one host round trip per chunk)
-        while not all_done and produced < max_new_tokens:
-            chunk = min(check_every, max_new_tokens - produced)
-            rng_key, sub = jax.random.split(rng_key)
-            toks, cache, tok = decode_chunk(
-                self.params, cfg, cache, tok, lengths,
-                jnp.asarray(produced - 1, jnp.int32), l, chunk, sub, temperature, top_p,
+        if use_spec:
+            from tokenpacker_tpu.speculative import make_ctx, speculative_chunk
+
+            k = speculative
+            cap = l + max_new_tokens + 2 * k + 8
+            ctx = jnp.asarray(
+                make_ctx(batch["token_ids"][0], batch["is_image"][0],
+                         int(batch["lengths"][0]), cap)
             )
-            all_done = absorb(np.asarray(toks))
-            produced += chunk
+            ctx_len = lengths[0]
+            ctx = jax.lax.dynamic_update_slice(ctx, tok, (ctx_len,))
+            ctx_len = ctx_len + 1
+            tok0 = tok[0]
+            spec_chunk = max(check_every, 2 * k)
+            while not all_done and produced < max_new_tokens:
+                n_chunk = min(spec_chunk, max_new_tokens - produced)
+                out, nprod, cache, ctx, ctx_len, tok0, _ = speculative_chunk(
+                    self.params, cfg, cache, ctx, ctx_len, lengths, tok0,
+                    jnp.asarray(produced - 1, jnp.int32), l, n_chunk, k,
+                )
+                toks = np.asarray(out)[: int(nprod)][: max_new_tokens - produced]
+                all_done = absorb(toks[None, :])
+                produced += len(toks)
+            # (the chunk may have written a few extra tokens to cache/ctx past
+            # max_new_tokens; generation ends here so they are never read)
+        else:
+            # decode in on-device chunks (one host round trip per chunk)
+            while not all_done and produced < max_new_tokens:
+                chunk = min(check_every, max_new_tokens - produced)
+                rng_key, sub = jax.random.split(rng_key)
+                toks, cache, tok = decode_chunk(
+                    self.params, cfg, cache, tok, lengths,
+                    jnp.asarray(produced - 1, jnp.int32), l, chunk, sub, temperature, top_p,
+                )
+                all_done = absorb(np.asarray(toks))
+                produced += chunk
 
         texts = None
         if self.tokenizer is not None:
@@ -313,9 +346,11 @@ class Generator:
                 texts.append(text.strip())
         return GenerationResult(out_tokens, texts)
 
-    def warmup(self, buckets=(256, 512), batch_sizes=(1,), max_new_tokens=128, n_crops=1):
+    def warmup(self, buckets=(256, 512), batch_sizes=(1,), max_new_tokens=128, n_crops=1,
+               speculative: int = 0):
         """Pre-compile prefill + decode for the given shape buckets so the
-        first real request hits warm executables (worker startup path)."""
+        first real request hits warm executables (worker startup path).
+        speculative: also warm the verify step at that draft length."""
         cfg = self.cfg
         for l in buckets:
             for n in batch_sizes:
@@ -330,17 +365,24 @@ class Generator:
                         (n_crops, cfg.vision.image_size, cfg.vision.image_size, 3), cfg.dtype
                     ),
                 }
-                logits, cache = prefill(self.params, cfg, batch, l + max_new_tokens)
+                s_max = l + max_new_tokens + (speculative + 1 if speculative else 0)
+                logits, cache = prefill(self.params, cfg, batch, s_max)
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 decode_chunk(
                     self.params, cfg, cache, tok, batch["lengths"],
                     jnp.asarray(0, jnp.int32), l, 8, jax.random.PRNGKey(0), 0.0, None,
                 )
                 # the streaming path steps one token at a time
-                decode_step(
+                logits, cache = decode_step(
                     self.params, cfg, cache, tok, batch["lengths"],
                     jnp.asarray(0, jnp.int32), l,
                 )
+                if speculative > 0 and n == 1:
+                    from tokenpacker_tpu.speculative import verify_step
+
+                    fed = jnp.zeros((1, speculative + 1), jnp.int32)
+                    verify_step(self.params, cfg, cache, fed, batch["lengths"],
+                                jnp.asarray(1, jnp.int32), l)
 
     def generate_stream(
         self,
@@ -350,10 +392,20 @@ class Generator:
         top_p: float | None = None,
         stop_strings: tuple[str, ...] = (),
         rng_key=None,
+        speculative: int = 0,
     ):
         """Single-sample streaming: yields the accumulated decoded text after
         every token (the worker's TextIteratorStreamer equivalent,
-        reference model_worker.py:174-192)."""
+        reference model_worker.py:174-192).
+
+        speculative: draft length k for prompt-lookup speculation (greedy
+        only; ignored when temperature > 0). Text still streams per token;
+        accepted drafts arrive as a burst after one verify forward."""
+        if speculative > 0 and temperature <= 0.0:
+            yield from self._stream_speculative(
+                batch, max_new_tokens, stop_strings, speculative
+            )
+            return
         cfg = self.cfg
         n, l = batch["token_ids"].shape
         assert n == 1, "streaming is per-request (batch 1)"
@@ -396,3 +448,84 @@ class Generator:
                 jnp.asarray(step, jnp.int32),
                 l,
             )
+
+    def _stream_speculative(self, batch, max_new_tokens, stop_strings, k: int):
+        """Greedy streaming with host-side prompt-lookup drafts + one jitted
+        verify forward per round (speculative.verify_step)."""
+        from tokenpacker_tpu.speculative import (
+            accept_greedy,
+            propose_ngram_host,
+            verify_step,
+        )
+
+        cfg = self.cfg
+        n, l = batch["token_ids"].shape
+        assert n == 1, "streaming is per-request (batch 1)"
+        s_max = l + max_new_tokens + k + 1
+        dev_batch = {
+            "token_ids": jnp.asarray(batch["token_ids"]),
+            "is_image": jnp.asarray(batch["is_image"]),
+            "image_slot": jnp.asarray(batch["image_slot"]),
+            "lengths": jnp.asarray(batch["lengths"], jnp.int32),
+            "images": jnp.asarray(batch["images"], cfg.dtype)
+            if batch.get("images") is not None
+            else None,
+        }
+        logits, cache = prefill(self.params, cfg, dev_batch, s_max)
+        eos = cfg.lm.eos_token_id
+        true_len = int(batch["lengths"][0])
+        ctx = [
+            int(t) if not im else -1
+            for t, im in zip(batch["token_ids"][0][:true_len], batch["is_image"][0][:true_len])
+        ]
+        last = int(np.asarray(jnp.argmax(logits, -1))[0])
+        toks: list[int] = []
+        step = 0
+        while True:
+            if last == eos or len(toks) >= max_new_tokens:
+                break
+            toks.append(last)
+            ctx.append(last)
+            text = self.tokenizer.decode(toks, skip_special_tokens=True)
+            stopped = False
+            for s in stop_strings:
+                if s and s in text:
+                    text = text.split(s)[0]
+                    stopped = True
+            yield text
+            if stopped or len(toks) >= max_new_tokens:
+                break
+            draft = propose_ngram_host(ctx, k)
+            dk = len(draft)
+            fed = np.full((1, k + 1), -1, np.int32)
+            fed[0, 0] = last
+            fed[0, 1 : 1 + dk] = draft
+            logits, cache = verify_step(
+                self.params, cfg, cache, jnp.asarray(fed), dev_batch["lengths"],
+                jnp.asarray(step, jnp.int32), l,
+            )
+            preds = np.asarray(jnp.argmax(logits[0], -1)).astype(np.int64)
+            burst = accept_greedy(preds, draft, dk, eos)
+            adv = len(burst)  # a+1 tokens consumed: (adv-1) drafts + bonus
+            step += adv
+            # emit all but the last burst token here; the last becomes `last`
+            # so the shared EOS/stop logic at loop top handles it
+            for t in burst[:-1]:
+                if t == eos or len(toks) >= max_new_tokens:
+                    last = t
+                    break
+                toks.append(t)
+                ctx.append(t)
+                text = self.tokenizer.decode(toks, skip_special_tokens=True)
+                stopped = False
+                for s in stop_strings:
+                    if s and s in text:
+                        text = text.split(s)[0]
+                        stopped = True
+                yield text
+                if stopped:
+                    return
+            else:
+                last = burst[-1]
+                continue
+            break

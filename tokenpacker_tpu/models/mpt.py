@@ -153,10 +153,17 @@ def _mpt_layer(p, cfg: LMConfig, x, bias, layer_cache, cache_len, flash_bias=Non
     if layer_cache is not None:
         ck, cv = layer_cache
         if jnp.ndim(cache_len) == 1:
-            # per-sample write positions (continuous batching), T == 1
-            rows = jnp.arange(n)
-            ck = ck.at[rows, cache_len].set(k[:, 0].astype(ck.dtype))
-            cv = cv.at[rows, cache_len].set(v[:, 0].astype(cv.dtype))
+            # per-sample write positions (continuous batching); T>1 is the
+            # speculative verify step
+            if t == 1:
+                rows = jnp.arange(n)
+                ck = ck.at[rows, cache_len].set(k[:, 0].astype(ck.dtype))
+                cv = cv.at[rows, cache_len].set(v[:, 0].astype(cv.dtype))
+            else:
+                rows = jnp.arange(n)[:, None]
+                cols = cache_len[:, None] + jnp.arange(t)[None, :]
+                ck = ck.at[rows, cols].set(k.astype(ck.dtype))
+                cv = cv.at[rows, cols].set(v.astype(cv.dtype))
         else:
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))

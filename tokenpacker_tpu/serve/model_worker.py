@@ -60,6 +60,7 @@ class ModelWorker:
         scheduler_slots: int = 4,
         scheduler_max_len: int = 1024,
         scheduler_prefill_chunk: int | None = 256,  # chunked admission
+        speculative_k: int = 0,  # prompt-lookup speculative decoding (greedy)
     ):
         from tokenpacker_tpu.api import load_pretrained_model
         from tokenpacker_tpu.data.mm_tokenize import get_model_name_from_path
@@ -77,8 +78,9 @@ class ModelWorker:
         if os.environ.get("TOKENPACKER_WARMUP", "1") == "1":
             logger.info("Warming up prefill/decode executables ...")
             n_crops = 1 if self.cfg.image_aspect_ratio != "slice" else self.cfg.patch_num + 1
-            self.model.generator.warmup(n_crops=n_crops)
+            self.model.generator.warmup(n_crops=n_crops, speculative=speculative_k)
         self.semaphore = threading.Semaphore(limit_model_concurrency)
+        self.speculative_k = speculative_k
         self.batcher = None
         if scheduler != "none":
             # continuous batching: up to scheduler_slots requests decode in
@@ -91,6 +93,10 @@ class ModelWorker:
             )
 
             if scheduler == "paged":
+                if speculative_k:
+                    logger.warning("--speculative-k is ignored with --scheduler "
+                                   "paged (the paged-attention kernel is "
+                                   "single-token); use --scheduler continuous")
                 self.batcher = PagedContinuousBatcher(
                     self.model.params, self.cfg, self.tokenizer,
                     num_slots=scheduler_slots,
@@ -103,6 +109,7 @@ class ModelWorker:
                     self.model.params, self.cfg, self.tokenizer,
                     num_slots=scheduler_slots, max_seq_len=scheduler_max_len,
                     prefill_chunk_size=scheduler_prefill_chunk,
+                    speculative_k=speculative_k,
                 )
             self.batcher.start()
             logger.info(f"{scheduler} batching executor: {scheduler_slots} slots")
@@ -242,6 +249,7 @@ class ModelWorker:
                 temperature=temperature,
                 top_p=top_p,
                 stop_strings=stop_strings,
+                speculative=getattr(self, "speculative_k", 0),
             ):
                 if first:
                     GLOBAL_STATS.record("prefill_ttft", time.perf_counter() - t_prefill)
@@ -388,6 +396,10 @@ def main(argv=None):
     parser.add_argument("--scheduler-max-len", type=int, default=1024)
     parser.add_argument("--scheduler-prefill-chunk", type=int, default=256,
                         help="0 disables chunked admission (whole-prompt prefill)")
+    parser.add_argument("--speculative-k", type=int, default=0,
+                        help="prompt-lookup speculative decoding draft length "
+                             "for greedy requests (direct streaming path and "
+                             "--scheduler continuous; 0 disables)")
     args = parser.parse_args(argv)
     from tokenpacker_tpu.utils.platform import apply_platform_env
 
@@ -406,6 +418,7 @@ def main(argv=None):
         scheduler_slots=args.scheduler_slots,
         scheduler_max_len=args.scheduler_max_len,
         scheduler_prefill_chunk=args.scheduler_prefill_chunk or None,
+        speculative_k=args.speculative_k,
     )
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
     logger.info(f"worker listening on {args.host}:{args.port}")

@@ -50,6 +50,9 @@ class _Request:
     on_token: object = None
     produced: int = 0
     tokens: list = field(default_factory=list)
+    ctx: list = field(default_factory=list)  # prompt+generated ids for
+    # prompt-lookup drafting (-1 at image positions); maintained only when
+    # the batcher speculates
 
 
 class PagedContinuousBatcher:
@@ -254,17 +257,27 @@ class ContinuousBatcher:
         max_seq_len: int = 1024,
         temperature: float = 0.0,
         prefill_chunk_size: int | None = None,
+        speculative_k: int = 0,
     ):
         """prefill_chunk_size: when set, admissions run CHUNKED prefill —
         one chunk of the new prompt per loop iteration, interleaved with the
         active slots' decode steps, so a long (e.g. HD) prompt no longer
-        head-of-line blocks every running request for its whole prefill."""
+        head-of-line blocks every running request for its whole prefill.
+
+        speculative_k: when > 0, every decode step becomes a VERIFY step
+        (speculative.verify_step_cb): each greedy slot feeds its last token
+        plus up to k prompt-lookup draft tokens and advances by its own
+        acceptance count — per-slot cache offsets make desynchronized
+        advancement natural. Greedy parity is preserved per slot
+        (tests/test_speculative.py); temperature>0 slots ride along
+        advancing one sampled token per step."""
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len
         self.temperature = temperature
+        self.speculative_k = speculative_k
         self.queue: queue.Queue[_Request] = queue.Queue()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -342,18 +355,30 @@ class ContinuousBatcher:
         # rows within [length, l) get overwritten as the slot decodes
         self.cache = insert_into_cache(self.cache, small_cache, slot, length)
         self.slots[slot] = req
+        self._init_ctx(req, length)
         self.next_tokens[slot] = tok
         self._emit(slot, tok)
+
+    def _init_ctx(self, req: _Request, true_len: int):
+        if self.speculative_k <= 0:
+            return
+        ids = np.asarray(req.batch["token_ids"][0])[:true_len]
+        im = np.asarray(req.batch["is_image"][0])[:true_len]
+        req.ctx = [-1 if m else int(t) for t, m in zip(ids, im)]
 
     def _emit(self, slot: int, tok: int):
         req = self.slots[slot]
         req.tokens.append(tok)
         req.produced += 1
+        if self.speculative_k > 0:
+            req.ctx.append(tok)
         if req.on_token is not None:
             req.on_token(tok)
         eos = self.cfg.lm.eos_token_id
         cur_len = int(np.asarray(self.cache.length)[slot])
-        if tok == eos or req.produced >= req.max_new_tokens or cur_len + 1 >= self.max_seq_len:
+        # with speculation a step writes up to k+1 slots past cur_len
+        if (tok == eos or req.produced >= req.max_new_tokens
+                or cur_len + 1 + self.speculative_k >= self.max_seq_len):
             req.future.set_result(req.tokens)
             self.slots[slot] = None
 
@@ -414,6 +439,7 @@ class ContinuousBatcher:
             tok = int(np.asarray(sample_tokens(logits, req.temperature, None, sub))[0])
             self.cache = insert_into_cache(self.cache, p["cache"], slot, p["true_len"])
             self.slots[slot] = req
+            self._init_ctx(req, p["true_len"])
             self.next_tokens[slot] = tok
             self._pending = None
             self._emit(slot, tok)
@@ -468,6 +494,10 @@ class ContinuousBatcher:
             if not active.any():  # admitted request may have finished already
                 continue
 
+            if self.speculative_k > 0:
+                self._verify_round(active)
+                continue
+
             # one batched decode step across all active slots
             logits, self.cache = decode_step_cb(
                 self.params,
@@ -487,6 +517,62 @@ class ContinuousBatcher:
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
                     self._emit(slot, int(toks[slot]))
+
+    def _verify_round(self, active):
+        """One speculative step for every active slot: greedy slots feed
+        their prompt-lookup drafts and advance by their own acceptance;
+        temperature>0 slots advance one sampled token (position 0)."""
+        from tokenpacker_tpu.speculative import (
+            accept_greedy,
+            propose_ngram_host,
+            verify_step_cb,
+        )
+
+        k = self.speculative_k
+        eos = self.cfg.lm.eos_token_id
+        fed = np.full((self.num_slots, k + 1), -1, np.int32)
+        dks = np.zeros(self.num_slots, np.int32)
+        for slot in range(self.num_slots):
+            req = self.slots[slot]
+            if req is None:
+                continue
+            fed[slot, 0] = self.next_tokens[slot]
+            if req.temperature <= 0.0:
+                d = propose_ngram_host(req.ctx, k)
+                fed[slot, 1 : 1 + len(d)] = d
+                dks[slot] = len(d)
+        logits, self.cache = verify_step_cb(
+            self.params, self.cfg, self.cache, jnp.asarray(fed),
+            self.cache.length, jnp.asarray(active),
+        )
+        self._rng, sub = jax.random.split(self._rng)
+        temps = np.array(
+            [r.temperature if r is not None else 0.0 for r in self.slots], np.float32
+        )
+        preds = np.asarray(jnp.argmax(logits, axis=-1))  # [N, k+1]
+        sampled0 = np.asarray(sample_tokens_per_row(logits[:, 0], temps, sub))
+        new_lens = np.asarray(self.cache.length).copy()
+        bursts: dict[int, list[int]] = {}
+        for slot in range(self.num_slots):
+            req = self.slots[slot]
+            if req is None:
+                continue
+            if req.temperature <= 0.0:
+                burst = accept_greedy(preds[slot], fed[slot, 1:], int(dks[slot]), eos)
+            else:
+                burst = [int(sampled0[slot])]
+            bursts[slot] = burst
+            new_lens[slot] += len(burst)
+        # advance lengths BEFORE emitting so _emit's room check sees the
+        # post-step state (its +k+1 margin keeps the next round in bounds)
+        self.cache = KVCache(self.cache.k, self.cache.v, jnp.asarray(new_lens))
+        for slot, burst in bursts.items():
+            for tok in burst:
+                if self.slots[slot] is None:
+                    break
+                self._emit(slot, tok)
+            if self.slots[slot] is not None:
+                self.next_tokens[slot] = int(burst[-1])
 
 
 PagedContinuousBatcher.submit = ContinuousBatcher.submit

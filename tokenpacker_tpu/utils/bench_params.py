@@ -61,6 +61,62 @@ def int8_params_like(shapes, seed: int = 0):
     return make()
 
 
+def repeater_params_like(shapes, seed: int = 0, quant: str = "none"):
+    """Random params rigged so the LM always predicts its input token:
+    attention-out and MLP-down kernels are zero (the residual stream stays
+    the token embedding) and lm_head is tied to the embedding, so
+    argmax(norm(e_t) @ E^T) = t. Built in ONE jitted program (no post-hoc
+    tree surgery — that would double peak HBM at 7B scale). Used by the
+    speculative-decoding bench as the full-acceptance upper bound.
+
+    quant='int8' puts the remaining big LM kernels in the int8 layout (the
+    single-chip serving configuration; 7B bf16 + speculation buffers does
+    not fit one v5e); lm_head stays dense so the tie is exact."""
+
+    @jax.jit
+    def make():
+        key = jax.random.PRNGKey(seed)
+        leaves, td = jax.tree_util.tree_flatten_with_path(shapes)
+        # the embedding is generated once and reused (transposed) for lm_head
+        embed32 = None
+        for i, (path, leaf) in enumerate(leaves):
+            names = [str(getattr(p, "key", p)) for p in path]
+            if names[:2] == ["lm", "embed"]:
+                embed32 = 0.02 * jax.random.normal(
+                    jax.random.fold_in(key, i), leaf.shape, jnp.float32
+                )
+        out = []
+        for i, (path, leaf) in enumerate(leaves):
+            names = [str(getattr(p, "key", p)) for p in path]
+            k = jax.random.fold_in(key, i)
+            if names[:2] == ["lm", "embed"]:
+                out.append(embed32.astype(leaf.dtype))
+            elif names[:2] == ["lm", "lm_head"]:
+                out.append(embed32.T.astype(leaf.dtype))
+            elif names[0] == "lm" and (
+                ("attn" in names and "o" in names) or ("mlp" in names and "down" in names)
+            ):
+                if quant == "int8" and _is_big_lm_kernel(names, leaf):
+                    out.append({
+                        "q": jnp.zeros(leaf.shape, jnp.int8),
+                        "scale": jnp.zeros(leaf.shape[:-2] + (1, leaf.shape[-1]), jnp.float32),
+                    })
+                else:
+                    out.append(jnp.zeros(leaf.shape, leaf.dtype))
+            elif quant == "int8" and _is_big_lm_kernel(names, leaf):
+                out.append({
+                    "q": jax.random.randint(k, leaf.shape, -127, 128, jnp.int8),
+                    "scale": jnp.full(leaf.shape[:-2] + (1, leaf.shape[-1]), 2e-4, jnp.float32),
+                })
+            else:
+                out.append(
+                    0.02 * jax.random.normal(k, leaf.shape, jnp.float32).astype(leaf.dtype)
+                )
+        return jax.tree.unflatten(td, out)
+
+    return make()
+
+
 def q4_params_like(shapes, lm_cfg, quant_type: str = "int4", block: int = 64,
                    fused: bool = True, seed: int = 3):
     """Random params with the LM in the 4-bit packed layout
