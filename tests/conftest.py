@@ -11,6 +11,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# serve tests exercise the web UI's chat/vote logging — keep it out of cwd
+import tempfile
+
+os.environ.setdefault("LOGDIR", tempfile.mkdtemp(prefix="tpp-serve-logs-"))
+
 import jax  # noqa: E402
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.

@@ -8,7 +8,9 @@ llava/constants.py:1-2).
 CONTROLLER_HEART_BEAT_EXPIRATION = 30
 WORKER_HEART_BEAT_INTERVAL = 15
 
-LOGDIR = "."
+import os as _os
+
+LOGDIR = _os.environ.get("LOGDIR", ".")  # serving chat/vote logs (web UI)
 
 # Model constants
 IGNORE_INDEX = -100
