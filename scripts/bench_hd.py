@@ -1,12 +1,18 @@
-"""HD-7b end-to-end prefill benchmark on one TPU chip (worst-case grid).
+"""HD end-to-end prefill benchmark on one TPU chip (worst-case grid).
 
-TokenPacker-HD-7b, patch_num 9, worst-case 3x3 grid + global view = 10 crops
-per image → 1459 visual tokens (9*144 + separators + global 144). Measures
-images/s/chip and TTFT for the full pipeline: 10-crop ViT+projector, slice
-splice, int8-LM prefill. The BASELINE.md north star (≥20 img/s on v5e-8)
-is this number × 8-way data parallelism.
+Default: TokenPacker-HD-7b, patch_num 9, worst-case 3x3 grid + global view =
+10 crops per image → 1459 visual tokens (9*144 + separators + global 144).
+Measures images/s/chip and TTFT for the full pipeline: per-crop
+ViT+projector, slice splice, quantized-LM prefill. The BASELINE.md north
+star (≥20 img/s on v5e-8) is this number × 8-way data parallelism.
 
-Run: python scripts/bench_hd.py   (real TPU)
+--preset 13b-16patch benches TokenPacker-HD-13b (vicuna-13B geometry,
+patch_num 16, worst-case 4x4 grid + global = 17 crops, ~2600-token prompts);
+int4 weights (~6.5 GB) are what make 13B + an HD-sized KV cache fit one
+v5e chip (docs/deploy_13b.md).
+
+Run: python scripts/bench_hd.py [--preset 7b-9patch|13b-16patch]
+     [--quant int8|int4]   (real TPU)
 """
 
 import os
@@ -27,23 +33,45 @@ from tokenpacker_tpu.models.splice import build_splice_plan
 from tokenpacker_tpu.models.vlm import init_vlm
 
 
-def int8_params(cfg, dtype):
+def quant_params(cfg, dtype, quant: str):
     from tokenpacker_tpu.models.vlm import init_vlm
-    from tokenpacker_tpu.utils.bench_params import int8_params_like
+    from tokenpacker_tpu.utils.bench_params import int8_params_like, q4_params_like
 
     shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, dtype))
+    if quant == "int4":
+        return q4_params_like(shapes, cfg.lm, quant_type="int4", fused=True)
     return int8_params_like(shapes)
 
 
 def main():
-    cfg = TokenPackerVLMConfig()
-    dtype = jnp.bfloat16
-    params = int8_params(cfg, dtype)
+    import argparse
 
-    hb = wb = 3  # worst-case patch_num-9 grid; 10 crops incl. global view
+    from tokenpacker_tpu.config import vicuna_13b
+    from tokenpacker_tpu.generate import pick_bucket
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="7b-9patch", choices=["7b-9patch", "13b-16patch"])
+    ap.add_argument("--quant", default=None, choices=["int8", "int4"],
+                    help="default: int8 for 7b, int4 for 13b")
+    args = ap.parse_args()
+
+    if args.preset == "13b-16patch":
+        cfg = TokenPackerVLMConfig(lm=vicuna_13b(), patch_num=16,
+                                   image_aspect_ratio="slice")
+        hb = wb = 4  # worst-case patch_num-16 grid; 17 crops incl. global
+        quant = args.quant or "int4"
+    else:
+        cfg = TokenPackerVLMConfig()
+        hb = wb = 3  # worst-case patch_num-9 grid; 10 crops incl. global view
+        quant = args.quant or "int8"
+    dtype = jnp.bfloat16
+    params = quant_params(cfg, dtype, quant)
+
     ids = np.concatenate([[1], np.arange(100, 135), [IMAGE_TOKEN_INDEX], np.arange(150, 160)]).astype(np.int64)
+    probe = build_splice_plan([ids], [[(hb, wb)]], cfg.tokens_per_view, "slice",
+                              29892, 13, 0)
     plan = build_splice_plan([ids], [[(hb, wb)]], cfg.tokens_per_view, "slice",
-                             29892, 13, 0, pad_to=1536)
+                             29892, 13, 0, pad_to=pick_bucket(int(probe.lengths[0])))
     l = plan.token_ids.shape[1]
     n_crops = hb * wb + 1
     batch = {
@@ -89,7 +117,8 @@ def main():
     float(loop(params, batch, n))
     dt = time.perf_counter() - t0
     ips = n / dt
-    print(f"HD-7b (3x3+global, int8 LM): {ips:.2f} images/s/chip, TTFT p50 {ttft_ms:.0f} ms")
+    label = f"HD-{args.preset} ({hb}x{wb}+global, {quant} LM)"
+    print(f"{label}: {ips:.2f} images/s/chip, TTFT p50 {ttft_ms:.0f} ms")
     print(f"x8 DP extrapolation: {ips * 8:.1f} images/s on v5e-8 (north star: >=20)")
 
 
