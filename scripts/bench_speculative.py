@@ -114,11 +114,56 @@ def bench_spec(params, cfg, n: int, k: int):
     return results[-1]
 
 
+def bench_spec_batched(params, cfg, k: int, slots: int, rounds: int = 48):
+    """Aggregate UPPER BOUND for speculative continuous batching: `slots`
+    concurrent sequences each verify k+1 tokens per round, full acceptance
+    simulated by advancing every slot's length k+1 per round. One chained
+    fori_loop program (tunnel-proof); content is self-fed predictions."""
+    from tokenpacker_tpu.models.llama import KVCache
+    from tokenpacker_tpu.speculative import verify_step_cb
+
+    lm = cfg.lm
+    s_max = 512
+    start = 64
+    assert start + rounds * (k + 1) <= s_max
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n_rounds",))
+    def loop(params, cache, fed, active, n_rounds: int):
+        def body(i, carry):
+            cache, fed = carry
+            logits, cache = verify_step_cb(params, cfg, cache, fed, cache.length, active)
+            preds = jnp.argmax(logits, -1).astype(jnp.int32)  # [N, k+1]
+            cache = KVCache(cache.k, cache.v, cache.length + (k + 1))
+            return cache, preds
+
+        cache, fed = jax.lax.fori_loop(0, n_rounds, body, (cache, fed))
+        return jnp.sum(fed)
+
+    active = jnp.ones((slots,), bool)
+    times = []
+    for seed in (31, 32):
+        cache = KVCache(
+            jnp.zeros((lm.num_hidden_layers, slots, s_max, lm.kv_heads, lm.head_dim), jnp.bfloat16),
+            jnp.zeros((lm.num_hidden_layers, slots, s_max, lm.kv_heads, lm.head_dim), jnp.bfloat16),
+            jnp.full((slots,), start, jnp.int32),
+        )
+        fed = jax.random.randint(jax.random.PRNGKey(seed), (slots, k + 1), 100, 2000, jnp.int32)
+        t0 = time.perf_counter()
+        float(loop(params, cache, fed, active, rounds))
+        times.append(time.perf_counter() - t0)
+    return slots * (k + 1) * rounds / times[-1]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--skip-plain", action="store_true")
+    ap.add_argument("--slots", type=int, default=0,
+                    help="also measure the batched verify aggregate upper "
+                         "bound at this many slots")
     args = ap.parse_args()
 
     from tokenpacker_tpu.config import TokenPackerVLMConfig
@@ -146,6 +191,13 @@ def main():
         "metric": "decode_tok_s_spec_full_accept", "value": round(tps, 1),
         "k": args.k, "produced": produced, "rounds": rounds,
     }), flush=True)
+
+    if args.slots > 0:
+        agg = bench_spec_batched(params, cfg, args.k, args.slots)
+        print(json.dumps({
+            "metric": "agg_tok_s_spec_batched_upper_bound", "value": round(agg, 1),
+            "k": args.k, "slots": args.slots,
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -322,6 +322,25 @@ def test_batcher_speculative_greedy_parity(rigged):
         assert got == exp, (got, exp)
 
 
+def test_batcher_speculative_mpt_parity():
+    """MPT family through the speculating batcher (exercises the multi-token
+    per-slot cache writes + slot-contiguous ALiBi path)."""
+    from tokenpacker_tpu.serve.scheduler import ContinuousBatcher
+
+    cfg, params, batch = _setup("mpt", seed=10)
+    gen = Generator(params, cfg)
+    max_new = 6
+    expected = gen.generate(batch, max_new_tokens=max_new, temperature=0.0).sequences[0]
+    batcher = ContinuousBatcher(params, cfg, num_slots=2, max_seq_len=64,
+                                speculative_k=3)
+    batcher.start()
+    try:
+        got = batcher.submit(batch, max_new).result(timeout=180)
+    finally:
+        batcher.stop()
+    assert got == expected, (got, expected)
+
+
 def test_batcher_speculative_mixed_temperature():
     """A temperature>0 request co-scheduled with greedy ones still completes
     (advancing one sampled token per round) and greedy parity holds."""
