@@ -181,7 +181,35 @@ def bench_7b_generation():
             out.update(bench_7b_int4_decode())
         except Exception as e:
             out["int4_error"] = str(e)[:300]
+    if time.perf_counter() - _START < float(os.environ.get("TOKENPACKER_BENCH_BUDGET_S", "360")):
+        try:
+            out.update(bench_7b_speculative())
+        except Exception as e:
+            out["speculative_error"] = str(e)[:300]
     return out
+
+
+def bench_7b_speculative():
+    """Prompt-lookup speculative decoding at full acceptance (rigged
+    repeater weights, int8 — the configuration that fits beside the
+    speculation buffers): the single-stream upper bound. See
+    scripts/bench_speculative.py for the full sweep."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from bench_speculative import bench_spec
+    from tokenpacker_tpu.config import TokenPackerVLMConfig
+    from tokenpacker_tpu.models.vlm import init_vlm
+    from tokenpacker_tpu.utils.bench_params import repeater_params_like
+
+    cfg = TokenPackerVLMConfig()
+    shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, jnp.bfloat16))
+    params = repeater_params_like(shapes, seed=1, quant="int8")
+    tps, produced, rounds = bench_spec(params, cfg, 64, 4)
+    return {
+        "decode_tokens_per_sec_7b_int8_speculative_k4_full_accept": round(tps, 1),
+        "speculative_rounds_for_tokens": f"{int(rounds)}/{int(produced)}",
+    }
 
 
 def _int8_params_on_device(cfg, dtype):

@@ -266,3 +266,43 @@ def test_quantized_mpt_forward_and_decode():
         bias1 = make_attention_bias(pos[:, :1] * 0 + 6, jnp.ones((2, 8), bool), 0, 8)
         h, _ = mpt_apply(qp, cfg, mpt_embed(qp, ids[:, :1]), bias1, cache)
         assert np.isfinite(np.asarray(h)).all()
+
+
+def test_s8_matmul_exact():
+    """The w8a8 Pallas kernel's s32 accumulation is bit-exact vs integer
+    matmul (interpret mode on CPU), across the production K/N shapes."""
+    from tokenpacker_tpu.ops.q8_matmul import s8_matmul
+
+    rng = np.random.default_rng(0)
+    for m, k, n in [(8, 256, 128), (8, 512, 384), (16, 1024, 256)]:
+        xq = rng.integers(-127, 128, (m, k)).astype(np.int8)
+        wq = rng.integers(-127, 128, (k, n)).astype(np.int8)
+        got = np.asarray(s8_matmul(jnp.asarray(xq), jnp.asarray(wq), interpret=True))
+        ref = xq.astype(np.int64) @ wq.astype(np.int64)
+        np.testing.assert_array_equal(got, ref.astype(np.int32))
+
+
+def test_w8a8_matmul_matches_reference_and_bounds_error():
+    from tokenpacker_tpu.ops.q8_matmul import quantize_activations, w8a8_matmul
+
+    rng = np.random.default_rng(1)
+    k, n = 512, 384
+    x = jnp.asarray(rng.standard_normal((3, k)), jnp.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    q, scale = quantize_int8(jnp.asarray(w))
+    qleaf = {"q": q, "scale": scale}
+    got = np.asarray(w8a8_matmul(x, qleaf, interpret=True))
+
+    # exact reference of the same scheme
+    xq, ax = quantize_activations(x)
+    acc = np.asarray(xq, np.int64)[:3] @ np.asarray(qleaf["q"], np.int64)
+    ref = acc.astype(np.float32) * np.asarray(ax)[:3] * np.asarray(
+        jnp.squeeze(qleaf["scale"], -2)
+    )[None]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    # the scheme's error vs the float product is small (activation quant
+    # adds ~0.5% on top of weight quant)
+    full = np.asarray(x) @ w
+    err = np.abs(got - full).mean() / (np.abs(full).mean() + 1e-9)
+    assert err < 0.05, err

@@ -27,8 +27,26 @@ def linear(params, x):
     """
     k = params["kernel"]
     if isinstance(k, dict) and "q" in k:
-        y = x @ k["q"].astype(x.dtype)
-        y = y * jnp.squeeze(k["scale"], axis=-2).astype(x.dtype)
+        import os
+
+        import jax
+
+        m = 1
+        for s in x.shape[:-1]:
+            m *= s
+        if (os.environ.get("TOKENPACKER_W8A8") == "1" and k["q"].ndim == 2
+                and jax.default_backend() == "tpu" and m <= 64):
+            # m <= 64 covers single-stream decode, batched cb decode, and
+            # speculative verify rounds (slots x (k+1) rows)
+            # opt-in decode GEMV on the native int8 MXU path (per-token
+            # activation quant) — 1.62x the convert-in-dot GEMV on v5e;
+            # see ops/q8_matmul.py for the numerics tradeoff
+            from tokenpacker_tpu.ops.q8_matmul import w8a8_matmul
+
+            y = w8a8_matmul(x, k)
+        else:
+            y = x @ k["q"].astype(x.dtype)
+            y = y * jnp.squeeze(k["scale"], axis=-2).astype(x.dtype)
         if "lora_a" in k:  # QLoRA: low-rank term beside the frozen int8 base
             y = y + (x @ k["lora_a"].astype(x.dtype)) @ k["lora_b"].astype(x.dtype)
     elif isinstance(k, dict) and any(s.startswith("q4:") for s in k):
