@@ -321,3 +321,67 @@ def test_web_server_chat_end_to_end(servers, tiny_worker):
         assert "USER:" not in frames[-1]["text"]
     finally:
         gs.shutdown()
+
+
+def test_web_server_moderation_hook(servers, monkeypatch):
+    """MODERATION_URL gates user turns (reference gradio_web_server.py:135 /
+    utils.py violates_moderation): a flagged message is answered with the
+    moderation notice and never reaches a worker; unflagged flows through."""
+    import http.server
+
+    flagged_calls = []
+
+    class FakeMod(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n))
+            flagged_calls.append(body["input"])
+            flagged = "banned" in body["input"]
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(json.dumps({"results": [{"flagged": flagged}]}).encode())
+
+    mport = _free_port()
+    ms = ThreadingHTTPServer(("localhost", mport), FakeMod)
+    threading.Thread(target=ms.serve_forever, daemon=True).start()
+
+    from tokenpacker_tpu.serve.web_server import make_handler as web_handler
+
+    gport = _free_port()
+    gs = ThreadingHTTPServer(("localhost", gport), web_handler(servers["controller"]))
+    threading.Thread(target=gs.serve_forever, daemon=True).start()
+    time.sleep(0.2)
+    monkeypatch.setenv("MODERATION_URL", f"http://localhost:{mport}/moderations")
+
+    def chat(text):
+        req = urllib.request.Request(
+            f"http://localhost:{gport}/chat",
+            json.dumps({
+                "model": "tiny-tokenpacker",
+                "history": [["user", text]],
+                "temperature": 0.0,
+                "max_new_tokens": 3,
+            }).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            frames = [json.loads(c) for c in r.read().split(b"\0") if c]
+        return frames
+
+    try:
+        frames = chat("a banned request")
+        assert frames[-1]["error_code"] == 3
+        assert "MODERATION" in frames[-1]["text"]
+        assert flagged_calls == ["a banned request"]
+
+        frames = chat("a curious user")
+        assert frames and all("text" in f for f in frames)
+        assert "MODERATION" not in frames[-1]["text"]
+        assert len(flagged_calls) == 2
+    finally:
+        gs.shutdown()
+        ms.shutdown()

@@ -128,6 +128,25 @@ def make_handler(controller_addr: str):
                 self.end_headers()
                 return
 
+            # moderation hook (reference gradio_web_server.py:135): flag the
+            # newest user turn before any worker dispatch
+            from tokenpacker_tpu.utils.logging_utils import (
+                MODERATION_MSG,
+                violates_moderation,
+            )
+
+            last_user = next(
+                (t for r, t in reversed(body.get("history", [])) if r == "user"), ""
+            )
+            if violates_moderation(last_user):
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.end_headers()
+                self.wfile.write(
+                    json.dumps({"text": MODERATION_MSG, "error_code": 3}).encode() + b"\0"
+                )
+                return
+
             model = body["model"]
             conv = conv_templates[pick_conv_mode(model)].copy()
             for i, (role, text) in enumerate(body.get("history", [])):

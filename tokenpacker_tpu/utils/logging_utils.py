@@ -46,3 +46,33 @@ def build_logger(logger_name: str, logger_filename: str) -> logging.Logger:
 def disable_torch_init():
     """Reference utils.py:93 parity shim — a no-op in the JAX framework
     (kept so ported scripts don't break)."""
+
+
+MODERATION_MSG = "YOUR INPUT VIOLATES OUR CONTENT MODERATION GUIDELINES. PLEASE TRY AGAIN."
+
+
+def violates_moderation(text: str) -> bool:
+    """Content-moderation hook (reference llava/utils.py:102-120, called by
+    gradio_web_server.py:135 on every user turn). The reference hardcodes the
+    OpenAI moderations API; here the endpoint is configurable: set
+    MODERATION_URL (plus OPENAI_API_KEY for the hosted API) and the web UI
+    checks each user message before dispatching to a worker. Unset = always
+    False; request errors fail open, both matching the reference."""
+    import json as _json
+    import os
+    import urllib.request
+
+    url = os.environ.get("MODERATION_URL")
+    if not url:
+        return False
+    headers = {"Content-Type": "application/json"}
+    key = os.environ.get("OPENAI_API_KEY")
+    if key:
+        headers["Authorization"] = "Bearer " + key
+    data = _json.dumps({"input": text.replace("\n", "")}).encode()
+    try:
+        req = urllib.request.Request(url, data, headers)
+        with urllib.request.urlopen(req, timeout=5) as r:
+            return bool(_json.loads(r.read())["results"][0]["flagged"])
+    except Exception:
+        return False
