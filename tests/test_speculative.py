@@ -322,6 +322,26 @@ def test_batcher_speculative_greedy_parity(rigged):
         assert got == exp, (got, exp)
 
 
+def test_batcher_speculative_with_chunked_prefill():
+    """speculative_k composes with chunked admission (prefill_chunk_size):
+    the slot ctx is initialized at admission completion and greedy parity
+    holds."""
+    from tokenpacker_tpu.serve.scheduler import ContinuousBatcher
+
+    cfg, params, batch = _setup("llama", seed=11)
+    gen = Generator(params, cfg)
+    max_new = 6
+    expected = gen.generate(batch, max_new_tokens=max_new, temperature=0.0).sequences[0]
+    batcher = ContinuousBatcher(params, cfg, num_slots=2, max_seq_len=64,
+                                speculative_k=3, prefill_chunk_size=8)
+    batcher.start()
+    try:
+        got = batcher.submit(batch, max_new).result(timeout=180)
+    finally:
+        batcher.stop()
+    assert got == expected, (got, expected)
+
+
 def test_batcher_speculative_mpt_parity():
     """MPT family through the speculating batcher (exercises the multi-token
     per-slot cache writes + slot-contiguous ALiBi path)."""
@@ -339,6 +359,36 @@ def test_batcher_speculative_mpt_parity():
     finally:
         batcher.stop()
     assert got == expected, (got, expected)
+
+
+def test_batcher_speculative_backoff_on_zero_acceptance(monkeypatch):
+    """When drafts never land, the batcher's acceptance EMA trips and it
+    falls back to plain decode rounds (with exponential re-try spacing) —
+    and output parity still holds across the mode switch."""
+    import tokenpacker_tpu.speculative as spec_mod
+    from tokenpacker_tpu.serve import scheduler as sched_mod
+    from tokenpacker_tpu.serve.scheduler import ContinuousBatcher
+
+    # drafts that can never match the verify argmax (clamped embeds, but
+    # argmax is never a negative id)
+    monkeypatch.setattr(spec_mod, "propose_ngram_host", lambda ctx, k, ngram=2: [-5] * k)
+    # trip quickly: EMA starts at 1.0 and decays 0.9x per zero round
+    monkeypatch.setattr(sched_mod, "SPEC_EMA_THRESHOLD", 0.75)
+    monkeypatch.setattr(sched_mod, "SPEC_BACKOFF_ROUNDS", 4)
+
+    cfg, params, batch = _setup("llama", seed=12)
+    gen = Generator(params, cfg)
+    max_new = 12
+    expected = gen.generate(batch, max_new_tokens=max_new, temperature=0.0).sequences[0]
+    batcher = ContinuousBatcher(params, cfg, num_slots=1, max_seq_len=64,
+                                speculative_k=3)
+    batcher.start()
+    try:
+        got = batcher.submit(batch, max_new).result(timeout=180)
+    finally:
+        batcher.stop()
+    assert got == expected, (got, expected)
+    assert batcher._spec_fail_streak >= 1  # backoff really engaged
 
 
 def test_batcher_speculative_mixed_temperature():

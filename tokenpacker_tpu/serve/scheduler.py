@@ -40,6 +40,12 @@ from tokenpacker_tpu.generate import (
 )
 from tokenpacker_tpu.models.llama import KVCache
 
+# speculative backoff tuning (ContinuousBatcher): below SPEC_EMA_THRESHOLD
+# accepted drafts per greedy slot per round, run plain decode for
+# SPEC_BACKOFF_ROUNDS before retrying speculation
+SPEC_EMA_THRESHOLD = 0.15
+SPEC_BACKOFF_ROUNDS = 32
+
 
 @dataclass
 class _Request:
@@ -278,6 +284,13 @@ class ContinuousBatcher:
         self.max_seq_len = max_seq_len
         self.temperature = temperature
         self.speculative_k = speculative_k
+        # adaptive backoff: a verify round costs ~1.28x a plain step, so on
+        # low-acceptance workloads speculation is a net loss — track an EMA
+        # of accepted drafts per greedy slot per round and fall back to
+        # plain decode for SPEC_BACKOFF_ROUNDS when it drops, retrying after
+        self._spec_accept_ema = 1.0
+        self._spec_backoff = 0
+        self._spec_fail_streak = 0  # doubles the backoff each re-trip
         self.queue: queue.Queue[_Request] = queue.Queue()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -495,8 +508,13 @@ class ContinuousBatcher:
                 continue
 
             if self.speculative_k > 0:
-                self._verify_round(active)
-                continue
+                if self._spec_backoff > 0:
+                    self._spec_backoff -= 1
+                    if self._spec_backoff == 0:
+                        self._spec_accept_ema = 1.0  # optimistic retry
+                else:
+                    self._verify_round(active)
+                    continue
 
             # one batched decode step across all active slots
             logits, self.cache = decode_step_cb(
@@ -563,6 +581,25 @@ class ContinuousBatcher:
                 burst = [int(sampled0[slot])]
             bursts[slot] = burst
             new_lens[slot] += len(burst)
+        # adaptive backoff bookkeeping (greedy slots only)
+        n_greedy = sum(
+            1 for s in range(self.num_slots)
+            if self.slots[s] is not None and self.slots[s].temperature <= 0.0
+        )
+        if n_greedy:
+            accepted = sum(
+                len(b) - 1 for s, b in bursts.items()
+                if self.slots[s] is not None and self.slots[s].temperature <= 0.0
+            )
+            ratio = accepted / n_greedy
+            self._spec_accept_ema = 0.9 * self._spec_accept_ema + 0.1 * ratio
+            if ratio > 0.5:
+                self._spec_fail_streak = 0  # drafts are landing again
+            if self._spec_accept_ema < SPEC_EMA_THRESHOLD:
+                self._spec_backoff = min(
+                    SPEC_BACKOFF_ROUNDS * (2 ** self._spec_fail_streak), 512
+                )
+                self._spec_fail_streak += 1
         # advance lengths BEFORE emitting so _emit's room check sees the
         # post-step state (its +k+1 margin keeps the next round in bounds)
         self.cache = KVCache(self.cache.k, self.cache.v, jnp.asarray(new_lens))
