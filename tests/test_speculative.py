@@ -191,6 +191,21 @@ def test_speculative_accepts_drafts_and_matches():
     assert list(np.asarray(out)[: int(produced)]) == plain.sequences[0][1 : 1 + int(produced)]
 
 
+def test_warmup_covers_both_cache_shapes():
+    """warmup(speculative=k) must compile BOTH the plain and the k-padded
+    cache shapes: greedy streams use the padded one, temperature>0 streams
+    the plain one (a cold compile at request time defeats warmup)."""
+    cfg, params, _ = _setup("llama", seed=13)
+    gen = Generator(params, cfg)
+    gen.warmup(buckets=(32,), max_new_tokens=8, speculative=3)
+    from tokenpacker_tpu.generate import prefill
+
+    # both executables exist now: re-invoking must hit the jit cache
+    misses0 = prefill._cache_size()
+    gen.warmup(buckets=(32,), max_new_tokens=8, speculative=3)
+    assert prefill._cache_size() == misses0
+
+
 class _FakeTok:
     def decode(self, ids, skip_special_tokens=True):
         return " ".join(str(int(i)) for i in ids)

@@ -40,6 +40,20 @@ def pick_bucket(length: int, buckets=DEFAULT_BUCKETS) -> int:
     return int(np.ceil(length / 512) * 512)
 
 
+def device_batch(batch: dict, dtype) -> dict:
+    """Move a splice-plan batch (token_ids/is_image/image_slot/lengths +
+    optional images) onto the device with the canonical dtypes."""
+    return {
+        "token_ids": jnp.asarray(batch["token_ids"]),
+        "is_image": jnp.asarray(batch["is_image"]),
+        "image_slot": jnp.asarray(batch["image_slot"]),
+        "lengths": jnp.asarray(batch["lengths"], jnp.int32),
+        "images": jnp.asarray(batch["images"], dtype)
+        if batch.get("images") is not None
+        else None,
+    }
+
+
 @partial(jax.jit, static_argnames=("cfg", "s_max"))
 def prefill(params, cfg: TokenPackerVLMConfig, batch, s_max: int):
     """Returns (next-token logits [N, V], cache)."""
@@ -255,16 +269,14 @@ class Generator:
         cfg = self.cfg
         n, l = batch["token_ids"].shape
         use_spec = speculative > 0 and temperature <= 0.0 and n == 1
-        s_max = l + max_new_tokens + (speculative + 1 if use_spec else 0)
-        dev_batch = {
-            "token_ids": jnp.asarray(batch["token_ids"]),
-            "is_image": jnp.asarray(batch["is_image"]),
-            "image_slot": jnp.asarray(batch["image_slot"]),
-            "lengths": jnp.asarray(batch["lengths"], jnp.int32),
-            "images": jnp.asarray(batch["images"], cfg.dtype)
-            if batch.get("images") is not None
-            else None,
-        }
+        # fixed-size speculative chunks: n_max is a static jit arg, and the
+        # per-chunk advance is acceptance-dependent, so a variable tail chunk
+        # would compile a fresh while-loop program per distinct remainder.
+        # Always run full chunks (the cache has overshoot headroom) and
+        # truncate on the host — ONE executable per (bucket, k).
+        spec_chunk = max(check_every, 2 * speculative)
+        s_max = l + max_new_tokens + (spec_chunk + speculative if use_spec else 0)
+        dev_batch = device_batch(batch, cfg.dtype)
         logits, cache = prefill(self.params, cfg, dev_batch, s_max)
 
         lengths = dev_batch["lengths"]
@@ -301,7 +313,7 @@ class Generator:
             from tokenpacker_tpu.speculative import make_ctx, speculative_chunk
 
             k = speculative
-            cap = l + max_new_tokens + 2 * k + 8
+            cap = l + max_new_tokens + spec_chunk + 2 * k + 8
             ctx = jnp.asarray(
                 make_ctx(batch["token_ids"][0], batch["is_image"][0],
                          int(batch["lengths"][0]), cap)
@@ -310,12 +322,10 @@ class Generator:
             ctx = jax.lax.dynamic_update_slice(ctx, tok, (ctx_len,))
             ctx_len = ctx_len + 1
             tok0 = tok[0]
-            spec_chunk = max(check_every, 2 * k)
             while not all_done and produced < max_new_tokens:
-                n_chunk = min(spec_chunk, max_new_tokens - produced)
                 out, nprod, cache, ctx, ctx_len, tok0, _ = speculative_chunk(
                     self.params, cfg, cache, ctx, ctx_len, lengths, tok0,
-                    jnp.asarray(produced - 1, jnp.int32), l, n_chunk, k,
+                    jnp.asarray(produced - 1, jnp.int32), l, spec_chunk, k,
                 )
                 toks = np.asarray(out)[: int(nprod)][: max_new_tokens - produced]
                 all_done = absorb(toks[None, :])
@@ -365,24 +375,30 @@ class Generator:
                         (n_crops, cfg.vision.image_size, cfg.vision.image_size, 3), cfg.dtype
                     ),
                 }
-                s_max = l + max_new_tokens + (speculative + 1 if speculative else 0)
-                logits, cache = prefill(self.params, cfg, batch, s_max)
-                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                decode_chunk(
-                    self.params, cfg, cache, tok, batch["lengths"],
-                    jnp.asarray(0, jnp.int32), l, 8, jax.random.PRNGKey(0), 0.0, None,
-                )
-                # the streaming path steps one token at a time
-                logits, cache = decode_step(
-                    self.params, cfg, cache, tok, batch["lengths"],
-                    jnp.asarray(0, jnp.int32), l,
-                )
-                if speculative > 0 and n == 1:
-                    from tokenpacker_tpu.speculative import verify_step
+                # with speculation on, greedy requests use a k-padded cache
+                # while temperature>0 requests keep the plain shape — warm
+                # BOTH, or the first sampled request compiles at request time
+                s_maxes = [l + max_new_tokens]
+                if speculative > 0:
+                    s_maxes.append(l + max_new_tokens + speculative + 1)
+                for s_max in s_maxes:
+                    logits, cache = prefill(self.params, cfg, batch, s_max)
+                    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    decode_chunk(
+                        self.params, cfg, cache, tok, batch["lengths"],
+                        jnp.asarray(0, jnp.int32), l, 8, jax.random.PRNGKey(0), 0.0, None,
+                    )
+                    # the streaming path steps one token at a time
+                    logits, cache = decode_step(
+                        self.params, cfg, cache, tok, batch["lengths"],
+                        jnp.asarray(0, jnp.int32), l,
+                    )
+                    if speculative > 0 and n == 1 and s_max > l + max_new_tokens:
+                        from tokenpacker_tpu.speculative import verify_step
 
-                    fed = jnp.zeros((1, speculative + 1), jnp.int32)
-                    verify_step(self.params, cfg, cache, fed, batch["lengths"],
-                                jnp.asarray(1, jnp.int32), l)
+                        fed = jnp.zeros((1, speculative + 1), jnp.int32)
+                        verify_step(self.params, cfg, cache, fed, batch["lengths"],
+                                    jnp.asarray(1, jnp.int32), l)
 
     def generate_stream(
         self,
@@ -410,15 +426,7 @@ class Generator:
         n, l = batch["token_ids"].shape
         assert n == 1, "streaming is per-request (batch 1)"
         s_max = l + max_new_tokens
-        dev_batch = {
-            "token_ids": jnp.asarray(batch["token_ids"]),
-            "is_image": jnp.asarray(batch["is_image"]),
-            "image_slot": jnp.asarray(batch["image_slot"]),
-            "lengths": jnp.asarray(batch["lengths"], jnp.int32),
-            "images": jnp.asarray(batch["images"], cfg.dtype)
-            if batch.get("images") is not None
-            else None,
-        }
+        dev_batch = device_batch(batch, cfg.dtype)
         logits, cache = prefill(self.params, cfg, dev_batch, s_max)
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
@@ -462,15 +470,7 @@ class Generator:
         n, l = batch["token_ids"].shape
         assert n == 1, "streaming is per-request (batch 1)"
         s_max = l + max_new_tokens + k + 1
-        dev_batch = {
-            "token_ids": jnp.asarray(batch["token_ids"]),
-            "is_image": jnp.asarray(batch["is_image"]),
-            "image_slot": jnp.asarray(batch["image_slot"]),
-            "lengths": jnp.asarray(batch["lengths"], jnp.int32),
-            "images": jnp.asarray(batch["images"], cfg.dtype)
-            if batch.get("images") is not None
-            else None,
-        }
+        dev_batch = device_batch(batch, cfg.dtype)
         logits, cache = prefill(self.params, cfg, dev_batch, s_max)
         eos = cfg.lm.eos_token_id
         true_len = int(batch["lengths"][0])
@@ -481,6 +481,8 @@ class Generator:
         last = int(np.asarray(jnp.argmax(logits, -1))[0])
         toks: list[int] = []
         step = 0
+        zero_streak = 0  # consecutive verify rounds with no accepted draft
+        plain_budget = 0  # rounds to run plain decode after backoff trips
         while True:
             if last == eos or len(toks) >= max_new_tokens:
                 break
@@ -495,17 +497,33 @@ class Generator:
             yield text
             if stopped or len(toks) >= max_new_tokens:
                 break
-            draft = propose_ngram_host(ctx, k)
+            draft = [] if plain_budget > 0 else propose_ngram_host(ctx, k)
             dk = len(draft)
-            fed = np.full((1, k + 1), -1, np.int32)
-            fed[0, 0] = last
-            fed[0, 1 : 1 + dk] = draft
-            logits, cache = verify_step(
-                self.params, cfg, cache, jnp.asarray(fed), dev_batch["lengths"],
-                jnp.asarray(step, jnp.int32), l,
-            )
-            preds = np.asarray(jnp.argmax(logits[0], -1)).astype(np.int64)
-            burst = accept_greedy(preds, draft, dk, eos)
+            if dk == 0:
+                # no draft (or backing off): a k+1-wide verify would cost
+                # ~1.28x a plain step for nothing — take a single decode step
+                plain_budget = max(0, plain_budget - 1)
+                logits, cache = decode_step(
+                    self.params, cfg, cache, jnp.asarray([last]),
+                    dev_batch["lengths"], jnp.asarray(step, jnp.int32), l,
+                )
+                burst = [int(np.asarray(jnp.argmax(logits, -1))[0])]
+            else:
+                fed = np.full((1, k + 1), -1, np.int32)
+                fed[0, 0] = last
+                fed[0, 1 : 1 + dk] = draft
+                logits, cache = verify_step(
+                    self.params, cfg, cache, jnp.asarray(fed), dev_batch["lengths"],
+                    jnp.asarray(step, jnp.int32), l,
+                )
+                preds = np.asarray(jnp.argmax(logits[0], -1)).astype(np.int64)
+                burst = accept_greedy(preds, draft, dk, eos)
+                if len(burst) == 1:
+                    zero_streak += 1
+                    if zero_streak >= 4:
+                        plain_budget, zero_streak = 16, 0
+                else:
+                    zero_streak = 0
             adv = len(burst)  # a+1 tokens consumed: (adv-1) drafts + bonus
             step += adv
             # emit all but the last burst token here; the last becomes `last`

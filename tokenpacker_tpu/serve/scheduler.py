@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from tokenpacker_tpu.config import TokenPackerVLMConfig
 from tokenpacker_tpu.generate import (
     decode_step_cb,
+    device_batch,
     insert_into_cache,
     prefill,
     prefill_chunk,
@@ -351,15 +352,7 @@ class ContinuousBatcher:
         b = req.batch
         l = b["token_ids"].shape[1]
         assert l <= self.max_seq_len, "prompt exceeds scheduler max_seq_len"
-        dev_batch = {
-            "token_ids": jnp.asarray(b["token_ids"]),
-            "is_image": jnp.asarray(b["is_image"]),
-            "image_slot": jnp.asarray(b["image_slot"]),
-            "lengths": jnp.asarray(b["lengths"], jnp.int32),
-            "images": jnp.asarray(b["images"], self.cfg.dtype)
-            if b.get("images") is not None
-            else None,
-        }
+        dev_batch = device_batch(b, self.cfg.dtype)
         logits, small_cache = prefill(self.params, self.cfg, dev_batch, l)
         self._rng, sub = jax.random.split(self._rng)
         tok = int(np.asarray(sample_tokens(logits, req.temperature, None, sub))[0])
@@ -507,7 +500,12 @@ class ContinuousBatcher:
             if not active.any():  # admitted request may have finished already
                 continue
 
-            if self.speculative_k > 0:
+            has_greedy = any(
+                r is not None and r.temperature <= 0.0 for r in self.slots
+            )
+            if self.speculative_k > 0 and has_greedy:
+                # only greedy slots draft; with none active a k+1-wide verify
+                # is pure overhead — fall through to the plain decode step
                 if self._spec_backoff > 0:
                     self._spec_backoff -= 1
                     if self._spec_backoff == 0:

@@ -5,9 +5,10 @@ per forward, llava_llama.py:120-140 via HF generate): decode is
 weight-bandwidth-bound, so a verify step that feeds k+1 tokens costs almost
 the same HBM traffic as a 1-token step — every accepted draft token is a
 nearly-free extra token. Drafts come from prompt-lookup (the continuation of
-the most recent earlier occurrence of the trailing n-gram), which needs no
-draft model and shines on the VLM serving workloads that quote/repeat prompt
-text (OCR readout, captions, re-asked questions).
+the EARLIEST earlier occurrence of the trailing n-gram — earliest maximizes
+the available continuation on repetitive runs), which needs no draft model
+and shines on the VLM serving workloads that quote/repeat prompt text (OCR
+readout, captions, re-asked questions).
 
 TPU-native design: drafting, verification, and acceptance all run on device
 inside one `lax.while_loop` (`speculative_chunk`) — static shapes throughout
@@ -226,8 +227,11 @@ def speculative_chunk(
 
 def make_ctx(token_ids_row, is_image_row, true_len: int, capacity: int):
     """Build the [capacity] int32 lookup buffer for speculative_chunk from a
-    splice-plan row: image-placeholder positions and bucket padding become -1
-    (never matches a real n-gram, never accepted — argmax is always >= 0)."""
+    splice-plan row: image-placeholder positions and bucket padding become -1.
+    A -1 can still match another -1 (a suffix that itself spans an image
+    region may match an earlier image region), but such drafts are just
+    rejected by verify — argmax is always >= 0 — so this only costs draft
+    quality, never parity."""
     ctx = np.full((capacity,), -1, np.int32)
     row = np.asarray(token_ids_row, np.int64).copy()
     row[np.asarray(is_image_row, bool)] = -1

@@ -69,8 +69,8 @@ def violates_moderation(text: str) -> bool:
     key = os.environ.get("OPENAI_API_KEY")
     if key:
         headers["Authorization"] = "Bearer " + key
-    data = _json.dumps({"input": text.replace("\n", "")}).encode()
-    try:
+    try:  # everything inside: malformed client input must also fail open
+        data = _json.dumps({"input": str(text or "").replace("\n", "")}).encode()
         req = urllib.request.Request(url, data, headers)
         with urllib.request.urlopen(req, timeout=5) as r:
             return bool(_json.loads(r.read())["results"][0]["flagged"])
