@@ -27,6 +27,7 @@ def eval_model(args):
         batch_size=1,
         max_new_tokens=args.max_new_tokens,
         temperature=args.temperature,
+        speculative=args.speculative_k,
     )
     images = [load_image(f) for f in args.image_file.split(args.sep)]
     outputs = []
@@ -48,6 +49,9 @@ def main(argv=None):
     parser.add_argument("--sep", default=",")
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--max-new-tokens", type=int, default=512)
+    parser.add_argument("--speculative-k", type=int, default=0,
+                        help="prompt-lookup speculative decoding draft length "
+                             "(greedy only; 0 disables)")
     from tokenpacker_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()

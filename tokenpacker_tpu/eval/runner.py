@@ -62,6 +62,7 @@ class EvalRunner:
         batch_size: int = 8,
         max_new_tokens: int = 128,
         temperature: float = 0.0,
+        speculative: int = 0,
     ):
         self.model = model
         self.cfg = model.config
@@ -72,6 +73,9 @@ class EvalRunner:
         self.batch_size = batch_size
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
+        # prompt-lookup speculative decoding (greedy, batch-1 runs only —
+        # Generator ignores it otherwise); speeds up demo/serve-like loops
+        self.speculative = speculative
         self.generator = model.generator
         self._sep_id = tokenizer.convert_tokens_to_ids(",")
         self._ret_id = tokenizer.convert_tokens_to_ids("\n")
@@ -177,6 +181,7 @@ class EvalRunner:
             max_new_tokens=self.max_new_tokens,
             temperature=self.temperature,
             stop_strings=self.stop_strings(),
+            speculative=self.speculative,
         )
         for s, text in zip(samples, result.texts):
             yield {"question_id": s.question_id, "text": text, **s.extra}

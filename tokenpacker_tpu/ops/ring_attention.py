@@ -63,8 +63,12 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "data", causal: bool = True)
         l = jnp.zeros((nq, h, t_local, 1), jnp.float32)
         acc = jnp.zeros((nq, h, t_local, d), jnp.float32)
         # mark the accumulators as device-varying so the scan carry type
-        # matches after the axis-dependent updates (jax 0.9 shard_map typing)
-        m, l, acc = jax.lax.pvary((m, l, acc), (axis,))
+        # matches after the axis-dependent updates (jax 0.9 shard_map typing);
+        # pcast replaces the deprecated pvary, keep the fallback for older jax
+        if hasattr(jax.lax, "pcast"):
+            m, l, acc = jax.lax.pcast((m, l, acc), (axis,), to="varying")
+        else:
+            m, l, acc = jax.lax.pvary((m, l, acc), (axis,))
 
         def step(carry, r):
             m, l, acc, k_cur, v_cur = carry
