@@ -406,6 +406,87 @@ def test_batcher_speculative_backoff_on_zero_acceptance(monkeypatch):
     assert batcher._spec_fail_streak >= 1  # backoff really engaged
 
 
+def test_paged_verify_step_matches_decode_steps():
+    """paged_verify_step == a sequence of paged_decode_step calls, with the
+    fed span crossing page boundaries (small page size)."""
+    from tokenpacker_tpu.generate import prefill
+    from tokenpacker_tpu.ops.paged_kv import (
+        PagedKV,
+        PageAllocator,
+        insert_prefill,
+        map_page,
+        paged_decode_step,
+        paged_verify_step,
+    )
+
+    cfg, params, batch = _setup("llama", seed=14)
+    l = batch["token_ids"].shape[1]
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    dev_batch["lengths"] = jnp.asarray(batch["lengths"], jnp.int32)
+    dev_batch["images"] = jnp.asarray(batch["images"], cfg.dtype)
+    logits, small = prefill(params, cfg, dev_batch, l)
+    tok0 = int(np.argmax(np.asarray(logits)[0]))
+    true_len = int(batch["lengths"][0])
+
+    ps, mp, t_v = 8, 8, 6  # span from true_len=11 crosses the page-1/2 boundary
+    paged = PagedKV.create(cfg.lm, 32, ps, 1, mp, jnp.float32)
+    alloc = PageAllocator(32)
+    pages = alloc.alloc(l // ps if l % ps == 0 else l // ps + 1)
+    # insert_prefill needs l_pad multiple of ps; l (pad_to=24) is
+    l_pages = l // ps
+    paged = insert_prefill(paged, small, 0, pages[:l_pages], true_len)
+    # map lookahead pages covering true_len + t_v
+    for block in range(l_pages, (true_len + t_v) // ps + 1):
+        paged = map_page(paged, 0, block, pages[block] if block < len(pages)
+                         else alloc.alloc(1)[0])
+
+    active = jnp.ones((1,), bool)
+    seq = paged
+    fed = [tok0]
+    step_logits = []
+    for _ in range(t_v):
+        lg, seq = paged_decode_step(params, cfg, seq, jnp.asarray([fed[-1]], jnp.int32), active)
+        step_logits.append(np.asarray(lg)[0])
+        fed.append(int(np.argmax(step_logits[-1])))
+
+    vlogits, _ = paged_verify_step(
+        params, cfg, paged, jnp.asarray([fed[:t_v]], jnp.int32), active
+    )
+    vlogits = np.asarray(vlogits[0])
+    for j in range(t_v):
+        np.testing.assert_allclose(vlogits[j], step_logits[j], atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("rigged", [False, True])
+def test_paged_batcher_speculative_greedy_parity(rigged):
+    """PagedContinuousBatcher(speculative_k>0): greedy parity with bursts
+    crossing page boundaries (page_size 8) and lookahead page growth."""
+    import time
+
+    from tokenpacker_tpu.serve.scheduler import PagedContinuousBatcher
+
+    cfg, params, batch = _setup("llama", seed=15)
+    if rigged:
+        params = _repeater_params(cfg, seed=15)
+    gen = Generator(params, cfg)
+    max_new = 8
+    expected = gen.generate(batch, max_new_tokens=max_new, temperature=0.0).sequences[0]
+    batcher = PagedContinuousBatcher(
+        params, cfg, num_slots=2, num_pages=32, page_size=8, max_pages_per_seq=8,
+        speculative_k=3,
+    )
+    batcher.start()
+    try:
+        futs = [batcher.submit(batch, max_new)]
+        time.sleep(0.3)
+        futs.append(batcher.submit(batch, max_new))  # mid-flight admission
+        results = [f.result(timeout=180) for f in futs]
+    finally:
+        batcher.stop()
+    for got in results:
+        assert got == expected, (got, expected)
+
+
 def test_batcher_speculative_mixed_temperature():
     """A temperature>0 request co-scheduled with greedy ones still completes
     (advancing one sampled token per round) and greedy parity holds."""

@@ -180,6 +180,87 @@ def paged_decode_step(params, cfg, paged: PagedKV, tokens, active):
 paged_decode_step_jit = jax.jit(paged_decode_step, static_argnames=("cfg",))
 
 
+def _paged_verify_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table,
+                        write_page, write_off):
+    """Verify-layer over the paged cache: x [N, T, D], K/V for all T tokens
+    scatter into (write_page, write_off) [N, T]. Attention uses the page
+    GATHER path (the Pallas paged kernel is single-token); plain decode
+    rounds keep the kernel."""
+    n, t, _ = x.shape
+    h = rms_norm(p["input_ln"], x, cfg.rms_norm_eps)
+    q = linear(p["attn"]["q"], h).reshape(n, t, cfg.num_attention_heads, cfg.head_dim)
+    k = linear(p["attn"]["k"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
+    v = linear(p["attn"]["v"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    kp = kp.at[write_page, write_off].set(k.astype(kp.dtype))
+    vp = vp.at[write_page, write_off].set(v.astype(vp.dtype))
+    kg = kp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim)
+    vg = vp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim)
+    attn = _sdpa(q, kg.astype(q.dtype), vg.astype(q.dtype), bias)
+    x = x + linear(p["attn"]["o"], attn.reshape(n, t, -1))
+    h2 = rms_norm(p["post_ln"], x, cfg.rms_norm_eps)
+    h2 = linear(p["mlp"]["down"], jax.nn.silu(linear(p["mlp"]["gate"], h2)) * linear(p["mlp"]["up"], h2))
+    return x + h2, kp, vp
+
+
+def paged_verify_step(params, cfg, paged: PagedKV, tokens, active):
+    """Speculative verify over the paged cache: score T = k+1 tokens per
+    sequence in one forward (the paged sibling of speculative.verify_step_cb).
+
+    tokens: [N, T] — last accepted token + drafts (-1 padding). Writes K/V at
+    positions lengths+j through the page tables (the caller must have mapped
+    pages covering lengths+T-1 — PagedContinuousBatcher._grow_pages grows
+    with a k-token lookahead when speculating). Inactive slots write to the
+    reserved null page 0. Returns (logits [N, T, V], PagedKV with lengths
+    UNCHANGED — the host advances each sequence by its own acceptance).
+    Rejected-token page entries are overwritten before ever becoming
+    attendable (the next round writes [len', len'+k] before attending)."""
+    from tokenpacker_tpu.models.lm_api import lm_embed, lm_logits
+
+    lm_cfg = cfg.lm
+    n, t = tokens.shape
+    mp = paged.page_table.shape[1]
+    ps = paged.page_size
+    s_max = mp * ps
+    cur_lens = paged.lengths
+    offs = jnp.arange(t, dtype=jnp.int32)
+    positions = cur_lens[:, None] + offs[None, :]  # [N, T]
+    emb = lm_embed(params["lm"], lm_cfg, tokens)
+    cos, sin = rope_cos_sin(positions, lm_cfg.head_dim, lm_cfg.rope_theta)
+
+    key_idx = jnp.arange(s_max)[None, None, :]
+    ok = key_idx <= positions[:, :, None]  # [N, T, S] causal per fed token
+    bias = jnp.where(ok[:, None], 0.0, NEG_INF).astype(jnp.float32)
+
+    rows = jnp.arange(n)[:, None]
+    in_range = positions // ps < mp  # past-capacity writes go to null page 0
+    blocks = jnp.minimum(positions // ps, mp - 1)
+    write_page = jnp.where(
+        active[:, None] & in_range, paged.page_table[rows, blocks], 0
+    )  # [N, T]
+    write_off = positions % ps
+
+    def step(carry, xs):
+        x = carry
+        layer_params, kp, vp = xs
+        x, kp, vp = _paged_verify_layer(
+            layer_params, lm_cfg, x, cos, sin, bias, kp, vp, paged.page_table,
+            write_page, write_off,
+        )
+        return x, (kp, vp)
+
+    x, (nkp, nvp) = jax.lax.scan(
+        step, emb, (params["lm"]["layers"], paged.k_pages, paged.v_pages)
+    )
+    x = rms_norm(params["lm"]["norm"], x, lm_cfg.rms_norm_eps)
+    logits = lm_logits(params["lm"], lm_cfg, x)
+    return logits, PagedKV(nkp, nvp, paged.page_table, cur_lens)
+
+
+paged_verify_step_jit = jax.jit(paged_verify_step, static_argnames=("cfg",))
+
+
 def insert_prefill(paged: PagedKV, small_cache, seq: int, page_ids, length):
     """Copy a batch-1 prefilled contiguous cache (k/v [L, 1, L_pad, H, D])
     into freshly allocated pages and map them in sequence `seq`'s table.

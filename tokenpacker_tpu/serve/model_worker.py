@@ -93,16 +93,13 @@ class ModelWorker:
             )
 
             if scheduler == "paged":
-                if speculative_k:
-                    logger.warning("--speculative-k is ignored with --scheduler "
-                                   "paged (the paged-attention kernel is "
-                                   "single-token); use --scheduler continuous")
                 self.batcher = PagedContinuousBatcher(
                     self.model.params, self.cfg, self.tokenizer,
                     num_slots=scheduler_slots,
                     num_pages=max(2 * scheduler_slots * ((scheduler_max_len + 63) // 64), 16) + 1,
                     page_size=64,
                     max_pages_per_seq=max((scheduler_max_len + 63) // 64, 1),
+                    speculative_k=speculative_k,
                 )
             else:
                 self.batcher = ContinuousBatcher(
@@ -399,7 +396,7 @@ def main(argv=None):
     parser.add_argument("--speculative-k", type=int, default=0,
                         help="prompt-lookup speculative decoding draft length "
                              "for greedy requests (direct streaming path and "
-                             "--scheduler continuous; 0 disables)")
+                             "both schedulers; 0 disables)")
     args = parser.parse_args(argv)
     from tokenpacker_tpu.utils.platform import apply_platform_env
 

@@ -80,7 +80,14 @@ class PagedContinuousBatcher:
         # pages (16) fragment the grid and lose (267 vs 285)
         max_pages_per_seq: int = 16,
         temperature: float = 0.0,
+        speculative_k: int = 0,
     ):
+        """speculative_k: prompt-lookup speculation over the paged pool —
+        verify rounds (ops/paged_kv.paged_verify_step) score k+1 tokens per
+        sequence through the page tables (attention takes the gather path;
+        plain/backoff rounds keep the Pallas paged kernel). Page growth runs
+        with a k-token lookahead. Same greedy-parity + adaptive-backoff
+        semantics as ContinuousBatcher."""
         from tokenpacker_tpu.ops.paged_kv import PagedKV, PageAllocator
 
         self.params = params
@@ -102,7 +109,10 @@ class PagedContinuousBatcher:
         self.slots: list[_Request | None] = [None] * num_slots
         self.next_tokens = np.zeros((num_slots,), np.int32)
         self._rng = jax.random.PRNGKey(0)
-
+        self.speculative_k = speculative_k
+        self._spec_accept_ema = 1.0
+        self._spec_backoff = 0
+        self._spec_fail_streak = 0
 
     def start(self):
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -176,6 +186,7 @@ class PagedContinuousBatcher:
         self.paged = insert_prefill(self.paged, small_cache, slot, pages, length)
         self.slot_pages[slot] = pages
         self.slots[slot] = req
+        self._init_ctx(req, length)
         self.next_tokens[slot] = tok
         self._emit(slot, tok)
 
@@ -183,11 +194,17 @@ class PagedContinuousBatcher:
         req = self.slots[slot]
         req.tokens.append(tok)
         req.produced += 1
+        if self.speculative_k > 0:
+            req.ctx.append(tok)
         if req.on_token is not None:
             req.on_token(tok)
         eos = self.cfg.lm.eos_token_id
         cur_len = int(np.asarray(self.paged.lengths)[slot])
-        out_of_room = (cur_len + 1) // self.page_size >= self.max_pages_per_seq
+        # with speculation a round writes up to k+1 positions past cur_len
+        out_of_room = (
+            (cur_len + 1 + self.speculative_k) // self.page_size
+            >= self.max_pages_per_seq
+        )
         if tok == eos or req.produced >= req.max_new_tokens or out_of_room:
             req.future.set_result(req.tokens)
             self.slots[slot] = None
@@ -201,17 +218,20 @@ class PagedContinuousBatcher:
             self.slot_pages[slot] = []
 
     def _grow_pages(self):
-        """Map a fresh page for any slot whose next write crosses a page
-        boundary into an unmapped logical block."""
+        """Map fresh pages for any slot whose next writes cross into unmapped
+        logical blocks — with speculation, a round writes positions
+        [len, len+k], so growth runs with a k-token lookahead."""
         from tokenpacker_tpu.ops.paged_kv import map_page
 
         lens = np.asarray(self.paged.lengths)
         for slot in range(self.num_slots):
             if self.slots[slot] is None:
                 continue
-            block = int(lens[slot]) // self.page_size
-            if block >= len(self.slot_pages[slot]):
+            target = (int(lens[slot]) + self.speculative_k) // self.page_size
+            target = min(target, self.max_pages_per_seq - 1)
+            while len(self.slot_pages[slot]) <= target:
                 (pid,) = self.allocator.alloc(1)
+                block = len(self.slot_pages[slot])
                 self.slot_pages[slot].append(pid)
                 self.paged = map_page(self.paged, slot, block, pid)
 
@@ -238,6 +258,17 @@ class PagedContinuousBatcher:
                 continue
 
             self._grow_pages()
+            has_greedy = any(
+                r is not None and r.temperature <= 0.0 for r in self.slots
+            )
+            if self.speculative_k > 0 and has_greedy:
+                if self._spec_backoff > 0:
+                    self._spec_backoff -= 1
+                    if self._spec_backoff == 0:
+                        self._spec_accept_ema = 1.0  # optimistic retry
+                else:
+                    self._verify_round(active)
+                    continue
             logits, self.paged = paged_decode_step_jit(
                 self.params, self.cfg, self.paged, jnp.asarray(self.next_tokens),
                 jnp.asarray(active),
@@ -252,6 +283,19 @@ class PagedContinuousBatcher:
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
                     self._emit(slot, int(toks[slot]))
+
+    def _verify_round(self, active):
+        """Speculative round over the paged pool (verify via the page-gather
+        attention path; see ops/paged_kv.paged_verify_step)."""
+        from tokenpacker_tpu.ops.paged_kv import paged_verify_step_jit
+
+        fed, dks = self._propose_fed()
+        logits, self.paged = paged_verify_step_jit(
+            self.params, self.cfg, self.paged, jnp.asarray(fed), jnp.asarray(active)
+        )
+        bursts, new_lens = self._accept_bursts(fed, dks, logits, self.paged.lengths)
+        self.paged = self.paged._replace(lengths=jnp.asarray(new_lens))
+        self._emit_bursts(bursts)
 
 
 class ContinuousBatcher:
@@ -534,18 +578,11 @@ class ContinuousBatcher:
                     self.next_tokens[slot] = int(toks[slot])
                     self._emit(slot, int(toks[slot]))
 
-    def _verify_round(self, active):
-        """One speculative step for every active slot: greedy slots feed
-        their prompt-lookup drafts and advance by their own acceptance;
-        temperature>0 slots advance one sampled token (position 0)."""
-        from tokenpacker_tpu.speculative import (
-            accept_greedy,
-            propose_ngram_host,
-            verify_step_cb,
-        )
+    def _propose_fed(self):
+        """Per-slot verify inputs: [last token, drafts..., -1 padding]."""
+        from tokenpacker_tpu.speculative import propose_ngram_host
 
         k = self.speculative_k
-        eos = self.cfg.lm.eos_token_id
         fed = np.full((self.num_slots, k + 1), -1, np.int32)
         dks = np.zeros(self.num_slots, np.int32)
         for slot in range(self.num_slots):
@@ -557,38 +594,36 @@ class ContinuousBatcher:
                 d = propose_ngram_host(req.ctx, k)
                 fed[slot, 1 : 1 + len(d)] = d
                 dks[slot] = len(d)
-        logits, self.cache = verify_step_cb(
-            self.params, self.cfg, self.cache, jnp.asarray(fed),
-            self.cache.length, jnp.asarray(active),
-        )
+        return fed, dks
+
+    def _accept_bursts(self, fed, dks, logits, cur_lens):
+        """Greedy acceptance per slot (+1 sampled token for temperature>0
+        slots), EMA/backoff bookkeeping. Returns (bursts, new_lens)."""
+        from tokenpacker_tpu.speculative import accept_greedy
+
+        eos = self.cfg.lm.eos_token_id
         self._rng, sub = jax.random.split(self._rng)
         temps = np.array(
             [r.temperature if r is not None else 0.0 for r in self.slots], np.float32
         )
         preds = np.asarray(jnp.argmax(logits, axis=-1))  # [N, k+1]
         sampled0 = np.asarray(sample_tokens_per_row(logits[:, 0], temps, sub))
-        new_lens = np.asarray(self.cache.length).copy()
+        new_lens = np.asarray(cur_lens).copy()
         bursts: dict[int, list[int]] = {}
+        n_greedy = accepted = 0
         for slot in range(self.num_slots):
             req = self.slots[slot]
             if req is None:
                 continue
             if req.temperature <= 0.0:
                 burst = accept_greedy(preds[slot], fed[slot, 1:], int(dks[slot]), eos)
+                n_greedy += 1
+                accepted += len(burst) - 1
             else:
                 burst = [int(sampled0[slot])]
             bursts[slot] = burst
             new_lens[slot] += len(burst)
-        # adaptive backoff bookkeeping (greedy slots only)
-        n_greedy = sum(
-            1 for s in range(self.num_slots)
-            if self.slots[s] is not None and self.slots[s].temperature <= 0.0
-        )
         if n_greedy:
-            accepted = sum(
-                len(b) - 1 for s, b in bursts.items()
-                if self.slots[s] is not None and self.slots[s].temperature <= 0.0
-            )
             ratio = accepted / n_greedy
             self._spec_accept_ema = 0.9 * self._spec_accept_ema + 0.1 * ratio
             if ratio > 0.5:
@@ -598,9 +633,9 @@ class ContinuousBatcher:
                     SPEC_BACKOFF_ROUNDS * (2 ** self._spec_fail_streak), 512
                 )
                 self._spec_fail_streak += 1
-        # advance lengths BEFORE emitting so _emit's room check sees the
-        # post-step state (its +k+1 margin keeps the next round in bounds)
-        self.cache = KVCache(self.cache.k, self.cache.v, jnp.asarray(new_lens))
+        return bursts, new_lens
+
+    def _emit_bursts(self, bursts):
         for slot, burst in bursts.items():
             for tok in burst:
                 if self.slots[slot] is None:
@@ -609,5 +644,28 @@ class ContinuousBatcher:
             if self.slots[slot] is not None:
                 self.next_tokens[slot] = int(burst[-1])
 
+    def _verify_round(self, active):
+        """One speculative step for every active slot: greedy slots feed
+        their prompt-lookup drafts and advance by their own acceptance;
+        temperature>0 slots advance one sampled token (position 0)."""
+        from tokenpacker_tpu.speculative import verify_step_cb
+
+        fed, dks = self._propose_fed()
+        logits, self.cache = verify_step_cb(
+            self.params, self.cfg, self.cache, jnp.asarray(fed),
+            self.cache.length, jnp.asarray(active),
+        )
+        bursts, new_lens = self._accept_bursts(fed, dks, logits, self.cache.length)
+        # advance lengths BEFORE emitting so _emit's room check sees the
+        # post-step state (its +k+1 margin keeps the next round in bounds)
+        self.cache = KVCache(self.cache.k, self.cache.v, jnp.asarray(new_lens))
+        self._emit_bursts(bursts)
+
 
 PagedContinuousBatcher.submit = ContinuousBatcher.submit
+# speculation plumbing shared with the dense batcher (only the cache-length
+# bookkeeping differs — each class has its own _verify_round)
+PagedContinuousBatcher._init_ctx = ContinuousBatcher._init_ctx
+PagedContinuousBatcher._propose_fed = ContinuousBatcher._propose_fed
+PagedContinuousBatcher._accept_bursts = ContinuousBatcher._accept_bursts
+PagedContinuousBatcher._emit_bursts = ContinuousBatcher._emit_bursts
