@@ -47,3 +47,22 @@ def test_tp_sharded_generation_matches_single_device():
         sharded = shard_params(params, mesh)
         got = Generator(sharded, cfg).generate(batch, max_new_tokens=5).sequences[0]
     assert got == ref, (got, ref)
+
+
+def test_tp_sharded_speculative_generation_matches_single_device():
+    """Speculation composes with TP: the on-device draft->verify->accept
+    chunk runs under GSPMD-sharded params (collectives inserted by XLA) and
+    still emits the exact single-device greedy tokens."""
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(3), cfg)
+    batch = _batch(cfg, np.random.default_rng(3))
+
+    ref = Generator(params, cfg).generate(batch, max_new_tokens=8).sequences[0]
+
+    mesh = make_mesh(tp=2)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh)
+        got = Generator(sharded, cfg).generate(
+            batch, max_new_tokens=8, speculative=3
+        ).sequences[0]
+    assert got == ref, (got, ref)
