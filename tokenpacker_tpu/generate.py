@@ -102,14 +102,91 @@ def prefill_chunk(params, cfg: TokenPackerVLMConfig, cache, visual, token_ids,
     return hidden, new_cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "prefill_len"))
+def _fused_decode_mode(params, cfg: TokenPackerVLMConfig) -> str | None:
+    """Dispatch for the single-dispatch fused decode kernel
+    (ops/fused_decode.py): the whole quantized llama decoder stack runs as
+    ONE pallas_call per step, removing the ~55us-per-call dispatch floor
+    that makes per-layer kernels lose. Returns 'tpu' | 'interpret' | None.
+
+    TOKENPACKER_FUSED_DECODE=1 opts in on TPU (off by default until the
+    kernel's on-chip win is confirmed); =interpret forces the (slow)
+    interpret path for CPU tests; =0|off|xla opts out.
+    """
+    import os
+
+    v = os.environ.get("TOKENPACKER_FUSED_DECODE", "0")
+    if v in ("0", "off", "xla"):
+        return None
+    from tokenpacker_tpu.ops.fused_decode import fused_eligible
+
+    if not fused_eligible(params.get("lm", {}), cfg.lm):
+        return None
+    if v == "interpret":
+        return "interpret"
+    return "tpu" if jax.default_backend() == "tpu" else None
+
+
+@partial(jax.jit, static_argnames=("cfg", "prefill_len", "interpret"))
+def _decode_step_fused(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths,
+                       step, prefill_len: int, interpret: bool = False):
+    """decode_step semantics on the fused kernel: attendable ranges are the
+    prompt [0, lengths_i) plus the decoded span [prefill_len,
+    prefill_len+step); the current token is always attended in-kernel."""
+    from tokenpacker_tpu.ops.fused_decode import fused_decode_hidden
+    from tokenpacker_tpu.ops.layers import rms_norm
+
+    emb = lm_embed(params["lm"], cfg.lm, tokens[:, None])[:, 0]
+    wpos = jnp.full_like(lengths, prefill_len) + step
+    hidden, nk, nv = fused_decode_hidden(
+        params["lm"], cfg.lm, emb, cache.k, cache.v,
+        lengths, jnp.full_like(lengths, prefill_len), wpos, wpos,
+        positions=lengths + step, interpret=interpret,
+    )
+    hidden = rms_norm(params["lm"]["norm"], hidden, cfg.lm.rms_norm_eps)
+    logits = lm_logits(params["lm"], cfg.lm, hidden)
+    return logits, KVCache(nk, nv, cache.length + 1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _decode_step_cb_fused(params, cfg: TokenPackerVLMConfig, cache, tokens,
+                          cur_lens, active, interpret: bool = False):
+    from tokenpacker_tpu.ops.fused_decode import fused_decode_hidden
+    from tokenpacker_tpu.ops.layers import rms_norm
+
+    emb = lm_embed(params["lm"], cfg.lm, tokens[:, None])[:, 0]
+    zeros = jnp.zeros_like(cur_lens)
+    hidden, nk, nv = fused_decode_hidden(
+        params["lm"], cfg.lm, emb, cache.k, cache.v,
+        cur_lens, zeros, zeros, cur_lens, positions=cur_lens,
+        interpret=interpret,
+    )
+    hidden = rms_norm(params["lm"]["norm"], hidden, cfg.lm.rms_norm_eps)
+    logits = lm_logits(params["lm"], cfg.lm, hidden)
+    new_len = cur_lens + active.astype(cur_lens.dtype)
+    return logits, KVCache(nk, nv, new_len)
+
+
 def decode_step(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step, prefill_len: int):
     """One token for every sample.
 
     tokens: [N] input ids; lengths: [N] true prompt lengths; step: scalar
     int32 decode step index. Writes KV at slot prefill_len+step; sample i's
     query position is lengths[i]+step.
+
+    Dispatches to the fused whole-stack kernel (ops/fused_decode.py) for
+    quantized llama-family params on TPU; the XLA per-layer path otherwise.
     """
+    mode = _fused_decode_mode(params, cfg)
+    if mode:
+        return _decode_step_fused(
+            params, cfg, cache, tokens, lengths, step, prefill_len,
+            interpret=mode == "interpret",
+        )
+    return _decode_step_xla(params, cfg, cache, tokens, lengths, step, prefill_len)
+
+
+@partial(jax.jit, static_argnames=("cfg", "prefill_len"))
+def _decode_step_xla(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step, prefill_len: int):
     s_max = cache.k.shape[2]
     n = tokens.shape[0]
     positions = (lengths + step)[:, None]  # [N, 1]
@@ -143,7 +220,6 @@ def decode_step(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step,
     return logits, new_cache
 
 
-@partial(jax.jit, static_argnames=("cfg",))
 def decode_step_cb(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_lens, active):
     """Continuous-batching decode step over slot-contiguous caches.
 
@@ -152,7 +228,21 @@ def decode_step_cb(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_lens, a
     `active` masks empty slots (their writes land at their cur_len but are
     overwritten when a request is admitted). Returns (logits, new_cache)
     with new_cache.length = cur_lens + active.
+
+    Dispatches to the fused whole-stack kernel for quantized llama params
+    on TPU (see decode_step).
     """
+    mode = _fused_decode_mode(params, cfg)
+    if mode:
+        return _decode_step_cb_fused(
+            params, cfg, cache, tokens, cur_lens, active,
+            interpret=mode == "interpret",
+        )
+    return _decode_step_cb_xla(params, cfg, cache, tokens, cur_lens, active)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _decode_step_cb_xla(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_lens, active):
     s_max = cache.k.shape[2]
     n = tokens.shape[0]
     positions = cur_lens[:, None]
