@@ -1,0 +1,81 @@
+"""Measure the fused whole-stack decode kernel vs the XLA per-layer path.
+
+7B int8 (the load_8bit serving configuration, fused qkv/gateup layout),
+decode over slot-contiguous caches (decode_step_cb semantics) at B=1 and
+B=8. Timing is tunnel-proof: N steps chained in one jitted fori_loop with a
+data dependency, single scalar fetch (CLAUDE.md).
+
+Usage: python scripts/bench_fused_decode.py [batch ...]
+Env: TOKENPACKER_FUSED_DECODE=0 to measure only the XLA path.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from tokenpacker_tpu.config import TokenPackerVLMConfig
+from tokenpacker_tpu.models.llama import KVCache
+from tokenpacker_tpu.models.vlm import init_vlm
+from tokenpacker_tpu.ops.quantize import fuse_llama_layers
+from tokenpacker_tpu.utils.bench_params import int8_params_like
+
+
+def fused_int8_params(cfg):
+    shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, jnp.bfloat16))
+    shapes = {**shapes, "lm": jax.eval_shape(fuse_llama_layers, shapes["lm"])}
+    return int8_params_like(shapes)
+
+
+def bench(batch: int, s_max: int = 512, n_steps: int = 64, fill: int = 200):
+    from tokenpacker_tpu import generate as gen
+
+    cfg = TokenPackerVLMConfig()
+    params = fused_int8_params(cfg)
+    lm = cfg.lm
+    cache = KVCache(
+        jnp.zeros((lm.num_hidden_layers, batch, s_max, lm.kv_heads, lm.head_dim), jnp.bfloat16),
+        jnp.zeros((lm.num_hidden_layers, batch, s_max, lm.kv_heads, lm.head_dim), jnp.bfloat16),
+        jnp.full((batch,), fill, jnp.int32),
+    )
+
+    @jax.jit
+    def loop(params, cache, toks, active, salt):
+        toks = toks + salt * 0
+
+        def body(i, carry):
+            cache, toks = carry
+            logits, cache = gen.decode_step_cb(params, cfg, cache, toks, cache.length, active)
+            return cache, jnp.argmax(logits, -1).astype(jnp.int32)
+
+        cache, toks = jax.lax.fori_loop(0, n_steps, body, (cache, toks))
+        return jnp.sum(toks)
+
+    toks = jnp.ones((batch,), jnp.int32)
+    active = jnp.ones((batch,), bool)
+    t0 = time.perf_counter()
+    r = float(loop(params, cache, toks, active, jnp.asarray(0)))
+    print(f"  compile+first: {time.perf_counter()-t0:.1f}s (sum={r})", flush=True)
+    t0 = time.perf_counter()
+    float(loop(params, cache, toks, active, jnp.asarray(1)))
+    dt = time.perf_counter() - t0
+    tps = n_steps * batch / dt
+    ms = dt / n_steps * 1e3
+    return tps, ms
+
+
+def main():
+    batches = [int(a) for a in sys.argv[1:]] or [1, 8]
+    mode = os.environ.get("TOKENPACKER_FUSED_DECODE", "1")
+    os.environ["TOKENPACKER_FUSED_DECODE"] = mode
+    print(f"backend={jax.default_backend()} fused={mode}")
+    for b in batches:
+        tps, ms = bench(b)
+        print(f"B={b}: {tps:.1f} agg tok/s  ({ms:.2f} ms/step)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

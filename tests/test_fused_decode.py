@@ -118,6 +118,39 @@ def test_fused_matches_xla_decode_two_range():
             assert np.max(np.abs(dx)) < 0.05
 
 
+def test_fused_matches_xla_decode_pipelined_geometry():
+    """A config with >=2 K-chunks per segment exercises the cross-segment
+    prefetch hooks + shared-ring parity (the production code path; the tiny
+    config above covers the non-pipelined fallback)."""
+    cfg = LMConfig(
+        vocab_size=128,
+        hidden_size=1024,
+        intermediate_size=2048,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        model_family="llama",
+    )
+    params = build_params(cfg)
+    assert fused_eligible(params, cfg)
+    b, s, pre = 2, 32, 8
+    lengths = jnp.asarray([5, 8], jnp.int32)
+    cache = prefill(params, cfg, b, s, pre, lengths)
+
+    emb = (0.1 * jax.random.normal(jax.random.PRNGKey(5), (b, 1, cfg.hidden_size))).astype(
+        jnp.bfloat16
+    )
+    hx, _ = xla_decode(params, cfg, cache, emb, lengths, 0, pre, s)
+    wpos = jnp.full((b,), pre, jnp.int32)
+    hf_pre, _, _ = fused_decode_hidden(
+        params, cfg, emb[:, 0], cache.k, cache.v,
+        lengths, wpos, wpos, wpos, positions=lengths, interpret=True,
+    )
+    hf = rms_norm(params["norm"], hf_pre)
+    ax = np.asarray(hx, np.float32)
+    af = np.asarray(hf, np.float32)
+    assert np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9) < 0.02
+
+
 def test_fused_matches_xla_decode_cb():
     """decode_step_cb semantics: slot-contiguous caches, per-slot lengths."""
     cfg = tiny_cfg()

@@ -134,9 +134,15 @@ def load_pretrained_model(
         if load_8bit and load_4bit:
             raise ValueError("load_8bit and load_4bit are mutually exclusive")
         if load_8bit:
-            from tokenpacker_tpu.ops.quantize import quantize_tree
+            from tokenpacker_tpu.ops.quantize import fuse_llama_layers, quantize_tree
 
-            params["lm"] = quantize_tree(params["lm"])
+            lm = params["lm"]
+            if cfg.lm.model_family == "llama":
+                # fused qkv/gateup: numerics identical (per-out-channel
+                # scales are per-column either way) and required by the
+                # single-dispatch fused decode kernel (ops/fused_decode.py)
+                lm = fuse_llama_layers(lm)
+            params["lm"] = quantize_tree(lm)
         elif load_4bit:
             # bitsandbytes load_4bit slot (reference builder.py:29-40):
             # nf4 (default) or int4 blockwise weight-only quantization, with

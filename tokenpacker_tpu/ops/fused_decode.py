@@ -7,7 +7,7 @@ calls/step of dispatch cancels any in-kernel win (w8a8 and the decode
 attention kernel both measured net-negative integrated). This kernel removes
 the dispatch tax entirely: one `pallas_call` runs an in-kernel
 `lax.fori_loop` over layers, streaming every int8 weight matrix from HBM
-(`pl.ANY` memory space) through double-buffered async DMA, computing the
+(`pl.ANY` memory space) through ONE double-buffered DMA ring, computing the
 per-layer GEMVs + RoPE + attention-over-cache + MLP on data that never
 leaves VMEM. The XLA graph per decode step shrinks to: embed lookup →
 [this kernel] → final RMSNorm → lm_head → sample.
@@ -18,11 +18,25 @@ convert-in-dot semantics modulo f32-vs-bf16 accumulation reorder (tested).
 The reference has no analog: its decode is HF `model.generate` over CUDA
 kernels (llava/model/language_model/llava_llama.py:120-140).
 
-Design notes (v5e):
-- weights stay int8 [L, K, N] (quantize.quantize_tree + fuse_llama_layers
-  fused qkv/gateup layout); chunks of K are DMA'd HBM→VMEM and converted
-  int8→bf16 in-kernel, overlapped with the next chunk's DMA. Per-chunk
-  convert+dot (~6.5us) hides under the chunk DMA (~7.7us at peak BW).
+Mosaic constraints this design is shaped by (all measured on the axon v5e
+stack via bisection — see ROADMAP.md round-2 notes):
+- single vector ops wider than ~12288 lanes crash the compiler (a dot over
+  a [512, 8192] int8 operand fails, [512, 4096] passes; a 16384-wide f32
+  accumulator fails, 12288 passes) → convert+dot is tiled to <=2048-column
+  sub-dots whose results are CONCATENATED into one accumulator per chunk
+  (carrying per-tile accumulators across the chunk loop also crashes), and
+  weight matrices wider than 12288 are processed as independent column
+  segments (gate/up separately; q/k/v separately at 13B geometry).
+- TWO independent weight-streaming scratch buffers crash the compiler; one
+  ring reused sequentially is fine → all five matrices stream through a
+  single [2, ck_max, 12288] int8 ring with one DMA-semaphore pair, as a
+  flat per-layer chunk queue. Cross-segment prefetch hooks keep the ring
+  full across matrix boundaries (the next segment's first two chunks are
+  issued during the previous segment's last two computes), and the
+  per-layer chunk count is padded to an even number so the ring's slot
+  parity is static under the layer fori_loop.
+
+Other design notes (v5e):
 - attention avoids every in-kernel transpose/reshape of the [S, H*D] cache:
   logits[s,h] = sum_d K[s,·]·q via a VPU broadcast-multiply then an MXU dot
   with a block-diagonal ones matrix G [D, H]; probabilities expand back to
@@ -44,6 +58,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
+MAX_WIDE = 12288  # widest proven value/accumulator width (lanes)
+N_TILE = 2048  # max columns per convert+dot
 
 
 def _chunks(k: int, ck: int):
@@ -57,54 +73,168 @@ def _chunks(k: int, ck: int):
     return out
 
 
-class _MatStream:
-    """Double-buffered HBM→VMEM weight streamer for one [K, N] matrix of a
-    dynamically-indexed layer stack [L, K, N]."""
+class _Seg:
+    """One streaming segment: a (layer, column-range) of an [L, K, N] int8
+    stack, funneled through the shared ring.
 
-    def __init__(self, hbm_ref, layer, buf, sem, chunks):
+    The chunk loop is a `lax.fori_loop` over uniform `ck`-row chunks (plus
+    an optional static tail of K % ck rows), with the ring slot computed
+    dynamically from `parity` (a traced per-layer value) — this keeps the
+    kernel's instruction count roughly constant per segment, which is what
+    lets the whole decoder compile (the axon mosaic stack crashes beyond
+    roughly two dozen statically-unrolled dot sites). x chunks are staged
+    into the small `xbuf` scratch so the fori body can read them with a
+    dynamic leading index (dynamic_slice on *values* does not lower)."""
+
+    def __init__(self, hbm_ref, layer, col_off, ncols, k, ck, ring, sem,
+                 xbuf, parity, hooks=True):
         self.hbm_ref = hbm_ref
         self.layer = layer
-        self.buf = buf
+        self.col_off = col_off
+        self.ncols = ncols
+        self.k = k
+        self.ck = ck
+        self.nck = k // ck
+        self.tail = k % ck
+        self.nct = self.nck + (1 if self.tail else 0)  # flat chunk count
+        self.ring = ring
         self.sem = sem
-        self.chunks = chunks
+        self.xbuf = xbuf
+        self.parity = parity
+        self.hooks = hooks
+        self.n_tiles = _chunks(ncols, N_TILE)
 
-    def _dma(self, ci: int):
-        off, sz = self.chunks[ci]
-        slot = ci % 2
+    def _slot(self, ci):
+        return jax.lax.rem(self.parity + ci, 2)
+
+    def _dma(self, ci):
+        """ci: traced or static flat chunk index in [0, nct)."""
+        if isinstance(ci, int) and self.tail and ci == self.nck:
+            rows, off = self.tail, self.nck * self.ck
+        else:
+            rows, off = self.ck, ci * self.ck
+        slot = self._slot(ci)
         return pltpu.make_async_copy(
-            self.hbm_ref.at[self.layer, pl.ds(off, sz), :],
-            self.buf.at[slot, pl.ds(0, sz)],
+            self.hbm_ref.at[
+                self.layer, pl.ds(off, rows), pl.ds(self.col_off, self.ncols)
+            ],
+            self.ring.at[slot, pl.ds(0, rows), pl.ds(0, self.ncols)],
             self.sem.at[slot],
         )
 
-    def start(self, ci: int):
-        if ci < len(self.chunks):
-            self._dma(ci).start()
+    def _dma_tail(self):
+        off = self.nck * self.ck
+        slot = self._slot(self.nck)
+        return pltpu.make_async_copy(
+            self.hbm_ref.at[
+                self.layer, pl.ds(off, self.tail), pl.ds(self.col_off, self.ncols)
+            ],
+            self.ring.at[slot, pl.ds(0, self.tail), pl.ds(0, self.ncols)],
+            self.sem.at[slot],
+        )
 
-    def gemv(self, x, n_out: int):
-        """x: [B, K] bf16 → [B, n_out] f32. Chunks 0/1 must be started.
+    def start(self, ci: int, guard=None):
+        """Start flat chunk ci (static index; prologue / self-start use)."""
+        if ci >= self.nct:
+            return
+        dma = self._dma_tail() if (self.tail and ci == self.nck) else self._dma(ci)
+        if guard is None:
+            dma.start()
+        else:
+            @pl.when(guard)
+            def _():
+                dma.start()
 
-        The convert+dot is tiled to <=2048 output columns per op: the axon
-        TPU compile crashes on single vector ops touching more than ~2M
-        elements (measured: dot over a [512, 8192] operand fails, [512,
-        4096] passes), and slices must stay 128-lane aligned.
-        """
+    def starter(self, ci: int, guard=None):
+        return lambda cond=None: self.start(ci, guard if cond is None else cond)
+
+    def _tile_dots(self, xs, rows, slot):
+        parts = [
+            jax.lax.dot_general(
+                xs,
+                self.ring[pl.ds(slot, 1), :rows, noff : noff + nsz][0].astype(
+                    jnp.bfloat16
+                ),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for noff, nsz in self.n_tiles
+        ]
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    def gemv(self, x, next_starts=()):
+        """x: [B, K] bf16 → [B, ncols] f32.
+
+        With hooks on, chunks 0/1 were started by the previous segment (or
+        the prologue) and this segment starts the NEXT segment's first two
+        chunks at its own last two flat positions, so the ring never
+        drains across matrix boundaries. With hooks off (self-start
+        fallback) each segment starts its own first chunks."""
         b = x.shape[0]
-        n_tiles = _chunks(n_out, 2048)
-        accs = [jnp.zeros((b, nsz), jnp.float32) for _, nsz in n_tiles]
-        for ci, (off, sz) in enumerate(self.chunks):
-            slot = ci % 2
+        nck, ck, tail = self.nck, self.ck, self.tail
+        # stage x chunks for dynamic ref reads inside the fori
+        for ci in range(nck):
+            self.xbuf[ci, :b, :ck] = x[:, ci * ck : (ci + 1) * ck]
+        if not self.hooks:
+            self.start(0)
+            self.start(1)
+        n0 = next_starts[0] if len(next_starts) > 0 else lambda: None
+        n1 = next_starts[1] if len(next_starts) > 1 else lambda: None
+
+        def body(ci, acc):
+            slot = self._slot(ci)
             self._dma(ci).wait()
-            xs = jax.lax.slice(x, (0, off), (b, off + sz))
-            for ti, (noff, nsz) in enumerate(n_tiles):
-                w = self.buf[slot, :sz, noff : noff + nsz].astype(jnp.bfloat16)
-                accs[ti] = accs[ti] + jax.lax.dot_general(
-                    xs, w, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            # reuses this chunk's slot — must be issued after its compute
-            self.start(ci + 2)
-        return jnp.concatenate(accs, axis=1) if len(accs) > 1 else accs[0]
+            xs = self.xbuf[pl.ds(ci, 1), :b, :ck][0]  # [B, ck]
+            acc = acc + self._tile_dots(xs, ck, slot)
+
+            @pl.when(ci + 2 < nck)
+            def _():
+                self._dma(ci + 2).start()
+
+            if tail:
+                @pl.when(ci + 2 == nck)
+                def _():
+                    self._dma_tail().start()
+
+                if self.hooks:
+                    @pl.when(ci + 1 == nck)
+                    def _():
+                        n0()
+            elif self.hooks:
+                @pl.when(ci + 2 == nck)
+                def _():
+                    n0()
+
+                @pl.when(ci + 1 == nck)
+                def _():
+                    n1()
+
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, nck, body, jnp.zeros((b, self.ncols), jnp.float32)
+        )
+        if tail:
+            slot_t = self._slot(nck)
+            self._dma_tail().wait()
+            xs_t = x[:, nck * ck :]
+            acc = acc + self._tile_dots(xs_t, tail, slot_t)
+            if self.hooks:
+                # the next segment's chunk 1 reuses the tail's slot — issue
+                # only after the tail's compute
+                n1()
+        return acc
+
+
+def _layer_chunkplan(d: int, f: int):
+    """Static per-layer streaming plan: (ck for D-reduction segments, ck
+    for the F-reduction segment, qkv segment count). Chunk sizes must be
+    multiples of 128 (static lane slicing of x) — guaranteed by the
+    fused_eligible geometry gates."""
+    ck_d = min(512, d)
+    ck_f = min(1024, f)
+    n_qkv_segs = 1 if 3 * d <= MAX_WIDE else 3
+    return ck_d, ck_f, n_qkv_segs
 
 
 def _rms(h, w_row, eps):
@@ -140,16 +270,11 @@ def _kernel(
     knew_ref,  # [L, B, HD] bf16
     vnew_ref,
     # scratch
-    qkv_buf,
-    o_buf,
-    gu_buf,
-    down_buf,
+    ring,  # [2, ck_max, ring_w] int8 — the one shared weight ring
+    xbuf,  # [max_chunks, B, ck_max] bf16 — staged x chunks
     kbuf,  # [2, S, HD] bf16
     vbuf,
-    qkv_sem,
-    o_sem,
-    gu_sem,
-    down_sem,
+    wsem,
     k_sem,
     v_sem,
     *,
@@ -162,11 +287,47 @@ def _kernel(
     s: int,
     eps: float,
 ):
-    ck_d = qkv_buf.shape[1]
-    ck_f = down_buf.shape[1]
-    d_chunks = _chunks(d, ck_d)
-    f_chunks = _chunks(f, ck_f)
+    ck_d, ck_f, n_qkv_segs = _layer_chunkplan(d, f)
     scale = head_dim**-0.5
+    import os
+
+    # cross-segment prefetch hooks keep the ring full across matrix
+    # boundaries; TOKENPACKER_FUSED_PIPELINE=self disables them (each
+    # segment then starts its own first two chunks — ~8us ring-drain bubble
+    # per segment boundary) — kept as a compile-compatibility fallback
+    nct_d = -(-d // ck_d)
+    nct_f = f // ck_f + (1 if f % ck_f else 0)
+    total = nct_d * (n_qkv_segs + 3) + nct_f  # flat chunks per layer
+    # hook scheduling needs >=2 main chunks per segment; tiny test
+    # geometries fall back to self-starting segments
+    hooks = (
+        os.environ.get("TOKENPACKER_FUSED_PIPELINE", "hooks") == "hooks"
+        and min(d // ck_d, f // ck_f) >= 2
+    )
+
+    def segs_for(l):
+        """The layer's ordered segment list; ring parities are traced
+        values derived from the layer index (no static parity constraint)."""
+        par = jax.lax.rem(l * total, 2)
+        mk = lambda ref, co, nc, k, ck, p: _Seg(
+            ref, l, co, nc, k, ck, ring, wsem, xbuf, p, hooks
+        )
+        if n_qkv_segs == 1:
+            qkv_segs = [mk(qkv_ref, 0, 3 * d, d, ck_d, par)]
+            par = jax.lax.rem(par + nct_d, 2)
+        else:
+            qkv_segs = []
+            for i in range(3):
+                qkv_segs.append(mk(qkv_ref, i * d, d, d, ck_d, par))
+                par = jax.lax.rem(par + nct_d, 2)
+        o_seg = mk(o_ref, 0, d, d, ck_d, par)
+        par = jax.lax.rem(par + nct_d, 2)
+        gate_seg = mk(gu_ref, 0, f, d, ck_d, par)
+        par = jax.lax.rem(par + nct_d, 2)
+        up_seg = mk(gu_ref, f, f, d, ck_d, par)
+        par = jax.lax.rem(par + nct_d, 2)
+        down_seg = mk(down_ref, 0, d, f, ck_f, par)
+        return qkv_segs, o_seg, gate_seg, up_seg, down_seg
 
     def kv_dma(l, b):
         slot = b % 2
@@ -175,28 +336,35 @@ def _kernel(
             pltpu.make_async_copy(vc_ref.at[l, b], vbuf.at[slot], v_sem.at[slot]),
         )
 
-    def layer_body(l, h):
-        qkv = _MatStream(qkv_ref, l, qkv_buf, qkv_sem, d_chunks)
-        o = _MatStream(o_ref, l, o_buf, o_sem, d_chunks)
-        gu = _MatStream(gu_ref, l, gu_buf, gu_sem, d_chunks)
-        down = _MatStream(down_ref, l, down_buf, down_sem, f_chunks)
+    dbg = os.environ.get("TOKENPACKER_FD_DEBUG", "")  # temp compile bisect
 
-        qkv.start(0)
-        qkv.start(1)
-        for dma in kv_dma(l, 0):
-            dma.start()
+    def layer_body(l, h):
+        qkv_segs, o_seg, gate_seg, up_seg, down_seg = segs_for(l)
+        if "noattn" not in dbg:
+            for dma in kv_dma(l, 0):
+                dma.start()
 
         ln1 = ln1_ref[pl.ds(l, 1), :]
         x1 = _rms(h, ln1, eps)
-        qkv_acc = qkv.gemv(x1, 3 * d)
-        o.start(0)
-        o.start(1)
-        qkv_sc = qkv_s_ref[pl.ds(l, 1), :]
-        qkv_acc = qkv_acc * qkv_sc
-
-        q = jax.lax.slice(qkv_acc, (0, 0), (batch, d))
-        k = jax.lax.slice(qkv_acc, (0, d), (batch, 2 * d))
-        v = jax.lax.slice(qkv_acc, (0, 2 * d), (batch, 3 * d)).astype(jnp.bfloat16)
+        if n_qkv_segs == 1:
+            qkv_acc = qkv_segs[0].gemv(x1, (o_seg.starter(0), o_seg.starter(1)))
+            sc = qkv_s_ref[pl.ds(l, 1), :]
+            qkv_acc = qkv_acc * sc
+            q = jax.lax.slice(qkv_acc, (0, 0), (batch, d))
+            k = jax.lax.slice(qkv_acc, (0, d), (batch, 2 * d))
+            v = jax.lax.slice(qkv_acc, (0, 2 * d), (batch, 3 * d))
+        else:
+            accs = []
+            for i, seg in enumerate(qkv_segs):
+                nxt = (
+                    (qkv_segs[i + 1].starter(0), qkv_segs[i + 1].starter(1))
+                    if i + 1 < 3
+                    else (o_seg.starter(0), o_seg.starter(1))
+                )
+                a = seg.gemv(x1, nxt)
+                a = a * qkv_s_ref[pl.ds(l, 1), i * d : (i + 1) * d]
+                accs.append(a)
+            q, k, v = accs
 
         # RoPE on a [B*H, Dh] view; rotate-half = MXU dot with a permutation
         rot32 = rot_ref[...].astype(jnp.float32)
@@ -210,13 +378,19 @@ def _kernel(
             y = x3 * cos_ref[...] + xr * sin_ref[...]
             return y.reshape(batch, d).astype(jnp.bfloat16)
 
-        qr = rope(q)
-        kr = rope(k)
+        if "norope" in dbg:
+            qr = q.astype(jnp.bfloat16)
+            kr = k.astype(jnp.bfloat16)
+        else:
+            qr = rope(q)
+            kr = rope(k)
+        v = v.astype(jnp.bfloat16)
 
         # --- attention over the cached sequence + the current token ---
         g32 = g_ref[...].astype(jnp.float32)
+        gb = g_ref[...]
         outs = []
-        for b in range(batch):
+        for b in range(batch if "noattn" not in dbg else 0):
             for dma in kv_dma(l, b):
                 dma.wait()
             if b + 1 < batch:
@@ -228,8 +402,7 @@ def _kernel(
             pk = (kc * qb).astype(jnp.float32)  # [S, D]
             logits = (
                 jax.lax.dot_general(
-                    pk.astype(jnp.bfloat16), g32.astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())),
+                    pk.astype(jnp.bfloat16), gb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 * scale
@@ -237,8 +410,7 @@ def _kernel(
             kb = jax.lax.slice(kr, (b, 0), (b + 1, d))
             lc = (
                 jax.lax.dot_general(
-                    (kb * qb).astype(jnp.float32), g32,
-                    (((1,), (0,)), ((), ())),
+                    (kb * qb).astype(jnp.float32), g32, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 * scale
@@ -254,8 +426,7 @@ def _kernel(
             pc = jnp.exp(lc - m)  # [1, H]
             den = jnp.sum(p, axis=0, keepdims=True) + pc  # [1, H]
             pex = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), g32.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())),
+                p.astype(jnp.bfloat16), gb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [S, D] per-head prob broadcast to its lanes
             ctx = jax.lax.dot_general(
@@ -273,26 +444,27 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )
             outs.append((ctx + pc_e * vb) / den_e)
-        attn = jnp.concatenate(outs, axis=0).astype(jnp.bfloat16)  # [B, D]
+        attn = (
+            jnp.concatenate(outs, axis=0).astype(jnp.bfloat16)
+            if outs
+            else qr
+        )  # [B, D]
 
-        ao = o.gemv(attn, d)
-        gu.start(0)
-        gu.start(1)
+        ao = o_seg.gemv(attn, (gate_seg.starter(0), gate_seg.starter(1)))
         o_sc = o_s_ref[pl.ds(l, 1), :]
         h = h + (ao * o_sc).astype(jnp.bfloat16)
 
         ln2 = ln2_ref[pl.ds(l, 1), :]
         x2 = _rms(h, ln2, eps)
-        gu_acc = gu.gemv(x2, 2 * f)
-        down.start(0)
-        down.start(1)
-        gu_sc = gu_s_ref[pl.ds(l, 1), :]
-        gu_acc = gu_acc * gu_sc
-        gate = jax.lax.slice(gu_acc, (0, 0), (batch, f))
-        up = jax.lax.slice(gu_acc, (0, f), (batch, 2 * f))
+        gate = gate_seg.gemv(x2, (up_seg.starter(0), up_seg.starter(1)))
+        gate = gate * gu_s_ref[pl.ds(l, 1), 0:f]
+        up = up_seg.gemv(x2, (down_seg.starter(0), down_seg.starter(1)))
+        up = up * gu_s_ref[pl.ds(l, 1), f : 2 * f]
         x_mlp = (jax.nn.silu(gate) * up).astype(jnp.bfloat16)
 
-        mo = down.gemv(x_mlp, d)
+        nqs = segs_for(l + 1)[0][0]
+        guard = l + 1 < layers
+        mo = down_seg.gemv(x_mlp, (nqs.starter(0, guard), nqs.starter(1, guard)))
         down_sc = down_s_ref[pl.ds(l, 1), :]
         h = h + (mo * down_sc).astype(jnp.bfloat16)
 
@@ -300,6 +472,11 @@ def _kernel(
         vnew_ref[pl.ds(l, 1), :, :] = v[None]
         return h
 
+    # prologue: start layer 0's first two weight chunks
+    if hooks:
+        first = segs_for(0)[0][0]
+        first.start(0)
+        first.start(1)
     h = jax.lax.fori_loop(0, layers, layer_body, h_ref[...])
     hout_ref[...] = h
 
@@ -313,8 +490,10 @@ def _fused_call(
     qkv_s, o_s, gu_s, down_s, qkv_q, o_q, gu_q, down_q, k_cache, v_cache,
     *, layers, batch, d, f, heads, head_dim, s, eps, interpret,
 ):
-    ck_d = 512
-    ck_f = min(f, 1024)
+    ck_d, ck_f, _ = _layer_chunkplan(d, f)
+    ck_max = max(ck_d, ck_f)
+    max_chunks = max(d // ck_d, f // ck_f)
+    ring_w = min(max(3 * d, f, d), MAX_WIDE)
     kernel = functools.partial(
         _kernel,
         layers=layers, batch=batch, d=d, f=f, heads=heads,
@@ -337,15 +516,10 @@ def _fused_call(
             jax.ShapeDtypeStruct((layers, batch, heads * head_dim), jnp.bfloat16),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ck_d, 3 * d), jnp.int8),
-            pltpu.VMEM((2, ck_d, d), jnp.int8),
-            pltpu.VMEM((2, ck_d, 2 * f), jnp.int8),
-            pltpu.VMEM((2, ck_f, d), jnp.int8),
+            pltpu.VMEM((2, ck_max, ring_w), jnp.int8),
+            pltpu.VMEM((max_chunks, batch, ck_max), jnp.bfloat16),
             pltpu.VMEM((2, s, heads * head_dim), jnp.bfloat16),
             pltpu.VMEM((2, s, heads * head_dim), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -377,12 +551,18 @@ def _g_matrix(heads: int, head_dim: int) -> np.ndarray:
 
 
 def fused_eligible(lm_params, cfg) -> bool:
-    """The kernel serves the int8 fused-projection llama-family decode."""
+    """The kernel serves the int8 fused-projection llama-family decode.
+
+    Geometry gates reflect measured mosaic limits: values wider than 12288
+    lanes crash the axon compiler, so F (the silu width) and D must fit;
+    3D wider than 12288 is handled by per-projection column segments."""
     if cfg.model_family != "llama":
         return False
     if cfg.num_attention_heads != cfg.kv_heads or cfg.head_dim != 128:
         return False
     if cfg.hidden_size % 512 or cfg.intermediate_size % 128:
+        return False
+    if cfg.intermediate_size > MAX_WIDE or cfg.hidden_size > 4096:
         return False
     layers = lm_params.get("layers", {})
     attn = layers.get("attn", {})
