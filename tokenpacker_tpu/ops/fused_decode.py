@@ -32,9 +32,21 @@ stack via bisection — see ROADMAP.md round-2 notes):
   single [2, ck_max, 12288] int8 ring with one DMA-semaphore pair, as a
   flat per-layer chunk queue. Cross-segment prefetch hooks keep the ring
   full across matrix boundaries (the next segment's first two chunks are
-  issued during the previous segment's last two computes), and the
-  per-layer chunk count is padded to an even number so the ring's slot
-  parity is static under the layer fori_loop.
+  issued during the previous segment's last two computes).
+- statically unrolling more than ~2 dozen dot sites crashes the compiler →
+  the chunk loop is a lax.fori_loop with traced ring slots; x chunks are
+  staged into a VMEM scratch for dynamic ref reads (value-level
+  dynamic_slice does not lower), and each DMA start/wait resolves its slot
+  to a static 0/1 through pl.when branches (a DMA destination combining a
+  traced slot with pl.ds sub-rectangles also crashes the compiler).
+
+STATUS: numerically verified against the XLA decode path in interpret mode
+(tests/test_fused_decode.py — two-range, slot-contiguous cb, pipelined
+geometry); the full composition still crashes the axon REMOTE-compile
+helper (HTTP 500 with no diagnostics) even though every constituent
+construct compiles in isolation (15 bisection rounds, see ROADMAP.md).
+Opt-in via TOKENPACKER_FUSED_DECODE=1; enabling it by default awaits a
+direct TPU VM / newer toolchain where the mosaic error is visible.
 
 Other design notes (v5e):
 - attention avoids every in-kernel transpose/reshape of the [S, H*D] cache:
@@ -107,13 +119,14 @@ class _Seg:
     def _slot(self, ci):
         return jax.lax.rem(self.parity + ci, 2)
 
-    def _dma(self, ci):
-        """ci: traced or static flat chunk index in [0, nct)."""
-        if isinstance(ci, int) and self.tail and ci == self.nck:
-            rows, off = self.tail, self.nck * self.ck
-        else:
-            rows, off = self.ck, ci * self.ck
-        slot = self._slot(ci)
+    def _dma_s(self, ci, slot: int, rows=None, off=None):
+        """Copy for flat chunk ci into ring slot `slot` — the slot index and
+        the destination rectangle are STATIC: a DMA destination combining a
+        traced slot with pl.ds sub-rectangles crashes the axon mosaic
+        compiler (measured; full-slot dests with traced slots and sub-rect
+        dests with static slots both pass)."""
+        rows = self.ck if rows is None else rows
+        off = ci * self.ck if off is None else off
         return pltpu.make_async_copy(
             self.hbm_ref.at[
                 self.layer, pl.ds(off, rows), pl.ds(self.col_off, self.ncols)
@@ -122,28 +135,53 @@ class _Seg:
             self.sem.at[slot],
         )
 
-    def _dma_tail(self):
-        off = self.nck * self.ck
-        slot = self._slot(self.nck)
-        return pltpu.make_async_copy(
-            self.hbm_ref.at[
-                self.layer, pl.ds(off, self.tail), pl.ds(self.col_off, self.ncols)
-            ],
-            self.ring.at[slot, pl.ds(0, self.tail), pl.ds(0, self.ncols)],
-            self.sem.at[slot],
+    def _slot_branch(self, ci, fn, rows=None, off=None):
+        """Run fn(copy) with the slot for flat chunk ci resolved to a
+        static 0/1 via pl.when branches (see _dma_s)."""
+        slot = self._slot(ci)
+
+        @pl.when(slot == 0)
+        def _():
+            fn(self._dma_s(ci, 0, rows, off))
+
+        @pl.when(slot == 1)
+        def _():
+            fn(self._dma_s(ci, 1, rows, off))
+
+    def _start_chunk(self, ci):
+        self._slot_branch(ci, lambda dma: dma.start())
+
+    def _wait_chunk(self, ci):
+        self._slot_branch(ci, lambda dma: dma.wait())
+
+    def _start_tail(self):
+        self._slot_branch(
+            self.nck, lambda dma: dma.start(), rows=self.tail, off=self.nck * self.ck
+        )
+
+    def _wait_tail(self):
+        self._slot_branch(
+            self.nck, lambda dma: dma.wait(), rows=self.tail, off=self.nck * self.ck
         )
 
     def start(self, ci: int, guard=None):
         """Start flat chunk ci (static index; prologue / self-start use)."""
         if ci >= self.nct:
             return
-        dma = self._dma_tail() if (self.tail and ci == self.nck) else self._dma(ci)
+        is_tail = self.tail and ci == self.nck
+
+        def go():
+            if is_tail:
+                self._start_tail()
+            else:
+                self._start_chunk(ci)
+
         if guard is None:
-            dma.start()
+            go()
         else:
             @pl.when(guard)
             def _():
-                dma.start()
+                go()
 
     def starter(self, ci: int, guard=None):
         return lambda cond=None: self.start(ci, guard if cond is None else cond)
@@ -183,18 +221,18 @@ class _Seg:
 
         def body(ci, acc):
             slot = self._slot(ci)
-            self._dma(ci).wait()
+            self._wait_chunk(ci)
             xs = self.xbuf[pl.ds(ci, 1), :b, :ck][0]  # [B, ck]
             acc = acc + self._tile_dots(xs, ck, slot)
 
             @pl.when(ci + 2 < nck)
             def _():
-                self._dma(ci + 2).start()
+                self._start_chunk(ci + 2)
 
             if tail:
                 @pl.when(ci + 2 == nck)
                 def _():
-                    self._dma_tail().start()
+                    self._start_tail()
 
                 if self.hooks:
                     @pl.when(ci + 1 == nck)
@@ -216,7 +254,7 @@ class _Seg:
         )
         if tail:
             slot_t = self._slot(nck)
-            self._dma_tail().wait()
+            self._wait_tail()
             xs_t = x[:, nck * ck :]
             acc = acc + self._tile_dots(xs_t, tail, slot_t)
             if self.hooks:
