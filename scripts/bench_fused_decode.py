@@ -17,24 +17,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from bench import _int8_params_on_device
 from tokenpacker_tpu.config import TokenPackerVLMConfig
 from tokenpacker_tpu.models.llama import KVCache
-from tokenpacker_tpu.models.vlm import init_vlm
-from tokenpacker_tpu.ops.quantize import fuse_llama_layers
-from tokenpacker_tpu.utils.bench_params import int8_params_like
-
-
-def fused_int8_params(cfg):
-    shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, jnp.bfloat16))
-    shapes = {**shapes, "lm": jax.eval_shape(fuse_llama_layers, shapes["lm"])}
-    return int8_params_like(shapes)
 
 
 def bench(batch: int, s_max: int = 512, n_steps: int = 64, fill: int = 200):
     from tokenpacker_tpu import generate as gen
 
     cfg = TokenPackerVLMConfig()
-    params = fused_int8_params(cfg)
+    params = _int8_params_on_device(cfg, jnp.bfloat16)
     lm = cfg.lm
     cache = KVCache(
         jnp.zeros((lm.num_hidden_layers, batch, s_max, lm.kv_heads, lm.head_dim), jnp.bfloat16),

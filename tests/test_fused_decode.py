@@ -151,6 +151,62 @@ def test_fused_matches_xla_decode_pipelined_geometry():
     assert np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9) < 0.02
 
 
+def test_fused_matches_xla_decode_f_tail_geometry():
+    """intermediate_size NOT a multiple of ck_f (1024) exercises the
+    down-projection tail chunk (production 7B: 11008 % 1024 = 768) —
+    _start_tail/_wait_tail and the tail-specific hook schedule."""
+    cfg = LMConfig(
+        vocab_size=128,
+        hidden_size=1024,
+        intermediate_size=2304,  # 2 main chunks + 256-row tail
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        model_family="llama",
+    )
+    params = build_params(cfg)
+    assert fused_eligible(params, cfg)
+    b, s, pre = 3, 32, 8
+    lengths = jnp.asarray([4, 6, 8], jnp.int32)
+    cache = prefill(params, cfg, b, s, pre, lengths)
+
+    emb = (0.1 * jax.random.normal(jax.random.PRNGKey(9), (b, 1, cfg.hidden_size))).astype(
+        jnp.bfloat16
+    )
+    hx, _ = xla_decode(params, cfg, cache, emb, lengths, 0, pre, s)
+    wpos = jnp.full((b,), pre, jnp.int32)
+    hf_pre, _, _ = fused_decode_hidden(
+        params, cfg, emb[:, 0], cache.k, cache.v,
+        lengths, wpos, wpos, wpos, positions=lengths, interpret=True,
+    )
+    hf = rms_norm(params["norm"], hf_pre)
+    ax = np.asarray(hx, np.float32)
+    af = np.asarray(hf, np.float32)
+    assert np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9) < 0.02
+
+
+def test_debug_env_blocks_dispatch(monkeypatch):
+    """A leftover kernel-bisection TOKENPACKER_FD_DEBUG env var must never
+    reach the serving dispatch (its stubs produce wrong logits)."""
+    from tokenpacker_tpu.config import TokenPackerVLMConfig
+    from tokenpacker_tpu.generate import _fused_decode_mode
+    from tokenpacker_tpu.models.llama import KVCache
+
+    cfg_lm = tiny_cfg()
+    params = {"lm": build_params(cfg_lm)}
+    cfg = TokenPackerVLMConfig(lm=cfg_lm, dtype=jnp.bfloat16)
+    cache = KVCache.create(cfg_lm, 1, 32, dtype=jnp.bfloat16)
+    monkeypatch.setenv("TOKENPACKER_FUSED_DECODE", "interpret")
+    assert _fused_decode_mode(params, cfg, cache) == "interpret"
+    monkeypatch.setenv("TOKENPACKER_FD_DEBUG", "noattn")
+    assert _fused_decode_mode(params, cfg, cache) is None
+    monkeypatch.delenv("TOKENPACKER_FD_DEBUG")
+    # non-bf16 caches and deep caches stay on the XLA path
+    cache32 = KVCache.create(cfg_lm, 1, 32, dtype=jnp.float32)
+    assert _fused_decode_mode(params, cfg, cache32) is None
+    deep = KVCache.create(cfg_lm, 1, 2048, dtype=jnp.bfloat16)
+    assert _fused_decode_mode(params, cfg, deep) is None
+
+
 def test_fused_matches_xla_decode_cb():
     """decode_step_cb semantics: slot-contiguous caches, per-slot lengths."""
     cfg = tiny_cfg()

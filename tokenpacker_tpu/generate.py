@@ -102,7 +102,7 @@ def prefill_chunk(params, cfg: TokenPackerVLMConfig, cache, visual, token_ids,
     return hidden, new_cache
 
 
-def _fused_decode_mode(params, cfg: TokenPackerVLMConfig) -> str | None:
+def _fused_decode_mode(params, cfg: TokenPackerVLMConfig, cache) -> str | None:
     """Dispatch for the single-dispatch fused decode kernel
     (ops/fused_decode.py): the whole quantized llama decoder stack runs as
     ONE pallas_call per step, removing the ~55us-per-call dispatch floor
@@ -117,9 +117,17 @@ def _fused_decode_mode(params, cfg: TokenPackerVLMConfig) -> str | None:
     v = os.environ.get("TOKENPACKER_FUSED_DECODE", "0")
     if v in ("0", "off", "xla"):
         return None
+    if os.environ.get("TOKENPACKER_FD_DEBUG"):
+        # kernel-bisection stubs produce WRONG decode output — never let a
+        # leftover debug env var reach the serving dispatch
+        return None
     from tokenpacker_tpu.ops.fused_decode import fused_eligible
 
     if not fused_eligible(params.get("lm", {}), cfg.lm):
+        return None
+    # the kernel's KV scratch is bf16 and scales with S (the XLA path
+    # handles any cache dtype/length)
+    if cache.k.dtype != jnp.bfloat16 or cache.k.shape[2] > 1024:
         return None
     if v == "interpret":
         return "interpret"
@@ -144,7 +152,10 @@ def _decode_step_fused(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths
     )
     hidden = rms_norm(params["lm"]["norm"], hidden, cfg.lm.rms_norm_eps)
     logits = lm_logits(params["lm"], cfg.lm, hidden)
-    return logits, KVCache(nk, nv, cache.length + 1)
+    # pin the length exactly like the XLA path (prefill_len + step + 1,
+    # ignoring any stale input length — speculative verify rounds leave
+    # cache.length overshot by rejected draft slots)
+    return logits, KVCache(nk, nv, prefill_len + step + 1)
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -176,7 +187,7 @@ def decode_step(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step,
     Dispatches to the fused whole-stack kernel (ops/fused_decode.py) for
     quantized llama-family params on TPU; the XLA per-layer path otherwise.
     """
-    mode = _fused_decode_mode(params, cfg)
+    mode = _fused_decode_mode(params, cfg, cache)
     if mode:
         return _decode_step_fused(
             params, cfg, cache, tokens, lengths, step, prefill_len,
@@ -232,7 +243,7 @@ def decode_step_cb(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_lens, a
     Dispatches to the fused whole-stack kernel for quantized llama params
     on TPU (see decode_step).
     """
-    mode = _fused_decode_mode(params, cfg)
+    mode = _fused_decode_mode(params, cfg, cache)
     if mode:
         return _decode_step_cb_fused(
             params, cfg, cache, tokens, cur_lens, active,

@@ -56,7 +56,8 @@ Other design notes (v5e):
   logit/value ride as a separate rank-1 term in the softmax.
 - RoPE's rotate-half is an MXU dot with a [Dh, Dh] permutation matrix on a
   [B*H, Dh] view (the only reshape in the kernel, on a tiny tensor).
-- per-sample sequence state (valid ranges, write position) rides SMEM.
+- per-sample attendable ranges ride SMEM; the new k/v row is returned and
+  scattered into the cache by the wrapper (write_pos never enters the kernel).
 """
 
 from __future__ import annotations
@@ -285,7 +286,7 @@ def _rms(h, w_row, eps):
 
 def _kernel(
     # inputs
-    seq_ref,  # SMEM [4, B] int32: len0 / start2 / end2 (excl) / wpos
+    seq_ref,  # SMEM [3, B] int32: len0 / start2 / end2 (excl)
     h_ref,  # [B, D] bf16
     cos_ref,  # [B*H, Dh] f32 (per-head expanded)
     sin_ref,
@@ -354,6 +355,10 @@ def _kernel(
             qkv_segs = [mk(qkv_ref, 0, 3 * d, d, ck_d, par)]
             par = jax.lax.rem(par + nct_d, 2)
         else:
+            # 13B+ geometry (3D > MAX_WIDE): currently unreachable — the
+            # fused_eligible width gates (hidden<=4096, F<=MAX_WIDE) block
+            # 13B until those widths are probed on-chip; kept for that
+            # enablement
             qkv_segs = []
             for i in range(3):
                 qkv_segs.append(mk(qkv_ref, i * d, d, d, ck_d, par))
@@ -640,9 +645,7 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
 
     rot = jnp.asarray(_rot_matrix(dh), jnp.bfloat16)
     gmat = jnp.asarray(_g_matrix(heads, dh), jnp.bfloat16)
-    seq_info = jnp.stack(
-        [lengths0, start2, end2, write_pos]
-    ).astype(jnp.int32)  # [4, B]
+    seq_info = jnp.stack([lengths0, start2, end2]).astype(jnp.int32)  # [3, B]
 
     qkv = layers_p["attn"]["qkv"]["kernel"]
     o = layers_p["attn"]["o"]["kernel"]
