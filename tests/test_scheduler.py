@@ -214,6 +214,52 @@ def test_sample_tokens_per_row_unit():
     assert row1_hits < 8  # hot row actually samples
 
 
+def test_sample_tokens_per_row_top_p():
+    """Per-row nucleus filtering: a near-zero top_p collapses a hot row to
+    greedy (nucleus = the single top token); top_p=1 rows are unaffected
+    by the filter code path."""
+    from tokenpacker_tpu.generate import sample_tokens_per_row
+
+    rng = np.random.default_rng(1)
+    logits = jax.numpy.asarray(rng.standard_normal((3, 64)), jax.numpy.float32)
+    greedy = np.asarray(jax.numpy.argmax(logits, axis=-1))
+    temps = np.array([8.0, 8.0, 0.0], np.float32)
+    tps = np.array([1e-6, 1.0, 1.0], np.float32)
+    row1_hits = 0
+    for seed in range(8):
+        toks = np.asarray(
+            sample_tokens_per_row(logits, temps, jax.random.PRNGKey(seed), tps)
+        )
+        assert toks[0] == greedy[0]  # tiny nucleus => argmax even at temp 8
+        assert toks[2] == greedy[2]  # greedy row untouched
+        row1_hits += int(toks[1] == greedy[1])
+    assert row1_hits < 8  # unfiltered hot row still samples
+
+
+def test_per_slot_top_p_through_batcher(model):
+    """A temperature>0 request with a near-zero top_p served through the
+    batcher produces exactly the greedy tokens (nucleus of one), while a
+    co-scheduled unfiltered hot request still samples."""
+    cfg, params = model
+    gen = Generator(params, cfg)
+    req_a = _request(cfg, 0)
+    req_b = _request(cfg, 1)
+    exp_a = gen.generate(req_a, max_new_tokens=10, temperature=0.0).sequences[0]
+    exp_b_greedy = gen.generate(req_b, max_new_tokens=10, temperature=0.0).sequences[0]
+
+    batcher = ContinuousBatcher(params, cfg, num_slots=2, max_seq_len=64)
+    batcher.start()
+    try:
+        fut_a = batcher.submit(req_a, 10, temperature=5.0, top_p=1e-6)
+        fut_b = batcher.submit(req_b, 10, temperature=5.0)
+        got_a = fut_a.result(timeout=240)
+        got_b = fut_b.result(timeout=240)
+    finally:
+        batcher.stop()
+    assert got_a == exp_a, (got_a, exp_a)
+    assert got_b != exp_b_greedy
+
+
 def test_paged_decode_inactive_slot_writes_masked(model):
     """Unit regression (ADVICE r1 high): an INACTIVE slot whose stale page
     table aliases a page now owned by an active sequence must not corrupt it.

@@ -310,14 +310,27 @@ def decode_chunk(
     return toks, cache, tok
 
 
-def sample_tokens_per_row(logits, temperatures, rng_key):
-    """Per-row temperature for co-scheduled requests: greedy where a row's
-    temperature is <= 0, categorical at its own temperature otherwise (the
-    batchers serve requests with different temperatures in one step)."""
+def sample_tokens_per_row(logits, temperatures, rng_key, top_ps=None):
+    """Per-row temperature (+ optional per-row top-p) for co-scheduled
+    requests: greedy where a row's temperature is <= 0, categorical at its
+    own temperature otherwise (the batchers serve requests with different
+    sampling settings in one step). top_ps: [N] nucleus thresholds; rows
+    with top_p >= 1 are unfiltered. Same filter semantics as
+    sample_tokens (cutoff on the temperature-scaled distribution)."""
     temperatures = jnp.asarray(temperatures, jnp.float32)
     greedy = jnp.argmax(logits, axis=-1)
     safe = jnp.maximum(temperatures, 1e-6)[:, None]
-    sampled = jax.random.categorical(rng_key, logits.astype(jnp.float32) / safe, axis=-1)
+    scaled = logits.astype(jnp.float32) / safe
+    if top_ps is not None:
+        top_ps = jnp.asarray(top_ps, jnp.float32)
+        sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cdf = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cdf < top_ps[:, None], axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        apply = (top_ps < 1.0)[:, None]
+        scaled = jnp.where(apply & (scaled < cutoff), -jnp.inf, scaled)
+    sampled = jax.random.categorical(rng_key, scaled, axis=-1)
     return jnp.where(temperatures <= 0.0, greedy, sampled)
 
 

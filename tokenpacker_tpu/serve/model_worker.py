@@ -230,7 +230,7 @@ class ModelWorker:
                         "lengths": plan.lengths,
                         "images": images,
                     },
-                    max_new_tokens, temperature, stop_strings, t_prefill,
+                    max_new_tokens, temperature, top_p, stop_strings, t_prefill,
                 )
                 return
             first = True
@@ -270,11 +270,10 @@ class ModelWorker:
             ).encode() + b"\0"
 
     def _stream_via_batcher(self, prompt, batch, max_new_tokens, temperature,
-                            stop_strings, t_prefill):
+                            top_p, stop_strings, t_prefill):
         """Stream through the continuous-batching executor: tokens arrive via
         the slot's on_token callback while other requests decode in the same
-        device step. top_p is not applied on this path (greedy/temperature
-        sampling only)."""
+        device step; each slot samples with its own temperature and top_p."""
         import queue as _queue
 
         from tokenpacker_tpu.utils.profiling import GLOBAL_STATS
@@ -283,6 +282,7 @@ class ModelWorker:
         fut = self.batcher.submit(
             batch, max_new_tokens=max_new_tokens,
             temperature=temperature if temperature > 0 else 0.0,
+            top_p=top_p if 0.0 < top_p < 1.0 else None,
             on_token=q.put,
         )
         fut.add_done_callback(lambda f: q.put(None))

@@ -53,6 +53,7 @@ class _Request:
     batch: dict  # single-sample splice-plan arrays (+ images)
     max_new_tokens: int
     temperature: float
+    top_p: float | None
     future: Future
     on_token: object = None
     produced: int = 0
@@ -180,7 +181,7 @@ class PagedContinuousBatcher:
         }
         logits, small_cache = prefill(self.params, self.cfg, dev_batch, l_pad)
         self._rng, sub = jax.random.split(self._rng)
-        tok = int(np.asarray(sample_tokens(logits, req.temperature, None, sub))[0])
+        tok = int(np.asarray(sample_tokens(logits, req.temperature, req.top_p, sub))[0])
         length = int(np.asarray(dev_batch["lengths"])[0])
         pages = self.allocator.alloc(l_pad // ps)
         self.paged = insert_prefill(self.paged, small_cache, slot, pages, length)
@@ -278,7 +279,11 @@ class PagedContinuousBatcher:
                 [r.temperature if r is not None else 0.0 for r in self.slots],
                 np.float32,
             )
-            toks = np.asarray(sample_tokens_per_row(logits, temps, sub))
+            tps = np.array(
+                [r.top_p if r is not None and r.top_p else 1.0 for r in self.slots],
+                np.float32,
+            )
+            toks = np.asarray(sample_tokens_per_row(logits, temps, sub, tps))
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
@@ -361,7 +366,7 @@ class ContinuousBatcher:
     # -- public api --------------------------------------------------------
 
     def submit(self, batch: dict, max_new_tokens: int = 128, temperature: float | None = None,
-               on_token=None) -> Future:
+               on_token=None, top_p: float | None = None) -> Future:
         fut: Future = Future()
         if self.dead is not None:
             fut.set_exception(RuntimeError(f"batcher loop died: {self.dead!r}"))
@@ -371,6 +376,7 @@ class ContinuousBatcher:
                 batch=batch,
                 max_new_tokens=max_new_tokens,
                 temperature=self.temperature if temperature is None else temperature,
+                top_p=top_p,
                 future=fut,
                 on_token=on_token,
             )
@@ -399,7 +405,7 @@ class ContinuousBatcher:
         dev_batch = device_batch(b, self.cfg.dtype)
         logits, small_cache = prefill(self.params, self.cfg, dev_batch, l)
         self._rng, sub = jax.random.split(self._rng)
-        tok = int(np.asarray(sample_tokens(logits, req.temperature, None, sub))[0])
+        tok = int(np.asarray(sample_tokens(logits, req.temperature, req.top_p, sub))[0])
         length = int(np.asarray(dev_batch["lengths"])[0])
         # compact the prefilled rows: positions [0, length) are valid; pad
         # rows within [length, l) get overwritten as the slot decodes
@@ -486,7 +492,7 @@ class ContinuousBatcher:
             idx = p["true_len"] - 1 - start
             logits = lm_logits(self.params["lm"], self.cfg.lm, hidden[:, idx])
             self._rng, sub = jax.random.split(self._rng)
-            tok = int(np.asarray(sample_tokens(logits, req.temperature, None, sub))[0])
+            tok = int(np.asarray(sample_tokens(logits, req.temperature, req.top_p, sub))[0])
             self.cache = insert_into_cache(self.cache, p["cache"], slot, p["true_len"])
             self.slots[slot] = req
             self._init_ctx(req, p["true_len"])
@@ -572,7 +578,11 @@ class ContinuousBatcher:
                 [r.temperature if r is not None else 0.0 for r in self.slots],
                 np.float32,
             )
-            toks = np.asarray(sample_tokens_per_row(logits, temps, sub))
+            tps = np.array(
+                [r.top_p if r is not None and r.top_p else 1.0 for r in self.slots],
+                np.float32,
+            )
+            toks = np.asarray(sample_tokens_per_row(logits, temps, sub, tps))
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
@@ -606,8 +616,12 @@ class ContinuousBatcher:
         temps = np.array(
             [r.temperature if r is not None else 0.0 for r in self.slots], np.float32
         )
+        tps = np.array(
+            [r.top_p if r is not None and r.top_p else 1.0 for r in self.slots],
+            np.float32,
+        )
         preds = np.asarray(jnp.argmax(logits, axis=-1))  # [N, k+1]
-        sampled0 = np.asarray(sample_tokens_per_row(logits[:, 0], temps, sub))
+        sampled0 = np.asarray(sample_tokens_per_row(logits[:, 0], temps, sub, tps))
         new_lens = np.asarray(cur_lens).copy()
         bursts: dict[int, list[int]] = {}
         n_greedy = accepted = 0
