@@ -100,7 +100,7 @@ class _Seg:
     dynamic leading index (dynamic_slice on *values* does not lower)."""
 
     def __init__(self, hbm_ref, layer, col_off, ncols, k, ck, ring, sem,
-                 xbuf, parity, hooks=True):
+                 xbuf, parity, hooks=True, tail_buf=None, tail_sem=None):
         self.hbm_ref = hbm_ref
         self.layer = layer
         self.col_off = col_off
@@ -109,45 +109,50 @@ class _Seg:
         self.ck = ck
         self.nck = k // ck
         self.tail = k % ck
-        self.nct = self.nck + (1 if self.tail else 0)  # flat chunk count
+        self.nct = self.nck  # ring chunk count (the tail rides its own buffer)
         self.ring = ring
         self.sem = sem
         self.xbuf = xbuf
         self.parity = parity
         self.hooks = hooks
+        self.tail_buf = tail_buf
+        self.tail_sem = tail_sem
         self.n_tiles = _chunks(ncols, N_TILE)
+        if self.tail:
+            assert tail_buf is not None, "tail chunk needs its dedicated buffer"
 
     def _slot(self, ci):
         return jax.lax.rem(self.parity + ci, 2)
 
-    def _dma_s(self, ci, slot: int, rows=None, off=None):
-        """Copy for flat chunk ci into ring slot `slot` — the slot index and
-        the destination rectangle are STATIC: a DMA destination combining a
-        traced slot with pl.ds sub-rectangles crashes the axon mosaic
-        compiler (measured; full-slot dests with traced slots and sub-rect
-        dests with static slots both pass)."""
-        rows = self.ck if rows is None else rows
-        off = ci * self.ck if off is None else off
+    def _dma_s(self, ci, slot: int):
+        """Copy for ring chunk ci into ring slot `slot`. Measured DMA-dest
+        rules on the axon mosaic stack: the slot index must be STATIC (a
+        traced slot combined with pl.ds sub-rects crashes the compiler),
+        the ROW extent must cover the full ring rows (row-partial dests
+        crash), while COLUMN-partial dests are fine — hence one uniform
+        chunk row count for every segment and a separate one-shot buffer
+        for the K-remainder tail."""
         return pltpu.make_async_copy(
             self.hbm_ref.at[
-                self.layer, pl.ds(off, rows), pl.ds(self.col_off, self.ncols)
+                self.layer, pl.ds(ci * self.ck, self.ck),
+                pl.ds(self.col_off, self.ncols)
             ],
-            self.ring.at[slot, pl.ds(0, rows), pl.ds(0, self.ncols)],
+            self.ring.at[slot, pl.ds(0, self.ck), pl.ds(0, self.ncols)],
             self.sem.at[slot],
         )
 
-    def _slot_branch(self, ci, fn, rows=None, off=None):
-        """Run fn(copy) with the slot for flat chunk ci resolved to a
+    def _slot_branch(self, ci, fn):
+        """Run fn(copy) with the slot for ring chunk ci resolved to a
         static 0/1 via pl.when branches (see _dma_s)."""
         slot = self._slot(ci)
 
         @pl.when(slot == 0)
         def _():
-            fn(self._dma_s(ci, 0, rows, off))
+            fn(self._dma_s(ci, 0))
 
         @pl.when(slot == 1)
         def _():
-            fn(self._dma_s(ci, 1, rows, off))
+            fn(self._dma_s(ci, 1))
 
     def _start_chunk(self, ci):
         self._slot_branch(ci, lambda dma: dma.start())
@@ -155,45 +160,51 @@ class _Seg:
     def _wait_chunk(self, ci):
         self._slot_branch(ci, lambda dma: dma.wait())
 
-    def _start_tail(self):
-        self._slot_branch(
-            self.nck, lambda dma: dma.start(), rows=self.tail, off=self.nck * self.ck
-        )
-
-    def _wait_tail(self):
-        self._slot_branch(
-            self.nck, lambda dma: dma.wait(), rows=self.tail, off=self.nck * self.ck
+    def _tail_dma(self):
+        """The K % ck tail streams through its own exact-shape one-shot
+        buffer (a second SIMPLE buffer is fine; a second ring is not)."""
+        off = self.nck * self.ck
+        return pltpu.make_async_copy(
+            self.hbm_ref.at[
+                self.layer, pl.ds(off, self.tail), pl.ds(self.col_off, self.ncols)
+            ],
+            self.tail_buf.at[pl.ds(0, self.tail), pl.ds(0, self.ncols)],
+            self.tail_sem,
         )
 
     def start(self, ci: int, guard=None):
-        """Start flat chunk ci (static index; prologue / self-start use)."""
+        """Start ring chunk ci (static index; prologue / self-start use)."""
         if ci >= self.nct:
             return
-        is_tail = self.tail and ci == self.nck
-
-        def go():
-            if is_tail:
-                self._start_tail()
-            else:
-                self._start_chunk(ci)
-
         if guard is None:
-            go()
+            self._start_chunk(ci)
         else:
             @pl.when(guard)
             def _():
-                go()
+                self._start_chunk(ci)
 
     def starter(self, ci: int, guard=None):
         return lambda cond=None: self.start(ci, guard if cond is None else cond)
 
-    def _tile_dots(self, xs, rows, slot):
+    def _tile_dots(self, xs, slot):
         parts = [
             jax.lax.dot_general(
                 xs,
-                self.ring[pl.ds(slot, 1), :rows, noff : noff + nsz][0].astype(
+                self.ring[pl.ds(slot, 1), : self.ck, noff : noff + nsz][0].astype(
                     jnp.bfloat16
                 ),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for noff, nsz in self.n_tiles
+        ]
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    def _tail_dots(self, xs_t):
+        parts = [
+            jax.lax.dot_general(
+                xs_t,
+                self.tail_buf[: self.tail, noff : noff + nsz].astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -214,6 +225,9 @@ class _Seg:
         # stage x chunks for dynamic ref reads inside the fori
         for ci in range(nck):
             self.xbuf[ci, :b, :ck] = x[:, ci * ck : (ci + 1) * ck]
+        if tail:
+            # the tail's one-shot DMA overlaps the whole main-chunk loop
+            self._tail_dma().start()
         if not self.hooks:
             self.start(0)
             self.start(1)
@@ -224,22 +238,13 @@ class _Seg:
             slot = self._slot(ci)
             self._wait_chunk(ci)
             xs = self.xbuf[pl.ds(ci, 1), :b, :ck][0]  # [B, ck]
-            acc = acc + self._tile_dots(xs, ck, slot)
+            acc = acc + self._tile_dots(xs, slot)
 
             @pl.when(ci + 2 < nck)
             def _():
                 self._start_chunk(ci + 2)
 
-            if tail:
-                @pl.when(ci + 2 == nck)
-                def _():
-                    self._start_tail()
-
-                if self.hooks:
-                    @pl.when(ci + 1 == nck)
-                    def _():
-                        n0()
-            elif self.hooks:
+            if self.hooks:
                 @pl.when(ci + 2 == nck)
                 def _():
                     n0()
@@ -254,14 +259,8 @@ class _Seg:
             0, nck, body, jnp.zeros((b, self.ncols), jnp.float32)
         )
         if tail:
-            slot_t = self._slot(nck)
-            self._wait_tail()
-            xs_t = x[:, nck * ck :]
-            acc = acc + self._tile_dots(xs_t, tail, slot_t)
-            if self.hooks:
-                # the next segment's chunk 1 reuses the tail's slot — issue
-                # only after the tail's compute
-                n1()
+            self._tail_dma().wait()
+            acc = acc + self._tail_dots(x[:, nck * ck :])
         return acc
 
 
@@ -270,10 +269,9 @@ def _layer_chunkplan(d: int, f: int):
     for the F-reduction segment, qkv segment count). Chunk sizes must be
     multiples of 128 (static lane slicing of x) — guaranteed by the
     fused_eligible geometry gates."""
-    ck_d = min(512, d)
-    ck_f = min(1024, f)
+    ck = min(512, d, f)
     n_qkv_segs = 1 if 3 * d <= MAX_WIDE else 3
-    return ck_d, ck_f, n_qkv_segs
+    return ck, ck, n_qkv_segs
 
 
 def _rms(h, w_row, eps):
@@ -309,11 +307,13 @@ def _kernel(
     knew_ref,  # [L, B, HD] bf16
     vnew_ref,
     # scratch
-    ring,  # [2, ck_max, ring_w] int8 — the one shared weight ring
-    xbuf,  # [max_chunks, B, ck_max] bf16 — staged x chunks
+    ring,  # [2, ck, ring_w] int8 — the one shared weight ring (full-row dests)
+    xbuf,  # [max_chunks, B, ck] bf16 — staged x chunks
+    tail_buf,  # [F % ck (or 8), D] int8 — one-shot down-projection tail
     kbuf,  # [2, S, HD] bf16
     vbuf,
     wsem,
+    tail_sem,
     k_sem,
     v_sem,
     *,
@@ -334,9 +334,9 @@ def _kernel(
     # boundaries; TOKENPACKER_FUSED_PIPELINE=self disables them (each
     # segment then starts its own first two chunks — ~8us ring-drain bubble
     # per segment boundary) — kept as a compile-compatibility fallback
-    nct_d = -(-d // ck_d)
-    nct_f = f // ck_f + (1 if f % ck_f else 0)
-    total = nct_d * (n_qkv_segs + 3) + nct_f  # flat chunks per layer
+    nct_d = d // ck_d  # ring chunks per D-reduction segment
+    nct_f = f // ck_f  # ring chunks of the F-reduction segment (tail apart)
+    total = nct_d * (n_qkv_segs + 3) + nct_f  # ring chunks per layer
     # hook scheduling needs >=2 main chunks per segment; tiny test
     # geometries fall back to self-starting segments
     hooks = (
@@ -369,7 +369,10 @@ def _kernel(
         par = jax.lax.rem(par + nct_d, 2)
         up_seg = mk(gu_ref, f, f, d, ck_d, par)
         par = jax.lax.rem(par + nct_d, 2)
-        down_seg = mk(down_ref, 0, d, f, ck_f, par)
+        down_seg = _Seg(
+            down_ref, l, 0, d, f, ck_f, ring, wsem, xbuf, par, hooks,
+            tail_buf=tail_buf, tail_sem=tail_sem,
+        )
         return qkv_segs, o_seg, gate_seg, up_seg, down_seg
 
     def kv_dma(l, b):
@@ -534,7 +537,7 @@ def _fused_call(
     *, layers, batch, d, f, heads, head_dim, s, eps, interpret,
 ):
     ck_d, ck_f, _ = _layer_chunkplan(d, f)
-    ck_max = max(ck_d, ck_f)
+    ck_max = max(ck_d, ck_f)  # == ck_d == ck_f (uniform full-row ring)
     max_chunks = max(d // ck_d, f // ck_f)
     ring_w = min(max(3 * d, f, d), MAX_WIDE)
     kernel = functools.partial(
@@ -561,9 +564,11 @@ def _fused_call(
         scratch_shapes=[
             pltpu.VMEM((2, ck_max, ring_w), jnp.int8),
             pltpu.VMEM((max_chunks, batch, ck_max), jnp.bfloat16),
+            pltpu.VMEM((max(f % ck_max, 8), d), jnp.int8),
             pltpu.VMEM((2, s, heads * head_dim), jnp.bfloat16),
             pltpu.VMEM((2, s, heads * head_dim), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
