@@ -41,12 +41,18 @@ stack via bisection — see ROADMAP.md round-2 notes):
   traced slot with pl.ds sub-rectangles also crashes the compiler).
 
 STATUS: numerically verified against the XLA decode path in interpret mode
-(tests/test_fused_decode.py — two-range, slot-contiguous cb, pipelined
-geometry); the full composition still crashes the axon REMOTE-compile
-helper (HTTP 500 with no diagnostics) even though every constituent
-construct compiles in isolation (15 bisection rounds, see ROADMAP.md).
-Opt-in via TOKENPACKER_FUSED_DECODE=1; enabling it by default awaits a
-direct TPU VM / newer toolchain where the mosaic error is visible.
+(tests/test_fused_decode.py — two-range, slot-contiguous cb, pipelined +
+tail geometries). On the real chip, the GEMV-streaming chain + RoPE
+COMPILES AND RUNS (TOKENPACKER_FD_DEBUG=noattn probe; 19 bisection
+rounds fixed, in order: per-tile-accumulator carries, >12288-wide ops,
+two streaming rings, >~2-dozen unrolled dot sites, traced-slot ds-rect
+DMA dests, row-partial DMA dests, dynamically-indexed bf16 2D ref
+reads). The ATTENTION sub-block is the one remaining compile blocker —
+ruled out: the mask reads, the current-token terms, NT-form dots,
+buffer/semaphore count, bf16 dynamic cache DMA, and the attention math
+itself outside the layer fori. Opt-in via TOKENPACKER_FUSED_DECODE=1
+until that last construct is found (round 3: direct TPU VM where the
+mosaic diagnostics are visible instead of the helper's bare HTTP 500).
 
 Other design notes (v5e):
 - attention avoids every in-kernel transpose/reshape of the [S, H*D] cache:
@@ -72,7 +78,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
 MAX_WIDE = 12288  # widest proven value/accumulator width (lanes)
-N_TILE = 2048  # max columns per convert+dot
+N_TILE = 4096  # max columns per convert+dot ([512, 4096] operands are
+# proven; wider fails) — also minimizes static dot sites, which are the
+# scarcest compile resource on this stack
 
 
 def _chunks(k: int, ck: int):
@@ -290,8 +298,11 @@ def _kernel(
     sin_ref,
     rot_ref,  # [Dh, Dh] bf16 rotate-half permutation
     g_ref,  # [D, H] bf16 block-diagonal ones
-    ln1_ref,  # [L, D] bf16
-    ln2_ref,
+    gt_ref,  # [H, D] bf16 — its transpose: every attention dot stays in
+    # standard (contract lhs dim1 with rhs dim0) form; NT-form dot_general
+    # inside the layer fori is part of what crashes the axon compiler
+    ln1_ref,  # [L, D] f32 — dynamically-indexed row reads of a 2D BF16
+    ln2_ref,  # VMEM ref crash the axon compiler; f32 refs read fine
     qkv_s_ref,  # [L, 3D] f32
     o_s_ref,  # [L, D]
     gu_s_ref,  # [L, 2F]
@@ -310,12 +321,9 @@ def _kernel(
     ring,  # [2, ck, ring_w] int8 — the one shared weight ring (full-row dests)
     xbuf,  # [max_chunks, B, ck] bf16 — staged x chunks
     tail_buf,  # [F % ck (or 8), D] int8 — one-shot down-projection tail
-    kbuf,  # [2, S, HD] bf16
-    vbuf,
+    cbuf,  # [S, HD] bf16 — cache staging, reused K-then-V per sample
     wsem,
-    tail_sem,
-    k_sem,
-    v_sem,
+    aux_sem,  # [2] DMA sems: 0 = cache, 1 = down tail
     *,
     layers: int,
     batch: int,
@@ -371,26 +379,21 @@ def _kernel(
         par = jax.lax.rem(par + nct_d, 2)
         down_seg = _Seg(
             down_ref, l, 0, d, f, ck_f, ring, wsem, xbuf, par, hooks,
-            tail_buf=tail_buf, tail_sem=tail_sem,
+            tail_buf=tail_buf, tail_sem=aux_sem.at[1],
         )
         return qkv_segs, o_seg, gate_seg, up_seg, down_seg
 
-    def kv_dma(l, b):
-        slot = b % 2
-        return (
-            pltpu.make_async_copy(kc_ref.at[l, b], kbuf.at[slot], k_sem.at[slot]),
-            pltpu.make_async_copy(vc_ref.at[l, b], vbuf.at[slot], v_sem.at[slot]),
-        )
+    def cache_dma(ref, l, b):
+        return pltpu.make_async_copy(ref.at[l, b], cbuf, aux_sem.at[0])
 
     dbg = os.environ.get("TOKENPACKER_FD_DEBUG", "")  # temp compile bisect
 
     def layer_body(l, h):
         qkv_segs, o_seg, gate_seg, up_seg, down_seg = segs_for(l)
         if "noattn" not in dbg:
-            for dma in kv_dma(l, 0):
-                dma.start()
+            cache_dma(kc_ref, l, 0).start()
 
-        ln1 = ln1_ref[pl.ds(l, 1), :]
+        ln1 = ln1_ref[pl.ds(l, 1), :].astype(jnp.bfloat16)
         x1 = _rms(h, ln1, eps)
         if n_qkv_segs == 1:
             qkv_acc = qkv_segs[0].gemv(x1, (o_seg.starter(0), o_seg.starter(1)))
@@ -437,13 +440,8 @@ def _kernel(
         gb = g_ref[...]
         outs = []
         for b in range(batch if "noattn" not in dbg else 0):
-            for dma in kv_dma(l, b):
-                dma.wait()
-            if b + 1 < batch:
-                for dma in kv_dma(l, b + 1):
-                    dma.start()
-            kc = kbuf[b % 2]  # [S, HD] bf16
-            vc = vbuf[b % 2]
+            cache_dma(kc_ref, l, b).wait()
+            kc = cbuf[...]  # [S, HD] bf16
             qb = jax.lax.slice(qr, (b, 0), (b + 1, d))  # [1, D] bf16
             pk = (kc * qb).astype(jnp.float32)  # [S, D]
             logits = (
@@ -461,35 +459,46 @@ def _kernel(
                 )
                 * scale
             )  # [1, H]
-            iot = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
-            len0 = seq_ref[0, b]
-            st2 = seq_ref[1, b]
-            en2 = seq_ref[2, b]
-            valid = (iot < len0) | ((iot >= st2) & (iot < en2))
-            logits = jnp.where(valid, logits, NEG)
+            if "nomask" not in dbg:
+                iot = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+                len0 = seq_ref[0, b]
+                st2 = seq_ref[1, b]
+                en2 = seq_ref[2, b]
+                valid = (iot < len0) | ((iot >= st2) & (iot < en2))
+                logits = jnp.where(valid, logits, NEG)
+            if "nocur" in dbg:
+                lc = jnp.full_like(lc, NEG)
             m = jnp.maximum(jnp.max(logits, axis=0, keepdims=True), lc)  # [1, H]
             p = jnp.exp(logits - m)  # [S, H]
             pc = jnp.exp(lc - m)  # [1, H]
             den = jnp.sum(p, axis=0, keepdims=True) + pc  # [1, H]
             pex = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), gb, (((1,), (1,)), ((), ())),
+                p.astype(jnp.bfloat16), gt_ref[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [S, D] per-head prob broadcast to its lanes
+            # V reuses the single cache buffer once K's logits are formed
+            vdma = cache_dma(vc_ref, l, b)
+            vdma.start()
+            vdma.wait()
+            vc = cbuf[...]
             ctx = jax.lax.dot_general(
                 jnp.ones((1, s), jnp.float32), pex * vc.astype(jnp.float32),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [1, D]
             vb = jax.lax.slice(v, (b, 0), (b + 1, d)).astype(jnp.float32)
+            gt32 = gt_ref[...].astype(jnp.float32)
             pc_e = jax.lax.dot_general(
-                pc, g32, (((1,), (1,)), ((), ())),
+                pc, gt32, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             den_e = jax.lax.dot_general(
-                den, g32, (((1,), (1,)), ((), ())),
+                den, gt32, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             outs.append((ctx + pc_e * vb) / den_e)
+            if b + 1 < batch:
+                cache_dma(kc_ref, l, b + 1).start()
         attn = (
             jnp.concatenate(outs, axis=0).astype(jnp.bfloat16)
             if outs
@@ -500,7 +509,7 @@ def _kernel(
         o_sc = o_s_ref[pl.ds(l, 1), :]
         h = h + (ao * o_sc).astype(jnp.bfloat16)
 
-        ln2 = ln2_ref[pl.ds(l, 1), :]
+        ln2 = ln2_ref[pl.ds(l, 1), :].astype(jnp.bfloat16)
         x2 = _rms(h, ln2, eps)
         gate = gate_seg.gemv(x2, (up_seg.starter(0), up_seg.starter(1)))
         gate = gate * gu_s_ref[pl.ds(l, 1), 0:f]
@@ -532,7 +541,7 @@ def _kernel(
     static_argnames=("layers", "batch", "d", "f", "heads", "head_dim", "s", "eps", "interpret"),
 )
 def _fused_call(
-    seq_info, h0, cos_e, sin_e, rot, gmat, ln1, ln2,
+    seq_info, h0, cos_e, sin_e, rot, gmat, gmat_t, ln1, ln2,
     qkv_s, o_s, gu_s, down_s, qkv_q, o_q, gu_q, down_q, k_cache, v_cache,
     *, layers, batch, d, f, heads, head_dim, s, eps, interpret,
 ):
@@ -551,7 +560,7 @@ def _fused_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
+            vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
             vmem(), vmem(), vmem(), vmem(),
             any_(), any_(), any_(), any_(), any_(), any_(),
         ],
@@ -565,16 +574,13 @@ def _fused_call(
             pltpu.VMEM((2, ck_max, ring_w), jnp.int8),
             pltpu.VMEM((max_chunks, batch, ck_max), jnp.bfloat16),
             pltpu.VMEM((max(f % ck_max, 8), d), jnp.int8),
-            pltpu.VMEM((2, s, heads * head_dim), jnp.bfloat16),
-            pltpu.VMEM((2, s, heads * head_dim), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((s, heads * head_dim), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(
-        seq_info, h0, cos_e, sin_e, rot, gmat, ln1, ln2,
+        seq_info, h0, cos_e, sin_e, rot, gmat, gmat_t, ln1, ln2,
         qkv_s, o_s, gu_s, down_s, qkv_q, o_q, gu_q, down_q, k_cache, v_cache,
     )
 
@@ -660,9 +666,9 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
     hidden, k_new, v_new = _fused_call(
         seq_info,
         h0.astype(jnp.bfloat16),
-        cos_e, sin_e, rot, gmat,
-        layers_p["input_ln"]["scale"].astype(jnp.bfloat16),
-        layers_p["post_ln"]["scale"].astype(jnp.bfloat16),
+        cos_e, sin_e, rot, gmat, gmat.T,
+        layers_p["input_ln"]["scale"].astype(jnp.float32),
+        layers_p["post_ln"]["scale"].astype(jnp.float32),
         jnp.squeeze(qkv["scale"], -2).astype(jnp.float32),
         jnp.squeeze(o["scale"], -2).astype(jnp.float32),
         jnp.squeeze(gu["scale"], -2).astype(jnp.float32),
