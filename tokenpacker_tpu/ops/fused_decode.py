@@ -48,7 +48,8 @@ rounds fixed, in order: per-tile-accumulator carries, >12288-wide ops,
 two streaming rings, >~2-dozen unrolled dot sites, traced-slot ds-rect
 DMA dests, row-partial DMA dests, dynamically-indexed bf16 2D ref
 reads). The ATTENTION sub-block is the one remaining compile blocker —
-ruled out: the mask reads, the current-token terms, NT-form dots,
+ruled out: the mask reads, the current-token terms, NT-form dots, ALL
+G-matrix dots (TOKENPACKER_FD_DEBUG=nogdot stubs them — still fails),
 buffer/semaphore count, bf16 dynamic cache DMA, and the attention math
 itself outside the layer fori. Opt-in via TOKENPACKER_FUSED_DECODE=1
 until that last construct is found (round 3: direct TPU VM where the
@@ -444,13 +445,17 @@ def _kernel(
             kc = cbuf[...]  # [S, HD] bf16
             qb = jax.lax.slice(qr, (b, 0), (b + 1, d))  # [1, D] bf16
             pk = (kc * qb).astype(jnp.float32)  # [S, D]
-            logits = (
-                jax.lax.dot_general(
-                    pk.astype(jnp.bfloat16), gb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-            )  # [S, H]
+            if "nogdot" in dbg:
+                logits = jnp.sum(pk, axis=1, keepdims=True) * jnp.ones(
+                    (1, heads), jnp.float32) * scale
+            else:
+                logits = (
+                    jax.lax.dot_general(
+                        pk.astype(jnp.bfloat16), gb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                )  # [S, H]
             kb = jax.lax.slice(kr, (b, 0), (b + 1, d))
             lc = (
                 jax.lax.dot_general(
@@ -472,10 +477,13 @@ def _kernel(
             p = jnp.exp(logits - m)  # [S, H]
             pc = jnp.exp(lc - m)  # [1, H]
             den = jnp.sum(p, axis=0, keepdims=True) + pc  # [1, H]
-            pex = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), gt_ref[...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [S, D] per-head prob broadcast to its lanes
+            if "nogdot" in dbg:
+                pex = p[:, 0:1] * jnp.ones((1, d), jnp.float32)
+            else:
+                pex = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), gt_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [S, D] per-head prob broadcast to its lanes
             # V reuses the single cache buffer once K's logits are formed
             vdma = cache_dma(vc_ref, l, b)
             vdma.start()
@@ -487,15 +495,19 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )  # [1, D]
             vb = jax.lax.slice(v, (b, 0), (b + 1, d)).astype(jnp.float32)
-            gt32 = gt_ref[...].astype(jnp.float32)
-            pc_e = jax.lax.dot_general(
-                pc, gt32, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            den_e = jax.lax.dot_general(
-                den, gt32, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if "nogdot" in dbg:
+                pc_e = pc[:, 0:1] * jnp.ones((1, d), jnp.float32)
+                den_e = den[:, 0:1] * jnp.ones((1, d), jnp.float32)
+            else:
+                gt32 = gt_ref[...].astype(jnp.float32)
+                pc_e = jax.lax.dot_general(
+                    pc, gt32, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                den_e = jax.lax.dot_general(
+                    den, gt32, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             outs.append((ctx + pc_e * vb) / den_e)
             if b + 1 < batch:
                 cache_dma(kc_ref, l, b + 1).start()
