@@ -47,11 +47,14 @@ COMPILES AND RUNS (TOKENPACKER_FD_DEBUG=noattn probe; 19 bisection
 rounds fixed, in order: per-tile-accumulator carries, >12288-wide ops,
 two streaming rings, >~2-dozen unrolled dot sites, traced-slot ds-rect
 DMA dests, row-partial DMA dests, dynamically-indexed bf16 2D ref
-reads). The ATTENTION sub-block is the one remaining compile blocker —
-ruled out: the mask reads, the current-token terms, NT-form dots, ALL
-G-matrix dots (TOKENPACKER_FD_DEBUG=nogdot stubs them — still fails),
-buffer/semaphore count, bf16 dynamic cache DMA, and the attention math
-itself outside the layer fori. Opt-in via TOKENPACKER_FUSED_DECODE=1
+reads). The ATTENTION sub-block is the one remaining compile blocker, and it is
+an INTERACTION bug: the attention skeleton with every named construct
+stubbed out (TOKENPACKER_FD_DEBUG=norope,nogdot,nomask,nocur — leaving
+only the cache DMA + a mul + softmax-shaped reductions + a ones-dot)
+still crashes WHEN the weight-streaming chain is present, while the
+chain alone passes and the identical skeleton alone (probe n4) passes.
+Ruled out individually: mask reads, current-token terms, NT-form dots,
+all G-matrix dots, buffer/semaphore count, bf16 dynamic cache DMA. Opt-in via TOKENPACKER_FUSED_DECODE=1
 until that last construct is found (round 3: direct TPU VM where the
 mosaic diagnostics are visible instead of the helper's bare HTTP 500).
 
