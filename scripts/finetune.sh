@@ -13,6 +13,7 @@ python -m tokenpacker_tpu.train.train \
     --learning-rate 2e-5 \
     --group-by-modality-length \
     --per-device-batch-size 16 \
+    --gradient-accumulation-steps "${GRAD_ACCUM:-$(((128 / 16) / ${NUM_DEVICES:-8}))}" \
     --num-train-epochs 1 \
     --model-max-length 2048 \
     --output-dir "${OUTPUT_DIR:-./checkpoints/tokenpacker-7b}"

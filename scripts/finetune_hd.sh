@@ -10,4 +10,5 @@ python -m tokenpacker_tpu.train.train \
     --scale-factor "${SCALE_FACTOR:-2}" \
     --learning-rate 2e-5 --group-by-modality-length \
     --per-device-batch-size 8 --model-max-length 2048 \
+    --gradient-accumulation-steps "${GRAD_ACCUM:-$(((128 / 8) / ${NUM_DEVICES:-8}))}" \
     --output-dir "${OUTPUT_DIR:-./checkpoints/tokenpacker-hd-7b}"

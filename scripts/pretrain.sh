@@ -11,7 +11,9 @@ python -m tokenpacker_tpu.train.train \
     --scale-factor "${SCALE_FACTOR:-2}" \
     --learning-rate 1e-3 \
     --per-device-batch-size 32 \
+    --gradient-accumulation-steps "${GRAD_ACCUM:-$(((256 / 32) / ${NUM_DEVICES:-8}))}" \
     --num-train-epochs 1 \
     --model-max-length 2048 \
     --save-steps 500 \
-    --output-dir "${OUTPUT_DIR:-./checkpoints/tokenpacker-7b-pretrain}"
+    --output-dir "${OUTPUT_DIR:-./checkpoints/tokenpacker-7b-pretrain}" \
+    "$@"

@@ -45,16 +45,19 @@ def test_convert_mmvet(tmp_path):
 def test_mmmu_mc_parsing():
     assert parse_multi_choice_response("The answer is (B)", ["A", "B", "C"], {}) == "B"
     assert parse_multi_choice_response("B", ["A", "B", "C"], {}) == "B"
+    # content matching requires > 5 words (reference eval_utils.py:33)
     assert (
         parse_multi_choice_response(
-            "it is a triangle", ["A", "B"], {"A": "circle", "B": "triangle"}
+            "i am quite sure it is a triangle", ["A", "B"],
+            {"A": "circle", "B": "triangle"},
         )
         == "B"
     )
 
 
 def test_mmmu_open_parsing_and_scoring():
-    assert "42" in parse_open_response("The result is 42.")
+    # numbers normalize to rounded floats (reference normalize_str)
+    assert 42.0 in parse_open_response("The result is 42.")
     assert eval_answer("open", ["42"], "The result is 42.")
     assert eval_answer("multiple-choice", "A", "A")
     answers = {"val_Math_1": "A", "val_Math_2": "B"}

@@ -133,6 +133,46 @@ def test_paged_batcher_matches_generator(model):
     assert batcher.allocator.available() == 31  # pool minus reserved page 0
 
 
+def test_paged_batcher_fused_layout(model):
+    """Regression (ADVICE r2 high): load_8bit fuses q/k/v→qkv and
+    gate/up→gateup, but the paged layers only knew the unfused layout —
+    a worker with --scheduler paged --load-8bit crashed with KeyError 'q'
+    on the first decode step. Both paged decode and paged verify must
+    consume the fused layout."""
+    from tokenpacker_tpu.ops.quantize import fuse_llama_layers
+    from tokenpacker_tpu.serve.scheduler import PagedContinuousBatcher
+
+    cfg, params = model
+    gen = Generator(params, cfg)
+    max_new = 5
+    req = _request(cfg, 2)
+    expected = gen.generate(req, max_new_tokens=max_new, temperature=0.0).sequences[0]
+
+    fused = dict(params)
+    fused["lm"] = fuse_llama_layers(params["lm"])
+    batcher = PagedContinuousBatcher(
+        fused, cfg, num_slots=2, num_pages=32, page_size=8, max_pages_per_seq=8
+    )
+    batcher.start()
+    try:
+        got = batcher.submit(req, max_new).result(timeout=120)
+    finally:
+        batcher.stop()
+    assert got == expected, (got, expected)
+
+    # speculative batcher exercises _paged_verify_layer on the fused layout
+    spec = PagedContinuousBatcher(
+        fused, cfg, num_slots=2, num_pages=32, page_size=8, max_pages_per_seq=8,
+        speculative_k=2,
+    )
+    spec.start()
+    try:
+        got_spec = spec.submit(req, max_new).result(timeout=120)
+    finally:
+        spec.stop()
+    assert got_spec == expected, (got_spec, expected)
+
+
 def test_paged_batcher_page_reuse_no_corruption(model):
     """Regression (ADVICE r1 high): when a finished slot's pages are released
     and re-allocated to a still-growing sequence, the finished slot's stale

@@ -169,3 +169,28 @@ def test_mpt_params_are_sharded_and_forward_matches():
         sharded = shard_params(params, mesh)
         got = np.asarray(jax.jit(fwd)(sharded, ids))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_int8_quantized_params_get_tp_shardings():
+    """Quantized kernels nest {'q','scale'} below 'kernel'; the int8 payload
+    must shard like the dense kernel (13b-int8 preset is tp=2 — without this
+    the big tensors silently replicate) while scales replicate."""
+    from tokenpacker_tpu.config import tiny_vlm_config
+    from tokenpacker_tpu.models.vlm import init_vlm
+    from tokenpacker_tpu.ops.quantize import fuse_llama_layers, quantize_tree
+    from tokenpacker_tpu.parallel.mesh import make_mesh
+    from tokenpacker_tpu.parallel.sharding import vlm_param_shardings
+
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    params = dict(params)
+    params["lm"] = quantize_tree(fuse_llama_layers(params["lm"]), min_size=1)
+    mesh = make_mesh(dp=4, tp=2)
+    sh = vlm_param_shardings(params, mesh)
+    layers = sh["lm"]["layers"]
+    assert layers["attn"]["qkv"]["kernel"]["q"].spec == P(None, "data", "model")
+    assert layers["attn"]["qkv"]["kernel"]["scale"].spec == P()
+    assert layers["attn"]["o"]["kernel"]["q"].spec == P(None, "model", "data")
+    assert layers["mlp"]["gateup"]["kernel"]["q"].spec == P(None, "data", "model")
+    assert layers["mlp"]["down"]["kernel"]["q"].spec == P(None, "model", "data")
+    assert layers["mlp"]["down"]["kernel"]["scale"].spec == P()

@@ -84,3 +84,48 @@ def test_finetune_loss_decreases():
         params, opt_state, metrics = step(params, opt_state, batch)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_gradient_accumulation_matches_large_batch():
+    """VERDICT r2 item 4: MultiSteps(k) over k equal-size microbatches must
+    equal one step over the k-times-larger batch (grad mean == concat-batch
+    grad when the microbatches have identical valid-token counts, as these
+    do). This is how the reference reproduces global batch 256/128 on 8
+    GPUs (scripts/v1_5/pretrain.sh batch math)."""
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    k = 2
+    micro = [_tiny_batch(cfg, n=2, seed=s) for s in range(k)]
+    big = {
+        key: (jnp.concatenate([m[key] for m in micro], axis=0)
+              if key != "images" else jnp.concatenate([m[key] for m in micro], axis=0))
+        for key in micro[0]
+    }
+
+    tcfg = TrainConfig(stage="finetune", learning_rate=1e-3, total_steps=10)
+    tx_accum = make_optimizer(
+        TrainConfig(stage="finetune", learning_rate=1e-3, total_steps=10,
+                    gradient_accumulation_steps=k),
+        params,
+    )
+    tx_big = make_optimizer(tcfg, params)
+
+    step_accum = make_train_step(cfg, tx_accum)
+    step_big = make_train_step(cfg, tx_big)
+
+    pa, sa = params, tx_accum.init(params)
+    for m in micro:
+        pa_next, sa, _ = step_accum(pa, sa, m)
+        # mid-accumulation micro-steps must not touch the params
+        if m is micro[0]:
+            same = all(
+                float(jnp.abs(x - y).max()) == 0
+                for x, y in zip(jax.tree.leaves(pa_next), jax.tree.leaves(pa))
+            )
+            assert same, "params changed before the accumulation window closed"
+        pa = pa_next
+
+    pb, sb, _ = step_big(params, tx_big.init(params), big)
+
+    for x, y in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-5, atol=2e-6)

@@ -48,67 +48,166 @@ def build_prompt(sample: dict) -> tuple[str, list[str]]:
     return f"{question}\n{OPEN_PROMPT}", []
 
 
+# The reference (eval_utils.py:5-6) seeds the GLOBAL random module at import
+# (seed 42) for the no-candidate fallback in parse_multi_choice_response. We
+# keep the same sequence on a private Random so importing this module does not
+# reseed callers' global RNG; tests reseed both sides for byte-equality.
+_fallback_rng = random.Random(42)
+
+
 def parse_multi_choice_response(response: str, all_choices: list[str], index2ans: dict) -> str:
-    """Reference eval_utils.parse_multi_choice_response behavior: look for a
-    bracketed/bare option letter, then for option text; random fallback."""
-    response = response.strip()
+    """Faithful port of the reference parser
+    (llava/eval/mmmu/eval/utils/eval_utils.py:10-62): bracketed `(A)` hits
+    first; then bare ` A `; then option-text containment when the response
+    has >5 words; random fallback; multi-candidate → last occurrence wins
+    (np.argmax tie-break = first max)."""
     for char in [",", ".", "!", "?", ";", ":", "'"]:
         response = response.strip(char)
-    response = " " + response + " "
+    response = " " + response + " "  # add space to avoid partial match
 
+    index_ans = True
+    ans_with_brack = False
     candidates = []
-    for choice in all_choices:  # (A) or A) style
-        if f"({choice})" in response or f"{choice})" in response:
+    for choice in all_choices:  # e.g., (A) (B) (C) (D)
+        if f"({choice})" in response:
             candidates.append(choice)
-    if not candidates:
-        for choice in all_choices:  # bare letter with spaces
+            ans_with_brack = True
+    if len(candidates) == 0:
+        for choice in all_choices:  # e.g., A B C D
             if f" {choice} " in response:
                 candidates.append(choice)
-    if not candidates and len(response) > 5:  # match option text
-        for idx, ans in index2ans.items():
-            if ans and ans.lower() in response.lower():
-                candidates.append(idx)
-    if not candidates:
-        return random.Random(0).choice(all_choices)
+    # no candidates + response longer than 5 WORDS → try the option text
+    if len(candidates) == 0 and len(response.split()) > 5:
+        for index, ans in index2ans.items():
+            if ans.lower() in response.lower():
+                candidates.append(index)
+                index_ans = False  # it's a content answer
+
+    if len(candidates) == 0:  # still nothing: random choice
+        return _fallback_rng.choice(all_choices)
     if len(candidates) > 1:
-        # pick the last occurrence (reference behavior)
-        starts = []
-        for c in candidates:
-            for pat in (f"({c})", f"{c})", f" {c} "):
-                pos = response.rfind(pat)
-                if pos != -1:
-                    starts.append((pos, c))
-                    break
-        candidates = [max(starts)[1]] if starts else candidates[:1]
+        start_indexes = []
+        if index_ans:
+            if ans_with_brack:
+                for can in candidates:
+                    start_indexes.append(response.rfind(f"({can})"))
+            else:
+                for can in candidates:
+                    start_indexes.append(response.rfind(f" {can} "))
+        else:
+            for can in candidates:
+                start_indexes.append(response.lower().rfind(index2ans[can].lower()))
+        # last occurrence; ties resolve to the FIRST max like np.argmax
+        return candidates[max(range(len(start_indexes)), key=start_indexes.__getitem__)]
     return candidates[0]
 
 
-def _norm_open(ans: str) -> str:
-    return ans.strip().lower().strip(".")
+def check_is_number(string: str) -> bool:
+    """eval_utils.py:65-73."""
+    try:
+        float(string.replace(",", ""))
+        return True
+    except ValueError:
+        return False
 
 
-def parse_open_response(response: str) -> list[str]:
-    """Simplified eval_utils.parse_open_response: the final sentence plus
-    extracted numbers, normalized."""
-    response = response.strip()
-    sentences = re.split(r"(?<=[.!?])\s+", response)
-    key = sentences[-1] if sentences else response
-    outs = {_norm_open(key), _norm_open(response)}
-    outs.update(re.findall(r"-?\d+(?:\.\d+)?", response))
-    return [o for o in outs if o]
+def normalize_str(string: str) -> list:
+    """eval_utils.py:76-96: numbers → rounded float; 1-char strings pad with
+    a space on either side to avoid trivial containment matches."""
+    string = string.strip()
+    if check_is_number(string):
+        return [round(float(string.replace(",", "")), 2)]
+    string = string.lower()
+    if len(string) == 1:
+        return [" " + string, string + " "]
+    return [string]
+
+
+def extract_numbers(string: str) -> list[str]:
+    """eval_utils.py:98-117: comma-grouped, scientific, and simple numbers."""
+    pattern_commas = r"-?\b\d{1,3}(?:,\d{3})+\b"
+    pattern_scientific = r"-?\d+(?:\.\d+)?[eE][+-]?\d+"
+    pattern_simple = r"-?(?:\d+\.\d+|\.\d+|\d+\b)(?![eE][+-]?\d+)(?![,\d])"
+    return (
+        re.findall(pattern_commas, string)
+        + re.findall(pattern_scientific, string)
+        + re.findall(pattern_simple, string)
+    )
+
+
+def get_key_subresponses(response: str) -> list[str]:
+    """eval_utils.py:125-154. Note the reference lowercases BEFORE splitting
+    on `\\.\\s(?=[A-Z])`, so that branch never fires and sub-responses are
+    split on newlines only — reproduced faithfully."""
+    response = response.strip().strip(".").lower()
+    sub_responses = re.split(r"\.\s(?=[A-Z])|\n", response)
+    indicators_of_keys = ["could be ", "so ", "is ", "thus ", "therefore ",
+                          "final ", "answer ", "result "]
+    key_responses = []
+    for index, resp in enumerate(sub_responses):
+        # the last sub-response may be a bare equation
+        if index == len(sub_responses) - 1:
+            indicators_of_keys.extend(["="])
+        shortest_key_response = None
+        for indicator in indicators_of_keys:
+            if indicator in resp:
+                tail = resp.split(indicator)[-1].strip()
+                if not shortest_key_response:
+                    shortest_key_response = tail
+                elif len(tail) < len(shortest_key_response):
+                    shortest_key_response = tail
+        if shortest_key_response:
+            if shortest_key_response.strip() not in [":", ",", ".", "!", "?", ";", ":", "'"]:
+                key_responses.append(shortest_key_response)
+    if len(key_responses) == 0:
+        return [response]
+    return key_responses
+
+
+def parse_open_response(response: str) -> list:
+    """eval_utils.py:120-172: key sub-responses + their extracted numbers,
+    all normalized, deduplicated (set — order is not meaningful)."""
+    key_responses = get_key_subresponses(response)
+    pred_list = key_responses.copy()
+    for resp in key_responses:
+        pred_list.extend(extract_numbers(resp))
+    tmp = []
+    for pred in pred_list:
+        tmp.extend(normalize_str(pred))
+    return list(set(tmp))
+
+
+def eval_multi_choice(gold_i, pred_i) -> bool:
+    """eval_utils.py:176-190: exact match against the gold letter(s)."""
+    golds = gold_i if isinstance(gold_i, list) else [gold_i]
+    return any(answer == pred_i for answer in golds)
+
+
+def eval_open(gold_i, pred_i: list) -> bool:
+    """eval_utils.py:192-216: normalized golds vs parsed preds; strings
+    match by containment (gold in pred), floats by equality."""
+    norm_answers = []
+    if isinstance(gold_i, list):
+        for answer in gold_i:
+            norm_answers.extend(normalize_str(answer))
+    else:
+        norm_answers = normalize_str(gold_i)
+    for pred in pred_i:
+        if isinstance(pred, str):
+            for norm_ans in norm_answers:
+                if isinstance(norm_ans, str) and norm_ans in pred:
+                    return True
+        else:
+            if pred in norm_answers:
+                return True
+    return False
 
 
 def eval_answer(sample_type: str, gold, pred) -> bool:
     if sample_type == "multiple-choice":
-        return pred == gold
-    golds = gold if isinstance(gold, list) else [gold]
+        return eval_multi_choice(gold, pred)
     preds = parse_open_response(pred) if isinstance(pred, str) else [pred]
-    for g in golds:
-        gn = _norm_open(str(g))
-        for p in preds:
-            if gn == _norm_open(str(p)):
-                return True
-    return False
+    return eval_open(gold, preds)
 
 
 def score_answers(answers: dict, answer_dict: dict) -> dict:

@@ -247,3 +247,78 @@ def mme_scores(records: list[dict]) -> dict:
         out[cat] = 100 * acc + 100 * acc_plus
     out["total"] = sum(out.values())
     return out
+
+
+# ---------------------------------------------------------------------------
+# TextCaps BLEU-4 (m4c_evaluator.py:301-334, TextCapsBleu4Evaluator)
+# ---------------------------------------------------------------------------
+
+# PTBTokenizer punctuation drop-list (pycocoevalcap ptbtokenizer.py) — the
+# reference shells out to the Stanford Java tokenizer; this pure-Python
+# approximation lowercases, splits words/numbers/punctuation PTB-style, and
+# drops the same punctuation tokens. Differences from the Java tokenizer are
+# limited to exotic unicode/bracket normalization.
+_PTB_PUNCT = {
+    "''", "'", "``", "`", "-lrb-", "-rrb-", "-lcb-", "-rcb-",
+    ".", "?", "!", ",", ":", "-", "--", "...", ";",
+}
+
+
+def _ptb_tokenize(caption: str) -> list[str]:
+    import re
+
+    toks = re.findall(r"[a-z0-9]+(?:'[a-z0-9]+)*|\.\.\.|--|[^\sa-z0-9]", caption.lower())
+    return [t for t in toks if t not in _PTB_PUNCT]
+
+
+def _bleu_ngram_counts(tokens: list[str], n: int = 4) -> dict:
+    counts: dict = {}
+    for k in range(1, n + 1):
+        for i in range(len(tokens) - k + 1):
+            ng = tuple(tokens[i : i + k])
+            counts[ng] = counts.get(ng, 0) + 1
+    return counts
+
+
+def bleu4(pred_list: list[dict]) -> float:
+    """Corpus BLEU-4 with the pycocoevalcap BleuScorer math
+    (option='closest': per-sentence reference length nearest the hypothesis;
+    corpus-level brevity penalty; tiny/small smoothing constants) — the
+    scorer behind the reference's TextCapsBleu4Evaluator
+    (m4c_evaluator.py:321-334). pred_list items: {'pred_answer': str,
+    'gt_answers': [str, ...]}."""
+    import math
+
+    n = 4
+    small = 1e-9
+    tiny = 1e-15  # so that if guess is 0 still return 0
+    totalcomps = {"testlen": 0, "reflen": 0,
+                  "guess": [0] * n, "correct": [0] * n}
+    for entry in pred_list:
+        test = _ptb_tokenize(entry["pred_answer"])
+        refs = [_ptb_tokenize(r) for r in entry["gt_answers"]]
+        testlen = len(test)
+        # closest reference length (ties -> shorter, like the min() scan)
+        reflen = min((abs(len(r) - testlen), len(r)) for r in refs)[1]
+        refcounts: dict = {}
+        for r in refs:
+            for ng, c in _bleu_ngram_counts(r, n).items():
+                refcounts[ng] = max(refcounts.get(ng, 0), c)
+        counts = _bleu_ngram_counts(test, n)
+        totalcomps["testlen"] += testlen
+        totalcomps["reflen"] += reflen
+        for ng, c in counts.items():
+            k = len(ng) - 1
+            totalcomps["guess"][k] += c
+            totalcomps["correct"][k] += min(refcounts.get(ng, 0), c)
+        # (guess[k] = max(0, testlen-k) implicitly via enumeration above)
+    bleus = []
+    bleu = 1.0
+    for k in range(n):
+        bleu *= (totalcomps["correct"][k] + tiny) / (totalcomps["guess"][k] + small)
+        bleus.append(bleu ** (1.0 / (k + 1)))
+    ratio = (totalcomps["testlen"] + tiny) / (totalcomps["reflen"] + small)
+    if ratio < 1:
+        penalty = math.exp(1 - 1 / ratio)
+        bleus = [b * penalty for b in bleus]
+    return bleus[3]

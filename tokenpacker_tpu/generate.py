@@ -491,10 +491,15 @@ class Generator:
                 }
                 # with speculation on, greedy requests use a k-padded cache
                 # while temperature>0 requests keep the plain shape — warm
-                # BOTH, or the first sampled request compiles at request time
+                # BOTH, or the first sampled request compiles at request time.
+                # The streaming path pads by k+1; the batch generate() path
+                # pads by spec_chunk+k (same formula as generate()) — warm
+                # both shapes plus one speculative_chunk executable.
                 s_maxes = [l + max_new_tokens]
+                spec_chunk = max(8, 2 * speculative)
                 if speculative > 0:
                     s_maxes.append(l + max_new_tokens + speculative + 1)
+                    s_maxes.append(l + max_new_tokens + spec_chunk + speculative)
                 for s_max in s_maxes:
                     logits, cache = prefill(self.params, cfg, batch, s_max)
                     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -507,12 +512,28 @@ class Generator:
                         self.params, cfg, cache, tok, batch["lengths"],
                         jnp.asarray(0, jnp.int32), l,
                     )
-                    if speculative > 0 and n == 1 and s_max > l + max_new_tokens:
+                    if speculative > 0 and n == 1 and s_max == l + max_new_tokens + speculative + 1:
                         from tokenpacker_tpu.speculative import verify_step
 
                         fed = jnp.zeros((1, speculative + 1), jnp.int32)
                         verify_step(self.params, cfg, cache, fed, batch["lengths"],
                                     jnp.asarray(1, jnp.int32), l)
+                    if (speculative > 0 and n == 1
+                            and s_max == l + max_new_tokens + spec_chunk + speculative):
+                        # batch generate() speculative path: one
+                        # speculative_chunk executable per (bucket, k)
+                        from tokenpacker_tpu.speculative import make_ctx, speculative_chunk
+
+                        cap = l + max_new_tokens + spec_chunk + 2 * speculative + 8
+                        ctx = jnp.asarray(make_ctx(
+                            np.asarray(batch["token_ids"][0]),
+                            np.asarray(batch["is_image"][0]), 2, cap,
+                        ))
+                        speculative_chunk(
+                            self.params, cfg, cache, ctx,
+                            jnp.asarray(3, jnp.int32), batch["lengths"], tok[0],
+                            jnp.asarray(0, jnp.int32), l, spec_chunk, speculative,
+                        )
 
     def generate_stream(
         self,

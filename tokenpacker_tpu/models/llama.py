@@ -104,6 +104,36 @@ def _sdpa(q, k, v, bias):
     return jnp.einsum("nhqk,nkhd->nqhd", probs, v)
 
 
+def qkv_proj(p_attn, cfg: LMConfig, h):
+    """Project h [N, T, D] → (q, k, v) heads, handling both the unfused
+    q/k/v layout and the fused `qkv` layout emitted by
+    quantize.fuse_llama_layers (used by load_8bit / 4-bit paths)."""
+    n, t, _ = h.shape
+    if "qkv" in p_attn:
+        d_q = cfg.num_attention_heads * cfg.head_dim
+        d_kv = cfg.kv_heads * cfg.head_dim
+        qkv = linear(p_attn["qkv"], h)
+        q = qkv[..., :d_q].reshape(n, t, cfg.num_attention_heads, cfg.head_dim)
+        k = qkv[..., d_q : d_q + d_kv].reshape(n, t, cfg.kv_heads, cfg.head_dim)
+        v = qkv[..., d_q + d_kv :].reshape(n, t, cfg.kv_heads, cfg.head_dim)
+    else:
+        q = linear(p_attn["q"], h).reshape(n, t, cfg.num_attention_heads, cfg.head_dim)
+        k = linear(p_attn["k"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
+        v = linear(p_attn["v"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
+    return q, k, v
+
+
+def mlp_block(p_mlp, cfg: LMConfig, h):
+    """SwiGLU MLP, handling both gate/up and the fused `gateup` layout."""
+    if "gateup" in p_mlp:
+        gu = linear(p_mlp["gateup"], h)
+        gate, up = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size :]
+        return linear(p_mlp["down"], jax.nn.silu(gate) * up)
+    return linear(
+        p_mlp["down"], jax.nn.silu(linear(p_mlp["gate"], h)) * linear(p_mlp["up"], h)
+    )
+
+
 def _use_flash_prefill(t: int) -> bool:
     """Flash kernel pays off for long self-attention spans on TPU; decode
     (t==1) and short prompts stay on the fused-einsum path."""
@@ -142,19 +172,9 @@ def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len, use_flas
     """
     h = rms_norm(p["input_ln"], x, cfg.rms_norm_eps)
     n, t, _ = h.shape
-    if "qkv" in p["attn"]:
-        # fused projection (quantize.fuse_llama_layers): one matmul — on the
-        # 4-bit decode path this halves Pallas dispatches (~55us/call floor)
-        d_q = cfg.num_attention_heads * cfg.head_dim
-        d_kv = cfg.kv_heads * cfg.head_dim
-        qkv = linear(p["attn"]["qkv"], h)
-        q = qkv[..., :d_q].reshape(n, t, cfg.num_attention_heads, cfg.head_dim)
-        k = qkv[..., d_q : d_q + d_kv].reshape(n, t, cfg.kv_heads, cfg.head_dim)
-        v = qkv[..., d_q + d_kv :].reshape(n, t, cfg.kv_heads, cfg.head_dim)
-    else:
-        q = linear(p["attn"]["q"], h).reshape(n, t, cfg.num_attention_heads, cfg.head_dim)
-        k = linear(p["attn"]["k"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
-        v = linear(p["attn"]["v"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
+    # fused-qkv layouts (quantize.fuse_llama_layers) halve Pallas dispatches
+    # on the quantized decode path (~55us/call floor)
+    q, k, v = qkv_proj(p["attn"], cfg, h)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -208,12 +228,7 @@ def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len, use_flas
     attn_out = linear(p["attn"]["o"], attn_out.reshape(n, t, -1))
     x = x + attn_out
     h = rms_norm(p["post_ln"], x, cfg.rms_norm_eps)
-    if "gateup" in p["mlp"]:
-        gu = linear(p["mlp"]["gateup"], h)
-        gate, up = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size :]
-        h = linear(p["mlp"]["down"], jax.nn.silu(gate) * up)
-    else:
-        h = linear(p["mlp"]["down"], jax.nn.silu(linear(p["mlp"]["gate"], h)) * linear(p["mlp"]["up"], h))
+    h = mlp_block(p["mlp"], cfg, h)
     return x + h, new_cache
 
 

@@ -27,7 +27,13 @@ import jax
 import jax.numpy as jnp
 
 from tokenpacker_tpu.config import LMConfig
-from tokenpacker_tpu.models.llama import _sdpa, apply_rope, rope_cos_sin
+from tokenpacker_tpu.models.llama import (
+    _sdpa,
+    apply_rope,
+    mlp_block,
+    qkv_proj,
+    rope_cos_sin,
+)
 from tokenpacker_tpu.ops.layers import linear, rms_norm
 
 NEG_INF = jnp.finfo(jnp.float32).min
@@ -97,9 +103,7 @@ def _paged_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table, cur_le
     n = x.shape[0]
     ps = kp.shape[1]  # kp is layer-sliced: [P, ps, H, D]
     h = rms_norm(p["input_ln"], x, cfg.rms_norm_eps)
-    q = linear(p["attn"]["q"], h).reshape(n, 1, cfg.num_attention_heads, cfg.head_dim)
-    k = linear(p["attn"]["k"], h).reshape(n, 1, cfg.kv_heads, cfg.head_dim)
-    v = linear(p["attn"]["v"], h).reshape(n, 1, cfg.kv_heads, cfg.head_dim)
+    q, k, v = qkv_proj(p["attn"], cfg, h)  # fused-qkv aware (load_8bit layout)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -126,7 +130,7 @@ def _paged_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table, cur_le
 
     x = x + linear(p["attn"]["o"], attn.reshape(n, 1, -1))
     h2 = rms_norm(p["post_ln"], x, cfg.rms_norm_eps)
-    h2 = linear(p["mlp"]["down"], jax.nn.silu(linear(p["mlp"]["gate"], h2)) * linear(p["mlp"]["up"], h2))
+    h2 = mlp_block(p["mlp"], cfg, h2)
     return x + h2, kp, vp
 
 
@@ -188,9 +192,7 @@ def _paged_verify_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table,
     rounds keep the kernel."""
     n, t, _ = x.shape
     h = rms_norm(p["input_ln"], x, cfg.rms_norm_eps)
-    q = linear(p["attn"]["q"], h).reshape(n, t, cfg.num_attention_heads, cfg.head_dim)
-    k = linear(p["attn"]["k"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
-    v = linear(p["attn"]["v"], h).reshape(n, t, cfg.kv_heads, cfg.head_dim)
+    q, k, v = qkv_proj(p["attn"], cfg, h)  # fused-qkv aware (load_8bit layout)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     kp = kp.at[write_page, write_off].set(k.astype(kp.dtype))
@@ -200,7 +202,7 @@ def _paged_verify_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table,
     attn = _sdpa(q, kg.astype(q.dtype), vg.astype(q.dtype), bias)
     x = x + linear(p["attn"]["o"], attn.reshape(n, t, -1))
     h2 = rms_norm(p["post_ln"], x, cfg.rms_norm_eps)
-    h2 = linear(p["mlp"]["down"], jax.nn.silu(linear(p["mlp"]["gate"], h2)) * linear(p["mlp"]["up"], h2))
+    h2 = mlp_block(p["mlp"], cfg, h2)
     return x + h2, kp, vp
 
 

@@ -60,14 +60,24 @@ def _spec_for(path: tuple, leaf, mesh: Mesh) -> P:
             return spec(DATA_AXIS, MODEL_AXIS)
         if "kernel" in names and ndim >= 2:
             # LLaMA family (q/k/v/o, gate/up/down) incl. the fused
-            # qkv/gateup layout, and the MPT family (wqkv/out, ffn up/down)
-            if "attn" in names and names[-2] in ("q", "k", "v", "qkv", "wqkv"):
+            # qkv/gateup layout, and the MPT family (wqkv/out, ffn up/down).
+            # Quantized kernels nest their payload below 'kernel'
+            # ({'q','scale'} int8, {'q4:*','absmax'} 4-bit): the big int8/
+            # packed payload shards like the dense kernel (same [.., in, out]
+            # layout; q4 halves the in dim but _fits re-checks divisibility);
+            # the small scale/absmax tensors replicate.
+            ki = names.index("kernel")
+            role = names[ki - 1]
+            sub = names[ki + 1] if ki + 1 < len(names) else None
+            if sub in ("scale", "absmax"):
+                return P()
+            if "attn" in names and role in ("q", "k", "v", "qkv", "wqkv"):
                 return lspec(DATA_AXIS, MODEL_AXIS)
-            if "attn" in names and names[-2] in ("o", "out"):
+            if "attn" in names and role in ("o", "out"):
                 return lspec(MODEL_AXIS, DATA_AXIS)
-            if ("mlp" in names or "ffn" in names) and names[-2] in ("gate", "up", "gateup"):
+            if ("mlp" in names or "ffn" in names) and role in ("gate", "up", "gateup"):
                 return lspec(DATA_AXIS, MODEL_AXIS)
-            if ("mlp" in names or "ffn" in names) and names[-2] == "down":
+            if ("mlp" in names or "ffn" in names) and role == "down":
                 return lspec(MODEL_AXIS, DATA_AXIS)
         return P()  # norms, biases
 

@@ -47,6 +47,9 @@ def build_parser():
     p.add_argument("--warmup-ratio", type=float, default=0.03)
     p.add_argument("--num-train-epochs", type=int, default=1)
     p.add_argument("--per-device-batch-size", type=int, default=16)
+    p.add_argument("--gradient-accumulation-steps", type=int, default=1,
+                   help="micro-steps per optimizer step (reference global "
+                        "batch 256/128 = per-device-batch x devices x this)")
     p.add_argument("--group-by-modality-length", action="store_true")
     # run
     p.add_argument("--output-dir", required=True)
@@ -112,6 +115,7 @@ def main(argv=None):
         mm_projector_lr=args.mm_projector_lr,
         weight_decay=args.weight_decay,
         warmup_ratio=args.warmup_ratio,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
     )
     if args.bits in (4, 8) and not args.lora_enable:
         raise SystemExit(

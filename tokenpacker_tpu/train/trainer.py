@@ -282,7 +282,11 @@ class Trainer:
             rcfg.per_device_batch_size * self.mesh.shape["data"]
         )
         total_steps = max(n_batches * rcfg.num_train_epochs, 1)
-        tcfg = dataclasses.replace(tcfg, total_steps=total_steps)
+        # with gradient accumulation the LR schedule advances once per
+        # OPTIMIZER step (MultiSteps applies the inner transform every k
+        # micro-steps), so the schedule length is micro-steps / k
+        accum = max(tcfg.gradient_accumulation_steps, 1)
+        tcfg = dataclasses.replace(tcfg, total_steps=max(total_steps // accum, 1))
 
         with jax.set_mesh(self.mesh):
             self.params = shard_params(self.params, self.mesh)

@@ -69,10 +69,16 @@ def violates_moderation(text: str) -> bool:
     key = os.environ.get("OPENAI_API_KEY")
     if key:
         headers["Authorization"] = "Bearer " + key
+    timeout = float(os.environ.get("MODERATION_TIMEOUT", "2"))
     try:  # everything inside: malformed client input must also fail open
         data = _json.dumps({"input": str(text or "").replace("\n", "")}).encode()
         req = urllib.request.Request(url, data, headers)
-        with urllib.request.urlopen(req, timeout=5) as r:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
             return bool(_json.loads(r.read())["results"][0]["flagged"])
-    except Exception:
+    except Exception as e:
+        # fail open like the reference, but VISIBLY: silent errors would
+        # disable moderation with no operator signal (ADVICE r2)
+        logging.getLogger("moderation").warning(
+            "moderation check failed (failing open): %r", e
+        )
         return False
