@@ -8,6 +8,7 @@ data dependency, single scalar fetch (CLAUDE.md).
 Usage: python scripts/bench_fused_decode.py [batch ...]
 Env: TOKENPACKER_FUSED_DECODE=0 to measure only the XLA path.
 """
+import functools
 import os
 import sys
 import time
@@ -34,7 +35,11 @@ def bench(batch: int, s_max: int = 512, n_steps: int = 64, fill: int = 200):
         jnp.full((batch,), fill, jnp.int32),
     )
 
-    @jax.jit
+    copts = None
+    if os.environ.get("TOKENPACKER_FD_VMEM_KIB"):
+        copts = {"xla_tpu_scoped_vmem_limit_kib": int(os.environ["TOKENPACKER_FD_VMEM_KIB"])}
+
+    @functools.partial(jax.jit, compiler_options=copts)
     def loop(params, cache, toks, active, salt):
         toks = toks + salt * 0
 

@@ -129,3 +129,20 @@ def test_gradient_accumulation_matches_large_batch():
 
     for x, y in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-5, atol=2e-6)
+
+
+def test_remat_matches_no_remat(monkeypatch):
+    """TOKENPACKER_REMAT=1 (per-layer jax.checkpoint on the training path)
+    must not change loss or gradients — only memory/recompute scheduling."""
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(0), cfg)
+    batch = _tiny_batch(cfg)
+
+    monkeypatch.delenv("TOKENPACKER_REMAT", raising=False)
+    (l0, _), g0 = jax.value_and_grad(vlm_loss, has_aux=True)(params, cfg, batch)
+    monkeypatch.setenv("TOKENPACKER_REMAT", "1")
+    (l1, _), g1 = jax.value_and_grad(vlm_loss, has_aux=True)(params, cfg, batch)
+
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

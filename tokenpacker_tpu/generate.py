@@ -54,6 +54,44 @@ def device_batch(batch: dict, dtype) -> dict:
     }
 
 
+def _fd_compiler_options():
+    """Scoped-vmem raise for programs containing the fused decode kernel.
+
+    The kernel's scratch (12.6 MB weight ring + S·HD·2 cache buffer + tail)
+    exceeds the 16 MB default scoped-vmem stack at 7B S=512, and the limit
+    only takes effect on the OUTERMOST jit (inner jits are inlined when
+    traced) — so every jit that can contain the kernel passes these options.
+    TPU-only: the CPU/interpret backend rejects unknown TPU flags."""
+    if jax.default_backend() != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": 65536}
+
+
+_FD_JITS: dict = {}
+
+
+def _fd_jit(fn, **jit_kwargs):
+    """jax.jit with fused-decode compiler options resolved at CALL time
+    (the backend isn't known at import; options differ per backend)."""
+
+    def wrapper(*args, **kwargs):
+        # compiler_options are only legal on the TOP-LEVEL jit: when this
+        # call is nested inside an outer trace (e.g. decode_chunk, a bench
+        # fori_loop), drop them — the outer jit must carry them instead
+        nested = any(
+            isinstance(x, jax.core.Tracer) for x in jax.tree.leaves((args, kwargs))
+        )
+        copts = None if nested else _fd_compiler_options()
+        key = (fn.__name__, copts is not None)
+        if key not in _FD_JITS:
+            _FD_JITS[key] = jax.jit(fn, compiler_options=copts, **jit_kwargs)
+        return _FD_JITS[key](*args, **kwargs)
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
 @partial(jax.jit, static_argnames=("cfg", "s_max"))
 def prefill(params, cfg: TokenPackerVLMConfig, batch, s_max: int):
     """Returns (next-token logits [N, V], cache)."""
@@ -134,7 +172,7 @@ def _fused_decode_mode(params, cfg: TokenPackerVLMConfig, cache) -> str | None:
     return "tpu" if jax.default_backend() == "tpu" else None
 
 
-@partial(jax.jit, static_argnames=("cfg", "prefill_len", "interpret"))
+@partial(_fd_jit, static_argnames=("cfg", "prefill_len", "interpret"))
 def _decode_step_fused(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths,
                        step, prefill_len: int, interpret: bool = False):
     """decode_step semantics on the fused kernel: attendable ranges are the
@@ -158,7 +196,7 @@ def _decode_step_fused(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths
     return logits, KVCache(nk, nv, prefill_len + step + 1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
+@partial(_fd_jit, static_argnames=("cfg", "interpret"))
 def _decode_step_cb_fused(params, cfg: TokenPackerVLMConfig, cache, tokens,
                           cur_lens, active, interpret: bool = False):
     from tokenpacker_tpu.ops.fused_decode import fused_decode_hidden
@@ -283,7 +321,7 @@ def insert_into_cache(big: KVCache, small: KVCache, slot: int, length):
     return KVCache(k, v, new_len)
 
 
-@partial(jax.jit, static_argnames=("cfg", "prefill_len", "n", "temperature", "top_p"))
+@partial(_fd_jit, static_argnames=("cfg", "prefill_len", "n", "temperature", "top_p"))
 def decode_chunk(
     params, cfg: TokenPackerVLMConfig, cache, first_tokens, lengths, step0, prefill_len: int,
     n: int, rng_key, temperature: float = 0.0, top_p: float | None = None,

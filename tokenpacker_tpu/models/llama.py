@@ -134,6 +134,15 @@ def mlp_block(p_mlp, cfg: LMConfig, h):
     )
 
 
+def _use_remat() -> bool:
+    """TOKENPACKER_REMAT=1 wraps each decoder layer in jax.checkpoint on the
+    cache-less (training) path — required for full-depth 7B backward on one
+    chip (also exposed as train.py --remat)."""
+    import os
+
+    return os.environ.get("TOKENPACKER_REMAT", "0") not in ("0", "off", "")
+
+
 def _use_flash_prefill(t: int) -> bool:
     """Flash kernel pays off for long self-attention spans on TPU; decode
     (t==1) and short prompts stay on the fused-einsum path."""
@@ -271,6 +280,12 @@ def llama_apply(
             )
             return y, None
 
+        if _use_remat():
+            # per-layer rematerialization: the backward recomputes each
+            # layer's activations instead of storing them — trades ~1/3 more
+            # FLOPs for O(1)-in-depth activation memory, which is what lets
+            # a full-depth 7B backward fit/compile on one chip
+            step = jax.checkpoint(step)
         x, _ = jax.lax.scan(step, x, params["layers"])
         new_cache = None
     else:

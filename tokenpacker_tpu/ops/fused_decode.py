@@ -40,26 +40,24 @@ stack via bisection — see ROADMAP.md round-2 notes):
   to a static 0/1 through pl.when branches (a DMA destination combining a
   traced slot with pl.ds sub-rectangles also crashes the compiler).
 
-STATUS: numerically verified against the XLA decode path in interpret mode
-(tests/test_fused_decode.py — two-range, slot-contiguous cb, pipelined +
-tail geometries). On the real chip, the GEMV-streaming chain + RoPE
-COMPILES AND RUNS at 661 GB/s effective weight streaming (81% of HBM
-peak; 10.20 ms/step at full 7B geometry L=32/int8/S=512 for everything
-but attention — the XLA path's complete step is 11.9 ms)
-(TOKENPACKER_FD_DEBUG=noattn probe; 19 bisection
-rounds fixed, in order: per-tile-accumulator carries, >12288-wide ops,
-two streaming rings, >~2-dozen unrolled dot sites, traced-slot ds-rect
-DMA dests, row-partial DMA dests, dynamically-indexed bf16 2D ref
-reads). The ATTENTION sub-block is the one remaining compile blocker, and it is
-an INTERACTION bug: the attention skeleton with every named construct
-stubbed out (TOKENPACKER_FD_DEBUG=norope,nogdot,nomask,nocur — leaving
-only the cache DMA + a mul + softmax-shaped reductions + a ones-dot)
-still crashes WHEN the weight-streaming chain is present, while the
-chain alone passes and the identical skeleton alone (probe n4) passes.
-Ruled out individually: mask reads, current-token terms, NT-form dots,
-all G-matrix dots, buffer/semaphore count, bf16 dynamic cache DMA. Opt-in via TOKENPACKER_FUSED_DECODE=1
-until that last construct is found (round 3: direct TPU VM where the
-mosaic diagnostics are visible instead of the helper's bare HTTP 500).
+STATUS (round 3): RESOLVED and running on the real chip. The round-2
+"interaction bug" was a scoped-VMEM stack OOM all along — the axon helper
+now surfaces mosaic diagnostics, and the full composition's scratch
+(12.6 MB weight ring + K/V staging + tail) exceeded the 16 MB default
+`xla_tpu_scoped_vmem_limit_kib`. Fix: every top-level jit that can contain
+this kernel raises the limit to 64 MB (generate._fd_jit; the option is
+only legal on the OUTERMOST jit — nested invocations drop it). On-chip
+parity: greedy tokens identical to the XLA int8 path over multi-step
+runs, max |dlogits| ~1e-3 (scripts/check_fused_parity.py). Round-3
+attention rework: the [S, D]-sized probability work rides the MXU
+(p^T·V full-matrix dot + block-diagonal extract via G^T) and K/V staging
+is split into two buffers whose next-(layer, sample) DMA starts right
+after each buffer's last read — the remaining VPU-heavy op is one bf16
+row-broadcast multiply for the logits ([1,D]→[D,1] relayouts for a
+q-masked G do not lower in mosaic, nor do bf16 minor-dim reshapes).
+Several round-2 "envelope" rules were surely the same masked VMEM OOM
+(e.g. two 12.6 MB rings, >12288-wide f32 accumulators); the surviving
+structural rules are noted inline where they shaped the code.
 
 Other design notes (v5e):
 - attention avoids every in-kernel transpose/reshape of the [S, H*D] cache:
@@ -283,8 +281,14 @@ def _layer_chunkplan(d: int, f: int):
     """Static per-layer streaming plan: (ck for D-reduction segments, ck
     for the F-reduction segment, qkv segment count). Chunk sizes must be
     multiples of 128 (static lane slicing of x) — guaranteed by the
-    fused_eligible geometry gates."""
-    ck = min(512, d, f)
+    fused_eligible geometry gates.
+
+    TOKENPACKER_FD_CK overrides the ring chunk rows (default 512; 256
+    halves the ring's VMEM to fit the 16 MB default scoped-vmem stack
+    when the outer jit does not raise xla_tpu_scoped_vmem_limit_kib)."""
+    import os
+
+    ck = min(int(os.environ.get("TOKENPACKER_FD_CK", "512")), d, f)
     n_qkv_segs = 1 if 3 * d <= MAX_WIDE else 3
     return ck, ck, n_qkv_segs
 
@@ -328,9 +332,10 @@ def _kernel(
     ring,  # [2, ck, ring_w] int8 — the one shared weight ring (full-row dests)
     xbuf,  # [max_chunks, B, ck] bf16 — staged x chunks
     tail_buf,  # [F % ck (or 8), D] int8 — one-shot down-projection tail
-    cbuf,  # [S, HD] bf16 — cache staging, reused K-then-V per sample
+    kbuf,  # [S, HD] bf16 — K-cache staging (single buffer; the next (l,b)
+    vbuf,  # DMA starts right after this one's last read)  — V likewise
     wsem,
-    aux_sem,  # [2] DMA sems: 0 = cache, 1 = down tail
+    aux_sem,  # [3] DMA sems: 0 = K cache, 1 = V cache, 2 = down tail
     *,
     layers: int,
     batch: int,
@@ -386,19 +391,34 @@ def _kernel(
         par = jax.lax.rem(par + nct_d, 2)
         down_seg = _Seg(
             down_ref, l, 0, d, f, ck_f, ring, wsem, xbuf, par, hooks,
-            tail_buf=tail_buf, tail_sem=aux_sem.at[1],
+            tail_buf=tail_buf, tail_sem=aux_sem.at[2],
         )
         return qkv_segs, o_seg, gate_seg, up_seg, down_seg
 
-    def cache_dma(ref, l, b):
-        return pltpu.make_async_copy(ref.at[l, b], cbuf, aux_sem.at[0])
+    def k_dma(l, b):
+        return pltpu.make_async_copy(kc_ref.at[l, b], kbuf, aux_sem.at[0])
 
-    dbg = os.environ.get("TOKENPACKER_FD_DEBUG", "")  # temp compile bisect
+    def v_dma(l, b):
+        return pltpu.make_async_copy(vc_ref.at[l, b], vbuf, aux_sem.at[1])
+
+    def start_next_cache(dma_of, l, b):
+        """Start the next (l, b) pair's cache DMA — issued immediately after
+        the current buffer's LAST read so the copy overlaps the rest of
+        attention + the o/MLP GEMV chain (the buffers are single, not rings:
+        a traced-slot read of a bf16 ref does not lower — ROADMAP envelope)."""
+        if b + 1 < batch:
+            dma_of(l, b + 1).start()
+        else:
+            nl = jnp.minimum(l + 1, layers - 1)
+
+            @pl.when(l + 1 < layers)
+            def _():
+                dma_of(nl, 0).start()
+
+    dbg = os.environ.get("TOKENPACKER_FD_DEBUG", "")  # chain-only A/B probe
 
     def layer_body(l, h):
         qkv_segs, o_seg, gate_seg, up_seg, down_seg = segs_for(l)
-        if "noattn" not in dbg:
-            cache_dma(kc_ref, l, 0).start()
 
         ln1 = ln1_ref[pl.ds(l, 1), :].astype(jnp.bfloat16)
         x1 = _rms(h, ln1, eps)
@@ -425,98 +445,84 @@ def _kernel(
         # RoPE on a [B*H, Dh] view; rotate-half = MXU dot with a permutation
         rot32 = rot_ref[...].astype(jnp.float32)
 
-        def rope(x32):
+        def rope(x32, out_f32=False):
             x3 = x32.reshape(batch * heads, head_dim)
             xr = jax.lax.dot_general(
                 x3, rot32, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             y = x3 * cos_ref[...] + xr * sin_ref[...]
-            return y.reshape(batch, d).astype(jnp.bfloat16)
+            y2 = y.reshape(batch, d)
+            return y2 if out_f32 else y2.astype(jnp.bfloat16)
 
-        if "norope" in dbg:
-            qr = q.astype(jnp.bfloat16)
-            kr = k.astype(jnp.bfloat16)
-        else:
-            qr = rope(q)
-            kr = rope(k)
+        qr = rope(q)
+        kr = rope(k)
         v = v.astype(jnp.bfloat16)
 
         # --- attention over the cached sequence + the current token ---
-        g32 = g_ref[...].astype(jnp.float32)
+        # MXU-centric form (round 3): every [S, ·]-sized op is a dot.
+        #   logits[s, h] = kc[s, :] · (q ⊙ G)[:, h]   (block-column q matrix)
+        #   ctx_full     = pᵀ · vc   [H, D] on the MXU (32x waste, ~1-2us),
+        #   ctx          = ones · (ctx_full ⊙ Gᵀ)     (block-diag extract)
+        # vs round 2's [S, D] broadcast-multiply chain: ~4 VPU passes over
+        # 2M f32 elements per (layer, sample) — measured 43us/layer; this
+        # form leaves only [S, H]- and [H, D]-sized elementwise work.
         gb = g_ref[...]
+        gt32 = gt_ref[...].astype(jnp.float32)
         outs = []
         for b in range(batch if "noattn" not in dbg else 0):
-            cache_dma(kc_ref, l, b).wait()
-            kc = cbuf[...]  # [S, HD] bf16
             qb = jax.lax.slice(qr, (b, 0), (b + 1, d))  # [1, D] bf16
-            pk = (kc * qb).astype(jnp.float32)  # [S, D]
-            if "nogdot" in dbg:
-                logits = jnp.sum(pk, axis=1, keepdims=True) * jnp.ones(
-                    (1, heads), jnp.float32) * scale
-            else:
-                logits = (
-                    jax.lax.dot_general(
-                        pk.astype(jnp.bfloat16), gb, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    * scale
-                )  # [S, H]
-            kb = jax.lax.slice(kr, (b, 0), (b + 1, d))
-            lc = (
+            k_dma(l, b).wait()
+            # row-broadcast multiply (sublane broadcast, ~1 VPU pass in
+            # bf16) then per-head reduction on the MXU via G — a [1,D]→
+            # [D,1] relayout for a q-masked G matrix does not lower
+            logits = (
                 jax.lax.dot_general(
-                    (kb * qb).astype(jnp.float32), g32, (((1,), (0,)), ((), ())),
+                    kbuf[...] * qb, gb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 * scale
-            )  # [1, H]
-            if "nomask" not in dbg:
-                iot = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
-                len0 = seq_ref[0, b]
-                st2 = seq_ref[1, b]
-                en2 = seq_ref[2, b]
-                valid = (iot < len0) | ((iot >= st2) & (iot < en2))
-                logits = jnp.where(valid, logits, NEG)
-            if "nocur" in dbg:
-                lc = jnp.full_like(lc, NEG)
+            )  # [S, H]
+            start_next_cache(k_dma, l, b)  # kbuf's last read is above
+            kb = jax.lax.slice(kr, (b, 0), (b + 1, d))
+            lc = (
+                jax.lax.dot_general(
+                    kb * qb, gb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )  # [1, H] current-token logit per head
+            iot = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+            len0 = seq_ref[0, b]
+            st2 = seq_ref[1, b]
+            en2 = seq_ref[2, b]
+            valid = (iot < len0) | ((iot >= st2) & (iot < en2))
+            logits = jnp.where(valid, logits, NEG)
             m = jnp.maximum(jnp.max(logits, axis=0, keepdims=True), lc)  # [1, H]
-            p = jnp.exp(logits - m)  # [S, H]
+            p = jnp.exp(logits - m)  # [S, H] f32
             pc = jnp.exp(lc - m)  # [1, H]
             den = jnp.sum(p, axis=0, keepdims=True) + pc  # [1, H]
-            if "nogdot" in dbg:
-                pex = p[:, 0:1] * jnp.ones((1, d), jnp.float32)
-            else:
-                pex = jax.lax.dot_general(
-                    p.astype(jnp.bfloat16), gt_ref[...], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [S, D] per-head prob broadcast to its lanes
-            # V reuses the single cache buffer once K's logits are formed
-            vdma = cache_dma(vc_ref, l, b)
-            vdma.start()
-            vdma.wait()
-            vc = cbuf[...]
+            v_dma(l, b).wait()
+            ctx_full = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vbuf[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H, D] — only the block diagonal is wanted
+            start_next_cache(v_dma, l, b)  # vbuf's last read is above
             ctx = jax.lax.dot_general(
-                jnp.ones((1, s), jnp.float32), pex * vc.astype(jnp.float32),
+                jnp.ones((1, heads), jnp.float32), ctx_full * gt32,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [1, D]
             vb = jax.lax.slice(v, (b, 0), (b + 1, d)).astype(jnp.float32)
-            if "nogdot" in dbg:
-                pc_e = pc[:, 0:1] * jnp.ones((1, d), jnp.float32)
-                den_e = den[:, 0:1] * jnp.ones((1, d), jnp.float32)
-            else:
-                gt32 = gt_ref[...].astype(jnp.float32)
-                pc_e = jax.lax.dot_general(
-                    pc, gt32, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                den_e = jax.lax.dot_general(
-                    den, gt32, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            pc_e = jax.lax.dot_general(
+                pc, gt32, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            den_e = jax.lax.dot_general(
+                den, gt32, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             outs.append((ctx + pc_e * vb) / den_e)
-            if b + 1 < batch:
-                cache_dma(kc_ref, l, b + 1).start()
         attn = (
             jnp.concatenate(outs, axis=0).astype(jnp.bfloat16)
             if outs
@@ -545,11 +551,14 @@ def _kernel(
         vnew_ref[pl.ds(l, 1), :, :] = v[None]
         return h
 
-    # prologue: start layer 0's first two weight chunks
+    # prologue: start layer 0's first two weight chunks + its first cache pair
     if hooks:
         first = segs_for(0)[0][0]
         first.start(0)
         first.start(1)
+    if "noattn" not in dbg:
+        k_dma(0, 0).start()
+        v_dma(0, 0).start()
     h = jax.lax.fori_loop(0, layers, layer_body, h_ref[...])
     hout_ref[...] = h
 
@@ -592,9 +601,10 @@ def _fused_call(
             pltpu.VMEM((2, ck_max, ring_w), jnp.int8),
             pltpu.VMEM((max_chunks, batch, ck_max), jnp.bfloat16),
             pltpu.VMEM((max(f % ck_max, 8), d), jnp.int8),
-            pltpu.VMEM((s, heads * head_dim), jnp.bfloat16),
+            pltpu.VMEM((s, heads * head_dim), jnp.bfloat16),  # kbuf
+            pltpu.VMEM((s, heads * head_dim), jnp.bfloat16),  # vbuf
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
     )(

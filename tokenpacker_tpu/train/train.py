@@ -47,6 +47,9 @@ def build_parser():
     p.add_argument("--warmup-ratio", type=float, default=0.03)
     p.add_argument("--num-train-epochs", type=int, default=1)
     p.add_argument("--per-device-batch-size", type=int, default=16)
+    p.add_argument("--remat", action="store_true",
+                   help="per-layer rematerialization (activation checkpointing) "
+                        "— needed for full-depth 7B backward on one chip")
     p.add_argument("--gradient-accumulation-steps", type=int, default=1,
                    help="micro-steps per optimizer step (reference global "
                         "batch 256/128 = per-device-batch x devices x this)")
@@ -109,6 +112,10 @@ def main(argv=None):
         image_size=cfg.vision.image_size,
     )
 
+    if args.remat:
+        import os
+
+        os.environ["TOKENPACKER_REMAT"] = "1"
     tcfg = TrainConfig(
         stage=args.stage,
         learning_rate=args.learning_rate,
