@@ -245,7 +245,9 @@ def bench_7b_int8_decode():
         jnp.full((b,), 100, jnp.int32),
     )
 
-    @jax.jit
+    from tokenpacker_tpu.generate import _fd_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=_fd_compiler_options())
     def loop(params, cache, toks, active, salt):
         toks = toks + salt * 0
 
@@ -291,7 +293,9 @@ def bench_7b_int4_decode():
         jnp.full((b,), 100, jnp.int32),
     )
 
-    @jax.jit
+    from tokenpacker_tpu.generate import _fd_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=_fd_compiler_options())
     def loop(params, cache, toks, active, salt):
         toks = toks + salt * 0
 

@@ -35,7 +35,9 @@ def bench(batch: int, s_max: int = 512, n_steps: int = 64, fill: int = 200):
         jnp.full((batch,), fill, jnp.int32),
     )
 
-    copts = None
+    from tokenpacker_tpu.generate import _fd_compiler_options
+
+    copts = _fd_compiler_options()
     if os.environ.get("TOKENPACKER_FD_VMEM_KIB"):
         copts = {"xla_tpu_scoped_vmem_limit_kib": int(os.environ["TOKENPACKER_FD_VMEM_KIB"])}
 

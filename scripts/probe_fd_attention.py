@@ -40,7 +40,9 @@ def main():
     lens = jnp.full((batch,), s_max - 8, jnp.int32)
     zeros = jnp.zeros_like(lens)
 
-    @jax.jit(compiler_options={"xla_tpu_scoped_vmem_limit_kib": 65536})
+    import functools
+
+    @functools.partial(jax.jit, compiler_options={"xla_tpu_scoped_vmem_limit_kib": 65536})
     def loop(params, k, v, h0, salt):
         def body(i, carry):
             h, k, v = carry
