@@ -59,10 +59,11 @@ def main():
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     opt_state = tx.init(trainable)
 
-    # stage-2-shaped batch: <image> + text filled to seq
+    # stage-2-shaped batch: <image> + text, spliced length == seq exactly
+    n_text = seq - cfg.tokens_per_view - 4
     ids = np.concatenate(
         [[1, 319, 13563], [IMAGE_TOKEN_INDEX],
-         np.random.default_rng(0).integers(10, 2000, seq)]
+         np.random.default_rng(0).integers(10, 2000, n_text)]
     ).astype(np.int64)
     labels = np.where(np.arange(len(ids)) > 10, ids, IGNORE_INDEX)
     plan = build_splice_plan(

@@ -207,8 +207,13 @@ def test_debug_env_blocks_dispatch(monkeypatch):
     assert _fused_decode_mode(params, cfg, deep) is None
 
 
-def test_fused_matches_xla_decode_cb():
-    """decode_step_cb semantics: slot-contiguous caches, per-slot lengths."""
+@pytest.mark.parametrize("staging", ["batched", "perb"])
+def test_fused_matches_xla_decode_cb(staging, monkeypatch):
+    """decode_step_cb semantics: slot-contiguous caches, per-slot lengths.
+    Parametrized over both cache-staging modes (whole-batch single DMA vs
+    the per-sample fallback when the scratch exceeds the scoped-vmem)."""
+    if staging == "perb":
+        monkeypatch.setenv("TOKENPACKER_FD_CACHE", "perb")
     cfg = tiny_cfg()
     params = build_params(cfg)
     b, s = 2, 64

@@ -395,25 +395,37 @@ def _kernel(
         )
         return qkv_segs, o_seg, gate_seg, up_seg, down_seg
 
+    # kbuf/vbuf hold `cache_group` samples per DMA: the whole batch when the
+    # scratch fits the raised scoped-vmem stack (ONE K + ONE V copy per
+    # layer — removes 2(B-1) serialized per-sample copies and their waits),
+    # else one sample at a time (the round-3 per-b fallback)
+    batched_cache = kbuf.shape[0] == batch
+
     def k_dma(l, b):
-        return pltpu.make_async_copy(kc_ref.at[l, b], kbuf, aux_sem.at[0])
+        if batched_cache:
+            return pltpu.make_async_copy(kc_ref.at[l], kbuf, aux_sem.at[0])
+        return pltpu.make_async_copy(kc_ref.at[l, b], kbuf.at[0], aux_sem.at[0])
 
     def v_dma(l, b):
-        return pltpu.make_async_copy(vc_ref.at[l, b], vbuf, aux_sem.at[1])
+        if batched_cache:
+            return pltpu.make_async_copy(vc_ref.at[l], vbuf, aux_sem.at[1])
+        return pltpu.make_async_copy(vc_ref.at[l, b], vbuf.at[0], aux_sem.at[1])
 
     def start_next_cache(dma_of, l, b):
-        """Start the next (l, b) pair's cache DMA — issued immediately after
-        the current buffer's LAST read so the copy overlaps the rest of
-        attention + the o/MLP GEMV chain (the buffers are single, not rings:
-        a traced-slot read of a bf16 ref does not lower — ROADMAP envelope)."""
-        if b + 1 < batch:
+        """Start the next cache DMA — issued immediately after the current
+        buffer's LAST read so the copy overlaps the rest of attention + the
+        o/MLP GEMV chain (the buffers are single, not rings: a traced-slot
+        read of a bf16 ref does not lower — ROADMAP envelope)."""
+        if not batched_cache and b + 1 < batch:
             dma_of(l, b + 1).start()
-        else:
-            nl = jnp.minimum(l + 1, layers - 1)
+            return
+        if batched_cache and b + 1 < batch:
+            return  # whole batch already staged
+        nl = jnp.minimum(l + 1, layers - 1)
 
-            @pl.when(l + 1 < layers)
-            def _():
-                dma_of(nl, 0).start()
+        @pl.when(l + 1 < layers)
+        def _():
+            dma_of(nl, 0).start()
 
     dbg = os.environ.get("TOKENPACKER_FD_DEBUG", "")  # chain-only A/B probe
 
@@ -472,13 +484,15 @@ def _kernel(
         outs = []
         for b in range(batch if "noattn" not in dbg else 0):
             qb = jax.lax.slice(qr, (b, 0), (b + 1, d))  # [1, D] bf16
-            k_dma(l, b).wait()
+            if b == 0 or not batched_cache:
+                k_dma(l, b).wait()
+            kslot = b if batched_cache else 0
             # row-broadcast multiply (sublane broadcast, ~1 VPU pass in
             # bf16) then per-head reduction on the MXU via G — a [1,D]→
             # [D,1] relayout for a q-masked G matrix does not lower
             logits = (
                 jax.lax.dot_general(
-                    kbuf[...] * qb, gb, (((1,), (0,)), ((), ())),
+                    kbuf[kslot] * qb, gb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 * scale
@@ -502,9 +516,10 @@ def _kernel(
             p = jnp.exp(logits - m)  # [S, H] f32
             pc = jnp.exp(lc - m)  # [1, H]
             den = jnp.sum(p, axis=0, keepdims=True) + pc  # [1, H]
-            v_dma(l, b).wait()
+            if b == 0 or not batched_cache:
+                v_dma(l, b).wait()
             ctx_full = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vbuf[...], (((0,), (0,)), ((), ())),
+                p.astype(jnp.bfloat16), vbuf[kslot], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [H, D] — only the block diagonal is wanted
             start_next_cache(v_dma, l, b)  # vbuf's last read is above
@@ -576,6 +591,17 @@ def _fused_call(
     ck_max = max(ck_d, ck_f)  # == ck_d == ck_f (uniform full-row ring)
     max_chunks = max(d // ck_d, f // ck_f)
     ring_w = min(max(3 * d, f, d), MAX_WIDE)
+    # cache staging group: the whole batch when the scratch total fits the
+    # raised 64 MB scoped-vmem stack (one K + one V DMA per layer), else
+    # per-sample. TOKENPACKER_FD_CACHE=perb forces the fallback (tests).
+    import os as _os
+
+    hd = heads * head_dim
+    fixed = 2 * ck_max * ring_w + max_chunks * batch * ck_max * 2 + max(f % ck_max, 8) * d
+    cache_group = batch
+    if (_os.environ.get("TOKENPACKER_FD_CACHE") == "perb"
+            or fixed + 2 * batch * s * hd * 2 > 56 << 20):
+        cache_group = 1
     kernel = functools.partial(
         _kernel,
         layers=layers, batch=batch, d=d, f=f, heads=heads,
@@ -601,8 +627,8 @@ def _fused_call(
             pltpu.VMEM((2, ck_max, ring_w), jnp.int8),
             pltpu.VMEM((max_chunks, batch, ck_max), jnp.bfloat16),
             pltpu.VMEM((max(f % ck_max, 8), d), jnp.int8),
-            pltpu.VMEM((s, heads * head_dim), jnp.bfloat16),  # kbuf
-            pltpu.VMEM((s, heads * head_dim), jnp.bfloat16),  # vbuf
+            pltpu.VMEM((cache_group, s, heads * head_dim), jnp.bfloat16),  # kbuf
+            pltpu.VMEM((cache_group, s, heads * head_dim), jnp.bfloat16),  # vbuf
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((3,)),
         ],
