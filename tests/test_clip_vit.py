@@ -9,6 +9,7 @@ import numpy as np
 import torch
 from transformers import CLIPVisionConfig, CLIPVisionModel
 
+import jax
 import jax.numpy as jnp
 
 from tokenpacker_tpu.config import VisionConfig
@@ -98,3 +99,26 @@ def test_vit_attention_kernel_matches_einsum():
         q, k, v = linear(p["q"], x), linear(p["k"], x), linear(p["v"], x)
         got = linear(p["o"], vit_attention(q, k, v, h, interpret=True))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_block_matches_xla(monkeypatch):
+    """TOKENPACKER_VIT_BLOCK (ops/vit_block.py): the single-kernel
+    transformer block must match the XLA block path."""
+    import numpy as np
+
+    from tokenpacker_tpu.config import tiny_vlm_config
+    from tokenpacker_tpu.models.clip_vit import clip_tower_features, init_clip_vit
+
+    cfg = tiny_vlm_config().vision
+    params = init_clip_vit(jax.random.PRNGKey(0), cfg)
+    images = np.random.default_rng(0).standard_normal(
+        (2, cfg.image_size, cfg.image_size, 3)
+    ).astype(np.float32)
+
+    monkeypatch.delenv("TOKENPACKER_VIT_BLOCK", raising=False)
+    ref_f, ref_m = clip_tower_features(params, cfg, images)
+    monkeypatch.setenv("TOKENPACKER_VIT_BLOCK", "interpret")
+    got_f, got_m = clip_tower_features(params, cfg, images)
+
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m), rtol=2e-5, atol=2e-5)

@@ -105,7 +105,31 @@ def _attn(p, x, num_heads: int):
     return _attn_einsum(p, x, num_heads)
 
 
+def _use_fused_block() -> bool:
+    """TOKENPACKER_VIT_BLOCK=1 runs the whole transformer block as one
+    Pallas kernel (ops/vit_block.py) — the hidden stream makes exactly one
+    HBM round trip per layer instead of ~8 (opt-in; callers' outermost jit
+    must raise the scoped-vmem limit, see the kernel docstring).
+    =interpret forces the interpret path for CPU tests."""
+    import os
+
+    v = os.environ.get("TOKENPACKER_VIT_BLOCK", "0")
+    return v not in ("0", "off", "")
+
+
 def _block(p, x, cfg: VisionConfig):
+    if _use_fused_block():
+        import os
+
+        from tokenpacker_tpu.ops.vit_block import vit_block
+
+        interpret = (
+            os.environ.get("TOKENPACKER_VIT_BLOCK") == "interpret"
+            or jax.default_backend() != "tpu"
+        )
+        return vit_block(
+            x, p, cfg.num_attention_heads, cfg.layer_norm_eps, interpret=interpret
+        )
     x = x + _attn(p["attn"], layer_norm(p["ln1"], x, cfg.layer_norm_eps), cfg.num_attention_heads)
     h = layer_norm(p["ln2"], x, cfg.layer_norm_eps)
     h = linear(p["mlp"]["fc2"], quick_gelu(linear(p["mlp"]["fc1"], h)))
