@@ -95,8 +95,11 @@ def _kernel(
     x1 = x0 + (_dot(attn, wo_ref[...]) + bo_ref[0].astype(jnp.float32)).astype(dtype)
 
     xn2 = _ln(x1, ln2_s_ref[0], ln2_b_ref[0], eps).astype(dtype)
-    h1 = (_dot(xn2, w1_ref[...]) + b1_ref[0].astype(jnp.float32)).astype(dtype)
-    h1 = h1 * jax.nn.sigmoid(1.702 * h1)  # quick-GELU (ops/layers.quick_gelu)
+    h32 = _dot(xn2, w1_ref[...]) + b1_ref[0].astype(jnp.float32)
+    # quick-GELU (ops/layers.quick_gelu) computed in f32 before the cast:
+    # jax.nn.sigmoid plants f32 scalar broadcasts into bf16 vectors, which
+    # fail mosaic verification; in f32 throughout it lowers cleanly
+    h1 = (h32 * (1.0 / (1.0 + jnp.exp(-1.702 * h32)))).astype(dtype)
     y = (_dot(h1, w2_ref[...]) + b2_ref[0].astype(jnp.float32)).astype(dtype)
     o_ref[0] = x1 + y
 
