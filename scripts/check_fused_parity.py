@@ -48,14 +48,29 @@ def main():
     active = jnp.ones((batch,), bool)
     toks = jnp.arange(1, batch + 1, dtype=jnp.int32)
 
-    cf = KVCache(k0, v0, lens)
-    cx = KVCache(k0, v0, lens)
-    tf, tx = toks, toks
+    # fixed pseudo-random token feed: the two chains run SEQUENTIALLY (a
+    # second live cache pair at B=8 OOMs the chip next to the int8 params),
+    # so the fed tokens must not depend on either chain's outputs
+    feed = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(9), (steps, batch), 5, 30000), np.int32
+    )
+
+    def run_chain(step_fn):
+        cache = KVCache(k0, v0, lens)
+        outs = []
+        for i in range(steps):
+            logits, cache = step_fn(
+                params, cfg, cache, jnp.asarray(feed[i]), cache.length, active
+            )
+            outs.append(np.asarray(logits, np.float32))
+        del cache
+        return outs
+
+    fused_logits = run_chain(gen._decode_step_cb_fused)
+    xla_logits = run_chain(gen._decode_step_cb_xla)
+
     mismatch = close_call = 0
-    for i in range(steps):
-        lf, cf = gen._decode_step_cb_fused(params, cfg, cf, tf, cf.length, active)
-        lx, cx = gen._decode_step_cb_xla(params, cfg, cx, tx, cx.length, active)
-        lf32, lx32 = np.asarray(lf, np.float32), np.asarray(lx, np.float32)
+    for i, (lf32, lx32) in enumerate(zip(fused_logits, xla_logits)):
         af, ax = lf32.argmax(-1), lx32.argmax(-1)
         dmax = float(np.abs(lf32 - lx32).max())
         # tolerate argmax flips only where the XLA top-2 gap is tiny
@@ -70,8 +85,6 @@ def main():
                     print(f"step {i} b={b}: fused={af[b]} xla={ax[b]} gap={gap:.4f}")
         print(f"step {i}: max|dlogits|={dmax:.4f} tokens fused={af.tolist()} xla={ax.tolist()}",
               flush=True)
-        # advance BOTH chains with the XLA tokens so states stay comparable
-        tf = tx = jnp.asarray(ax, jnp.int32)
     print(f"parity: {steps} steps x {batch} slots, {mismatch} real mismatches, "
           f"{close_call} sub-noise argmax flips")
     if mismatch:
