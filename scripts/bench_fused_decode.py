@@ -23,7 +23,9 @@ from tokenpacker_tpu.config import TokenPackerVLMConfig
 from tokenpacker_tpu.models.llama import KVCache
 
 
-def bench(batch: int, s_max: int = 512, n_steps: int = 64, fill: int = 200):
+def bench(batch: int, s_max: int = None, n_steps: int = 64, fill: int = None):
+    s_max = s_max or int(os.environ.get("SMAX", "512"))
+    fill = fill or int(os.environ.get("FILL", "200"))
     from tokenpacker_tpu import generate as gen
 
     cfg = TokenPackerVLMConfig()

@@ -165,7 +165,11 @@ def _fused_decode_mode(params, cfg: TokenPackerVLMConfig, cache) -> str | None:
     if not fused_eligible(params.get("lm", {}), cfg.lm):
         return None
     # the kernel's KV scratch is bf16 and scales with S (the XLA path
-    # handles any cache dtype/length)
+    # handles any cache dtype/length). S=2048 (HD serving) compiles and
+    # matches tokens exactly but measured a WASH (56.5 vs 57.5 tok/s B=1 —
+    # cache traffic dominates at long S and the XLA gather path is equal),
+    # so the default dispatch keeps the kernel where it wins (<=1024;
+    # S=512: 87.4 vs 84.6 B=1, 416 vs 317 agg B=8)
     if cache.k.dtype != jnp.bfloat16 or cache.k.shape[2] > 1024:
         return None
     if v == "interpret":
