@@ -168,8 +168,9 @@ def _fused_decode_mode(params, cfg: TokenPackerVLMConfig, cache) -> str | None:
     # handles any cache dtype/length). S=2048 (HD serving) compiles and
     # matches tokens exactly but measured a WASH (56.5 vs 57.5 tok/s B=1 —
     # cache traffic dominates at long S and the XLA gather path is equal),
-    # so the default dispatch keeps the kernel where it wins (<=1024;
-    # S=512: 87.4 vs 84.6 B=1, 416 vs 317 agg B=8)
+    # so the default dispatch keeps the kernel where it wins (S=512:
+    # 87.4 vs 84.6 B=1 and 416 vs 317 agg B=8; S=1024: 73.9 vs 72.1 B=1 —
+    # all with identical argmax-chained token sums)
     if cache.k.dtype != jnp.bfloat16 or cache.k.shape[2] > 1024:
         return None
     if v == "interpret":
