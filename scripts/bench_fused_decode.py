@@ -31,11 +31,13 @@ def bench(batch: int, s_max: int = None, n_steps: int = 64, fill: int = None):
     cfg = TokenPackerVLMConfig()
     params = _int8_params_on_device(cfg, jnp.bfloat16)
     lm = cfg.lm
-    cache = KVCache(
-        jnp.zeros((lm.num_hidden_layers, batch, s_max, lm.kv_heads, lm.head_dim), jnp.bfloat16),
-        jnp.zeros((lm.num_hidden_layers, batch, s_max, lm.kv_heads, lm.head_dim), jnp.bfloat16),
-        jnp.full((batch,), fill, jnp.int32),
-    )
+    from tokenpacker_tpu.models.llama import kv_cache_dtype
+
+    # honors TOKENPACKER_KV_CACHE=int8 (ops/kv_quant): int8 caches take the
+    # XLA path (the fused kernel's eligibility gate rejects them)
+    cache = KVCache.create(
+        lm, batch, s_max, dtype=kv_cache_dtype(jnp.bfloat16)
+    )._replace(length=jnp.full((batch,), fill, jnp.int32))
 
     from tokenpacker_tpu.generate import _fd_compiler_options
 
@@ -72,7 +74,8 @@ def main():
     batches = [int(a) for a in sys.argv[1:]] or [1, 8]
     mode = os.environ.get("TOKENPACKER_FUSED_DECODE", "1")
     os.environ["TOKENPACKER_FUSED_DECODE"] = mode
-    print(f"backend={jax.default_backend()} fused={mode}")
+    print(f"backend={jax.default_backend()} fused={mode} "
+          f"kv={os.environ.get('TOKENPACKER_KV_CACHE', 'bf16')}")
     for b in batches:
         tps, ms = bench(b)
         print(f"B={b}: {tps:.1f} agg tok/s  ({ms:.2f} ms/step)", flush=True)

@@ -92,11 +92,26 @@ def _fd_jit(fn, **jit_kwargs):
     return wrapper
 
 
-@partial(jax.jit, static_argnames=("cfg", "s_max"))
 def prefill(params, cfg: TokenPackerVLMConfig, batch, s_max: int):
-    """Returns (next-token logits [N, V], cache)."""
+    """Returns (next-token logits [N, V], cache).
+
+    The empty cache is created OUTSIDE the jit so its storage dtype
+    (TOKENPACKER_KV_CACHE=int8 — models/llama.kv_cache_dtype) is part of
+    the traced avals: flipping the env var between calls retraces instead
+    of silently reusing the old dtype's compilation."""
+    from tokenpacker_tpu.models.llama import kv_cache_dtype
+
     n, l = batch["token_ids"].shape
-    cache = KVCache.create(cfg.lm, n, s_max, dtype=cfg.dtype)
+    cache = KVCache.create(
+        cfg.lm, n, s_max,
+        dtype=kv_cache_dtype(cfg.dtype, family=cfg.lm.model_family),
+    )
+    return _prefill_into(params, cfg, batch, cache, s_max)
+
+
+@partial(jax.jit, static_argnames=("cfg", "s_max"))
+def _prefill_into(params, cfg: TokenPackerVLMConfig, batch, cache, s_max: int):
+    n, l = batch["token_ids"].shape
     lengths = batch["lengths"]  # [N] true prompt lengths
     key_valid = jnp.arange(s_max)[None, :] < lengths[:, None]
     positions = jnp.broadcast_to(jnp.arange(l), (n, l))
@@ -107,6 +122,11 @@ def prefill(params, cfg: TokenPackerVLMConfig, batch, s_max: int):
     last_hidden = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
     logits = lm_logits(params["lm"], cfg.lm, last_hidden)
     return logits, cache
+
+
+# jit-cache introspection rides on the public wrapper (test_speculative's
+# warmup-coverage test counts compiled prefill executables)
+prefill._cache_size = _prefill_into._cache_size
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk_len"))
@@ -132,10 +152,14 @@ def prefill_chunk(params, cfg: TokenPackerVLMConfig, cache, visual, token_ids,
     key_positions = None
     if cfg.lm.model_family == "mpt":
         key_positions = jnp.broadcast_to(jnp.arange(s_max)[None, :], (1, s_max))
-    cache_at = KVCache(cache.k, cache.v, offset)
+    cache_at = cache._replace(length=offset)
+    # use_flash=False: the flash prefill path attends only within the
+    # current span, which is wrong for chunks after the first (offset > 0
+    # — earlier cache positions must be attendable). The auto gate would
+    # otherwise enable it on TPU for chunk_len >= 512.
     hidden, new_cache = lm_apply(
         params["lm"], cfg.lm, embeds, positions, bias, cache_at,
-        key_positions=key_positions,
+        key_positions=key_positions, use_flash=False,
     )
     return hidden, new_cache
 
@@ -156,9 +180,11 @@ def _fused_decode_mode(params, cfg: TokenPackerVLMConfig, cache) -> str | None:
     v = os.environ.get("TOKENPACKER_FUSED_DECODE", "1")
     if v in ("0", "off", "xla"):
         return None
-    if os.environ.get("TOKENPACKER_FD_DEBUG"):
+    if os.environ.get("TOKENPACKER_FD_DEBUG") and v != "debug":
         # kernel-bisection stubs produce WRONG decode output — never let a
-        # leftover debug env var reach the serving dispatch
+        # leftover debug env var reach the serving dispatch. Timing-only
+        # ablation benches must opt in EXPLICITLY with
+        # TOKENPACKER_FUSED_DECODE=debug (scripts/bench_fused_decode.py).
         return None
     from tokenpacker_tpu.ops.fused_decode import fused_eligible
 
@@ -262,7 +288,7 @@ def _decode_step_xla(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, 
             key_idx >= prefill_len, key_idx - prefill_len + lengths[:, None], key_idx
         )
 
-    cache_at = KVCache(cache.k, cache.v, prefill_len + step)
+    cache_at = cache._replace(length=prefill_len + step)
     # bucketed two-range mask for the Pallas decode-attention kernel:
     # prompt [0, lengths_i) + decoded span [prefill_len, prefill_len+step]
     needed = jnp.broadcast_to(prefill_len + step + 1, lengths.shape).astype(jnp.int32)
@@ -305,7 +331,7 @@ def _decode_step_cb_xla(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_le
     key_idx = jnp.arange(s_max)[None, :]
     key_valid = key_idx <= cur_lens[:, None]
     bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
-    cache_at = KVCache(cache.k, cache.v, cur_lens)
+    cache_at = cache._replace(length=cur_lens)
     needed = (cur_lens + 1).astype(jnp.int32)
     hidden, new_cache = lm_apply(
         params["lm"], cfg.lm, emb, positions, bias, cache_at,
@@ -313,7 +339,7 @@ def _decode_step_cb_xla(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_le
     )
     logits = lm_logits(params["lm"], cfg.lm, hidden[:, 0])
     new_len = cur_lens + active.astype(cur_lens.dtype)
-    return logits, KVCache(new_cache.k, new_cache.v, new_len)
+    return logits, new_cache._replace(length=new_len)
 
 
 @partial(jax.jit, static_argnames=("slot",))
@@ -324,7 +350,13 @@ def insert_into_cache(big: KVCache, small: KVCache, slot: int, length):
     k = big.k.at[:, slot, :l_pad].set(small.k[:, 0])
     v = big.v.at[:, slot, :l_pad].set(small.v[:, 0])
     new_len = big.length.at[slot].set(length)
-    return KVCache(k, v, new_len)
+    out = big._replace(k=k, v=v, length=new_len)
+    if big.k_scale is not None:
+        out = out._replace(
+            k_scale=big.k_scale.at[:, slot, :l_pad].set(small.k_scale[:, 0]),
+            v_scale=big.v_scale.at[:, slot, :l_pad].set(small.v_scale[:, 0]),
+        )
+    return out
 
 
 @partial(_fd_jit, static_argnames=("cfg", "prefill_len", "n", "temperature", "top_p"))

@@ -27,14 +27,41 @@ from tokenpacker_tpu.ops.layers import init_rms_norm, linear, rms_norm
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # [L, N, S_max, kv_heads, head_dim]
+    k: jax.Array  # [L, N, S_max, kv_heads, head_dim] (bf16, or int8 quantized)
     v: jax.Array
     length: jax.Array  # scalar int32: number of valid positions
+    # per-(position, kv-head) absmax scales when k/v are int8 (ops/kv_quant):
+    # [L, N, S_max, kv_heads] f32; None for float caches
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
 
     @classmethod
     def create(cls, cfg: LMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
         shape = (cfg.num_hidden_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
-        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
+        scales = (None, None)
+        if dtype == jnp.int8:
+            scales = tuple(jnp.zeros(shape[:-1], jnp.float32) for _ in range(2))
+        return cls(
+            jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+            jnp.zeros((), jnp.int32), *scales,
+        )
+
+
+def kv_cache_dtype(default=jnp.bfloat16, family: str = "llama"):
+    """Process-level KV cache storage dtype.
+
+    TOKENPACKER_KV_CACHE=int8 stores K/V as int8 with per-(position, head)
+    absmax scales (ops/kv_quant) — halves the cache's HBM footprint and
+    per-step read traffic vs bf16 (beyond-reference; the reference's HF
+    decode keeps fp16 caches). Anything else → `default` (the model dtype).
+    llama-family only: MPT's attention (models/mpt.py) keeps float caches.
+    """
+    import os
+
+    v = os.environ.get("TOKENPACKER_KV_CACHE", "")
+    if v in ("int8", "i8") and family != "mpt":
+        return jnp.int8
+    return default
 
 
 def init_llama(key, cfg: LMConfig, dtype=jnp.float32):
@@ -171,7 +198,8 @@ def _use_decode_kernel() -> bool:
 
 def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len, use_flash=None,
            decode_info=None):
-    """One decoder block. layer_cache: (k, v) [N, S_max, Hkv, d] or None.
+    """One decoder block. layer_cache: (k, v) or (k, v, k_scale, v_scale)
+    [N, S_max, Hkv, d] (+ [N, S_max, Hkv] f32 scales for int8 caches), or None.
 
     use_flash: when True (or auto on TPU for long spans), prefill/training
     attention runs the Pallas flash kernel with a pure causal mask — exact
@@ -190,28 +218,48 @@ def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len, use_flas
     flash_ok = use_flash if use_flash is not None else _use_flash_prefill(t)
 
     if layer_cache is not None:
-        ck, cv = layer_cache
+        ck, cv, ks, vs = (
+            layer_cache if len(layer_cache) == 4 else (*layer_cache, None, None)
+        )
+        int8_cache = ck.dtype == jnp.int8
+        if int8_cache:
+            from tokenpacker_tpu.ops.kv_quant import quantize_kv
+
+            k_st, k_sc = quantize_kv(k)  # [N, T, Hkv, d] int8, [N, T, Hkv] f32
+            v_st, v_sc = quantize_kv(v)
+        else:
+            k_st, v_st = k.astype(ck.dtype), v.astype(cv.dtype)
+            k_sc = v_sc = None
         if jnp.ndim(cache_len) == 1:
             # per-sample write positions (continuous batching: each slot's
             # sequence is contiguous and advances independently); T>1 is the
             # speculative verify step (k+1 tokens per slot per forward)
             if t == 1:
                 rows = jnp.arange(n)
-                ck = ck.at[rows, cache_len].set(k[:, 0].astype(ck.dtype))
-                cv = cv.at[rows, cache_len].set(v[:, 0].astype(cv.dtype))
+                ck = ck.at[rows, cache_len].set(k_st[:, 0])
+                cv = cv.at[rows, cache_len].set(v_st[:, 0])
+                if int8_cache:
+                    ks = ks.at[rows, cache_len].set(k_sc[:, 0])
+                    vs = vs.at[rows, cache_len].set(v_sc[:, 0])
             else:
                 rows = jnp.arange(n)[:, None]
                 cols = cache_len[:, None] + jnp.arange(t)[None, :]
-                ck = ck.at[rows, cols].set(k.astype(ck.dtype))
-                cv = cv.at[rows, cols].set(v.astype(cv.dtype))
+                ck = ck.at[rows, cols].set(k_st)
+                cv = cv.at[rows, cols].set(v_st)
+                if int8_cache:
+                    ks = ks.at[rows, cols].set(k_sc)
+                    vs = vs.at[rows, cols].set(v_sc)
         else:
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
+            ck = jax.lax.dynamic_update_slice(ck, k_st, (0, cache_len, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v_st, (0, cache_len, 0, 0))
+            if int8_cache:
+                ks = jax.lax.dynamic_update_slice(ks, k_sc, (0, cache_len, 0))
+                vs = jax.lax.dynamic_update_slice(vs, v_sc, (0, cache_len, 0))
         if flash_ok and t > 1:
             # prefill: the causal span only covers the current tokens
             attn_out = _flash_causal(q, k, v)
         elif (t == 1 and decode_info is not None and _use_decode_kernel()
-              and ck.shape[1] % 8 == 0):
+              and not int8_cache and ck.shape[1] % 8 == 0):
             # Pallas decode attention: per-sample lengths ride scalar
             # prefetch, KV blocks past a sequence's length are never DMA'd,
             # and the [N,1,1,S] fp32 bias is never materialized
@@ -225,8 +273,15 @@ def _layer(p, cfg: LMConfig, x, cos, sin, bias, layer_cache, cache_len, use_flas
                 interpret=jax.default_backend() != "tpu",
             )[:, None]
         else:
-            attn_out = _sdpa(q, ck.astype(q.dtype), cv.astype(q.dtype), bias)
-        new_cache = (ck, cv)
+            if int8_cache:
+                from tokenpacker_tpu.ops.kv_quant import dequantize_kv
+
+                kf = dequantize_kv(ck, ks, q.dtype)
+                vf = dequantize_kv(cv, vs, q.dtype)
+            else:
+                kf, vf = ck.astype(q.dtype), cv.astype(q.dtype)
+            attn_out = _sdpa(q, kf, vf, bias)
+        new_cache = (ck, cv, ks, vs) if int8_cache else (ck, cv)
     else:
         if flash_ok:
             attn_out = _flash_causal(q, k, v)
@@ -290,16 +345,27 @@ def llama_apply(
         new_cache = None
     else:
 
-        def step(carry, xs):
-            layer_params, ck, cv = xs
-            y, (nk, nv) = _layer(
-                layer_params, cfg, carry, cos, sin, attn_bias, (ck, cv), cache_len,
-                use_flash, decode_info,
-            )
-            return y, (nk, nv)
+        int8_cache = cache.k.dtype == jnp.int8
 
-        x, (nk, nv) = jax.lax.scan(step, x, (params["layers"], cache.k, cache.v))
-        new_cache = KVCache(nk, nv, cache.length + inputs_embeds.shape[1])
+        def step(carry, xs):
+            layer_params, *layer_cache = xs
+            y, new_lc = _layer(
+                layer_params, cfg, carry, cos, sin, attn_bias, tuple(layer_cache),
+                cache_len, use_flash, decode_info,
+            )
+            return y, new_lc
+
+        xs = (params["layers"], cache.k, cache.v)
+        if int8_cache:
+            xs += (cache.k_scale, cache.v_scale)
+        x, out = jax.lax.scan(step, x, xs)
+        new_len = cache.length + inputs_embeds.shape[1]
+        if int8_cache:
+            nk, nv, nks, nvs = out
+            new_cache = KVCache(nk, nv, new_len, nks, nvs)
+        else:
+            nk, nv = out
+            new_cache = KVCache(nk, nv, new_len)
 
     x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
     return x, new_cache

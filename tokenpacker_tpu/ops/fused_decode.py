@@ -481,23 +481,32 @@ def _kernel(
         # form leaves only [S, H]- and [H, D]-sized elementwise work.
         gb = g_ref[...]
         gt32 = gt_ref[...].astype(jnp.float32)
+        # timing-only ablations (TOKENPACKER_FD_DEBUG, comma-separated):
+        # nocache / nologit / noctx / nosm each stub one piece of the
+        # attention section so its on-chip cost can be attributed (numerics
+        # are wrong under any of them; used by scripts/bench_fused_decode.py)
+        cache_on = "nocache" not in dbg
         outs = []
         for b in range(batch if "noattn" not in dbg else 0):
             qb = jax.lax.slice(qr, (b, 0), (b + 1, d))  # [1, D] bf16
-            if b == 0 or not batched_cache:
+            if cache_on and (b == 0 or not batched_cache):
                 k_dma(l, b).wait()
             kslot = b if batched_cache else 0
             # row-broadcast multiply (sublane broadcast, ~1 VPU pass in
             # bf16) then per-head reduction on the MXU via G — a [1,D]→
             # [D,1] relayout for a q-masked G matrix does not lower
-            logits = (
-                jax.lax.dot_general(
-                    kbuf[kslot] * qb, gb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-            )  # [S, H]
-            start_next_cache(k_dma, l, b)  # kbuf's last read is above
+            if "nologit" not in dbg:
+                logits = (
+                    jax.lax.dot_general(
+                        kbuf[kslot] * qb, gb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                )  # [S, H]
+            else:
+                logits = jnp.zeros((s, heads), jnp.float32)
+            if cache_on:
+                start_next_cache(k_dma, l, b)  # kbuf's last read is above
             kb = jax.lax.slice(kr, (b, 0), (b + 1, d))
             lc = (
                 jax.lax.dot_general(
@@ -506,23 +515,32 @@ def _kernel(
                 )
                 * scale
             )  # [1, H] current-token logit per head
-            iot = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
-            len0 = seq_ref[0, b]
-            st2 = seq_ref[1, b]
-            en2 = seq_ref[2, b]
-            valid = (iot < len0) | ((iot >= st2) & (iot < en2))
-            logits = jnp.where(valid, logits, NEG)
-            m = jnp.maximum(jnp.max(logits, axis=0, keepdims=True), lc)  # [1, H]
-            p = jnp.exp(logits - m)  # [S, H] f32
-            pc = jnp.exp(lc - m)  # [1, H]
-            den = jnp.sum(p, axis=0, keepdims=True) + pc  # [1, H]
-            if b == 0 or not batched_cache:
+            if "nosm" not in dbg:
+                iot = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+                len0 = seq_ref[0, b]
+                st2 = seq_ref[1, b]
+                en2 = seq_ref[2, b]
+                valid = (iot < len0) | ((iot >= st2) & (iot < en2))
+                logits = jnp.where(valid, logits, NEG)
+                m = jnp.maximum(jnp.max(logits, axis=0, keepdims=True), lc)
+                p = jnp.exp(logits - m)  # [S, H] f32
+                pc = jnp.exp(lc - m)  # [1, H]
+                den = jnp.sum(p, axis=0, keepdims=True) + pc  # [1, H]
+            else:
+                p = logits
+                pc = lc
+                den = lc + 1.0
+            if cache_on and (b == 0 or not batched_cache):
                 v_dma(l, b).wait()
-            ctx_full = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vbuf[kslot], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [H, D] — only the block diagonal is wanted
-            start_next_cache(v_dma, l, b)  # vbuf's last read is above
+            if "noctx" not in dbg:
+                ctx_full = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), vbuf[kslot], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [H, D] — only the block diagonal is wanted
+            else:
+                ctx_full = jnp.zeros((heads, d), jnp.float32) + jnp.sum(p)
+            if cache_on:
+                start_next_cache(v_dma, l, b)  # vbuf's last read is above
             ctx = jax.lax.dot_general(
                 jnp.ones((1, heads), jnp.float32), ctx_full * gt32,
                 (((1,), (0,)), ((), ())),
@@ -571,7 +589,7 @@ def _kernel(
         first = segs_for(0)[0][0]
         first.start(0)
         first.start(1)
-    if "noattn" not in dbg:
+    if "noattn" not in dbg and "nocache" not in dbg:
         k_dma(0, 0).start()
         v_dma(0, 0).start()
     h = jax.lax.fori_loop(0, layers, layer_body, h_ref[...])

@@ -348,17 +348,12 @@ class ContinuousBatcher:
         self.dead: Exception | None = None
         self.prefill_chunk_size = prefill_chunk_size
         self._pending = None  # in-progress chunked admission state
-        self.cache = KVCache(
-            jnp.zeros(
-                (cfg.lm.num_hidden_layers, num_slots, max_seq_len, cfg.lm.kv_heads, cfg.lm.head_dim),
-                cfg.dtype,
-            ),
-            jnp.zeros(
-                (cfg.lm.num_hidden_layers, num_slots, max_seq_len, cfg.lm.kv_heads, cfg.lm.head_dim),
-                cfg.dtype,
-            ),
-            jnp.zeros((num_slots,), jnp.int32),
-        )
+        from tokenpacker_tpu.models.llama import kv_cache_dtype
+
+        self.cache = KVCache.create(
+            cfg.lm, num_slots, max_seq_len,
+            dtype=kv_cache_dtype(cfg.dtype, family=cfg.lm.model_family),
+        )._replace(length=jnp.zeros((num_slots,), jnp.int32))
         self.slots: list[_Request | None] = [None] * num_slots
         self.next_tokens = np.zeros((num_slots,), np.int32)
         self._rng = jax.random.PRNGKey(0)
@@ -455,7 +450,12 @@ class ContinuousBatcher:
             else jnp.zeros((1, self.cfg.tokens_per_view, self.cfg.lm.hidden_size),
                            self.cfg.dtype)
         )
-        small = KVCache.create(self.cfg.lm, 1, l, self.cfg.dtype)
+        from tokenpacker_tpu.models.llama import kv_cache_dtype
+
+        small = KVCache.create(
+            self.cfg.lm, 1, l,
+            kv_cache_dtype(self.cfg.dtype, family=self.cfg.lm.model_family),
+        )
         self._pending = {
             "req": req, "slot": slot, "cache": small, "visual": visual,
             "offset": 0, "true_len": int(np.asarray(b["lengths"])[0]),
@@ -672,7 +672,7 @@ class ContinuousBatcher:
         bursts, new_lens = self._accept_bursts(fed, dks, logits, self.cache.length)
         # advance lengths BEFORE emitting so _emit's room check sees the
         # post-step state (its +k+1 margin keeps the next round in bounds)
-        self.cache = KVCache(self.cache.k, self.cache.v, jnp.asarray(new_lens))
+        self.cache = self.cache._replace(length=jnp.asarray(new_lens))
         self._emit_bursts(bursts)
 
 

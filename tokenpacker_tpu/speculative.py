@@ -72,7 +72,7 @@ def _verify(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step,
             ki >= prefill_len, ki - prefill_len + lengths[:, None], ki
         )
 
-    cache_at = KVCache(cache.k, cache.v, prefill_len + step)
+    cache_at = cache._replace(length=prefill_len + step)
     hidden, new_cache = lm_apply(
         params["lm"], cfg.lm, emb, positions, bias, cache_at,
         key_positions=key_positions,
@@ -145,10 +145,10 @@ def verify_step_cb(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_lens, a
     key_idx = jnp.arange(s_max)[None, None, :]
     ok = key_idx <= positions[:, :, None]  # [N, T, S] causal per query
     bias = jnp.where(ok[:, None], 0.0, NEG_INF).astype(jnp.float32)
-    cache_at = KVCache(cache.k, cache.v, cur_lens)
+    cache_at = cache._replace(length=cur_lens)
     hidden, new_cache = lm_apply(params["lm"], cfg.lm, emb, positions, bias, cache_at)
     logits = lm_logits(params["lm"], cfg.lm, hidden)
-    return logits, KVCache(new_cache.k, new_cache.v, cur_lens)
+    return logits, new_cache._replace(length=cur_lens)
 
 
 def accept_greedy(preds_row, draft_row, dk: int, eos: int) -> list[int]:
