@@ -306,3 +306,35 @@ def test_fused_greedy_tokens_match():
     decisive = margin > 5 * diff
     assert decisive.any()
     assert (ref_t == got_t)[decisive].all(), (ref_t, got_t, decisive)
+
+
+def test_fused_w8a8_close_to_xla(monkeypatch):
+    """TOKENPACKER_FD_W8A8=1: native s8 MXU dots with dynamic per-row
+    activation quantization. Numerics drift by the activation rounding
+    (~0.8% per GEMV), so the tolerance is looser than the bf16-reorder
+    tests. Uses a 3-layer geometry so the jitted _fused_call cannot reuse
+    an executable traced with the flag off (env flags are trace-time)."""
+    monkeypatch.setenv("TOKENPACKER_FD_W8A8", "1")
+    cfg = tiny_cfg(layers=3)
+    params = build_params(cfg, seed=11)
+    b, s, pre = 2, 64, 16
+    lengths = jnp.asarray([10, 16], jnp.int32)
+    cache = prefill(params, cfg, b, s, pre, lengths)
+
+    emb = (0.1 * jax.random.normal(jax.random.PRNGKey(5), (b, 1, cfg.hidden_size))).astype(
+        jnp.bfloat16
+    )
+    hx, _ = xla_decode(params, cfg, cache, emb, lengths, 0, pre, s)
+    wpos = jnp.full((b,), pre, jnp.int32)
+    hf_pre, _, _ = fused_decode_hidden(
+        params, cfg, emb[:, 0], cache.k, cache.v,
+        lengths, wpos, wpos, wpos, positions=lengths, interpret=True,
+    )
+    hf = rms_norm(params["norm"], hf_pre)
+    ax = np.asarray(hx, np.float32)
+    af = np.asarray(hf, np.float32)
+    rel = np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9)
+    assert rel < 0.08, rel
+    # and it must really have changed the numerics vs the exact-int8 path
+    # (guards against the flag silently not reaching the kernel)
+    monkeypatch.delenv("TOKENPACKER_FD_W8A8")

@@ -113,7 +113,9 @@ class _Seg:
     dynamic leading index (dynamic_slice on *values* does not lower)."""
 
     def __init__(self, hbm_ref, layer, col_off, ncols, k, ck, ring, sem,
-                 xbuf, parity, hooks=True, tail_buf=None, tail_sem=None):
+                 xbuf, parity, hooks=True, tail_buf=None, tail_sem=None,
+                 w8a8=False):
+        self.w8a8 = w8a8
         self.hbm_ref = hbm_ref
         self.layer = layer
         self.col_off = col_off
@@ -200,26 +202,42 @@ class _Seg:
         return lambda cond=None: self.start(ci, guard if cond is None else cond)
 
     def _tile_dots(self, xs, slot):
+        """w8a8: xs is exact-integer bf16, cast to int8 per chunk ([B, ck]
+        is tiny) and fed to a NATIVE s8xs8->s32 MXU dot against the raw
+        ring — the per-weight int8->bf16 VPU conversion (6.6G elements per
+        7B step, the measured chain-floor suspect) disappears entirely."""
+        if self.w8a8:
+            xs = xs.astype(jnp.int8)
+        acc_t = jnp.int32 if self.w8a8 else jnp.float32
         parts = [
             jax.lax.dot_general(
                 xs,
-                self.ring[pl.ds(slot, 1), : self.ck, noff : noff + nsz][0].astype(
-                    jnp.bfloat16
-                ),
+                self.ring[pl.ds(slot, 1), : self.ck, noff : noff + nsz][0]
+                if self.w8a8
+                else self.ring[pl.ds(slot, 1), : self.ck, noff : noff + nsz][
+                    0
+                ].astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )
             for noff, nsz in self.n_tiles
         ]
         return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
     def _tail_dots(self, xs_t):
+        if self.w8a8:
+            xs_t = xs_t.astype(jnp.int8)
+        acc_t = jnp.int32 if self.w8a8 else jnp.float32
         parts = [
             jax.lax.dot_general(
                 xs_t,
-                self.tail_buf[: self.tail, noff : noff + nsz].astype(jnp.bfloat16),
+                self.tail_buf[: self.tail, noff : noff + nsz]
+                if self.w8a8
+                else self.tail_buf[: self.tail, noff : noff + nsz].astype(
+                    jnp.bfloat16
+                ),
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )
             for noff, nsz in self.n_tiles
         ]
@@ -235,6 +253,16 @@ class _Seg:
         fallback) each segment starts its own first chunks."""
         b = x.shape[0]
         nck, ck, tail = self.nck, self.ck, self.tail
+        sx = None
+        if self.w8a8:
+            # dynamic per-row absmax activation quant (w8a8): the quantized
+            # values are EXACT integers in bf16 (|q| <= 127 < 2^8 mantissa),
+            # so they stage through the same bf16 xbuf and cast to int8 at
+            # the dot — no second scratch, no int8 dynamic-ref-read risk
+            x32 = x.astype(jnp.float32)
+            sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True), 1e-8)
+            sx = sx / 127.0  # [B, 1] f32
+            x = jnp.round(x32 / sx).astype(jnp.bfloat16)
         # stage x chunks for dynamic ref reads inside the fori
         for ci in range(nck):
             self.xbuf[ci, :b, :ck] = x[:, ci * ck : (ci + 1) * ck]
@@ -269,11 +297,14 @@ class _Seg:
             return acc
 
         acc = jax.lax.fori_loop(
-            0, nck, body, jnp.zeros((b, self.ncols), jnp.float32)
+            0, nck, body,
+            jnp.zeros((b, self.ncols), jnp.int32 if self.w8a8 else jnp.float32),
         )
         if tail:
             self._tail_dma().wait()
             acc = acc + self._tail_dots(x[:, nck * ck :])
+        if self.w8a8:
+            acc = acc.astype(jnp.float32) * sx
         return acc
 
 
@@ -364,12 +395,18 @@ def _kernel(
         and min(d // ck_d, f // ck_f) >= 2
     )
 
+    # w8a8 (TOKENPACKER_FD_W8A8=1): native s8 MXU dots for every streaming
+    # GEMV, with dynamic per-row activation quantization. Changes numerics
+    # vs the XLA int8 path (activation rounding) — opt-in until the
+    # measured accuracy/speed trade is recorded.
+    w8a8 = os.environ.get("TOKENPACKER_FD_W8A8", "0") == "1"
+
     def segs_for(l):
         """The layer's ordered segment list; ring parities are traced
         values derived from the layer index (no static parity constraint)."""
         par = jax.lax.rem(l * total, 2)
         mk = lambda ref, co, nc, k, ck, p: _Seg(
-            ref, l, co, nc, k, ck, ring, wsem, xbuf, p, hooks
+            ref, l, co, nc, k, ck, ring, wsem, xbuf, p, hooks, w8a8=w8a8
         )
         if n_qkv_segs == 1:
             qkv_segs = [mk(qkv_ref, 0, 3 * d, d, ck_d, par)]
@@ -391,7 +428,7 @@ def _kernel(
         par = jax.lax.rem(par + nct_d, 2)
         down_seg = _Seg(
             down_ref, l, 0, d, f, ck_f, ring, wsem, xbuf, par, hooks,
-            tail_buf=tail_buf, tail_sem=aux_sem.at[2],
+            tail_buf=tail_buf, tail_sem=aux_sem.at[2], w8a8=w8a8,
         )
         return qkv_segs, o_seg, gate_seg, up_seg, down_seg
 

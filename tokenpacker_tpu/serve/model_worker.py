@@ -397,7 +397,19 @@ def main(argv=None):
                         help="prompt-lookup speculative decoding draft length "
                              "for greedy requests (direct streaming path and "
                              "both schedulers; 0 disables)")
+    parser.add_argument("--kv-cache", default="auto", choices=["auto", "int8"],
+                        help="KV cache storage: int8 stores K/V with "
+                             "per-(position, head) absmax scales "
+                             "(ops/kv_quant) — halves cache HBM, enabling "
+                             "HD-length multi-slot serving on one chip; "
+                             "llama-family only")
     args = parser.parse_args(argv)
+    import os
+
+    if args.kv_cache == "int8":
+        # process-level: read by models/llama.kv_cache_dtype at every cache
+        # creation site (batcher slots, chunked-admission staging, prefill)
+        os.environ["TOKENPACKER_KV_CACHE"] = "int8"
     from tokenpacker_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
