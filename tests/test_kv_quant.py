@@ -216,3 +216,35 @@ def test_chunked_prefill_ignores_flash_gate(monkeypatch):
         off += n
     got = np.asarray(lm_logits(params["lm"], cfg.lm, hidden[:, -1]))
     np.testing.assert_allclose(got, np.asarray(ref_logits), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_batcher_int8_smoke(monkeypatch):
+    """PagedContinuousBatcher with an int8 pool: admission (insert_prefill
+    scale copy), paged decode (gather + dequant path), completion, and page
+    release all work; the pool is int8 with scales."""
+    from tokenpacker_tpu.serve.scheduler import PagedContinuousBatcher
+
+    monkeypatch.setenv("TOKENPACKER_KV_CACHE", "int8")
+    monkeypatch.setenv("TOKENPACKER_FUSED_DECODE", "0")
+    cfg = tiny_vlm_config()
+    params = init_vlm(jax.random.PRNGKey(5), cfg)
+    b = PagedContinuousBatcher(
+        params, cfg, num_slots=2, num_pages=32, page_size=8, max_pages_per_seq=8
+    )
+    assert b.paged.k_pages.dtype == jnp.int8 and b.paged.k_scales is not None
+    ids = np.array([[1, 9, 11, 13]], np.int64)
+    batch = {
+        "token_ids": ids,
+        "is_image": np.zeros_like(ids, bool),
+        "image_slot": np.zeros_like(ids, np.int32),
+        "lengths": np.asarray([ids.shape[1]], np.int32),
+        "images": None,
+    }
+    b.start()
+    try:
+        fut = b.submit(batch, max_new_tokens=5, temperature=0.0)
+        result = fut.result(timeout=120)
+    finally:
+        b.stop()
+    assert len(result) == 5
+    assert b.allocator.available() == 31

@@ -266,10 +266,20 @@ class _Seg:
         # stage x chunks for dynamic ref reads inside the fori
         for ci in range(nck):
             self.xbuf[ci, :b, :ck] = x[:, ci * ck : (ci + 1) * ck]
-        if tail:
+        # timing-only chain ablations (TOKENPACKER_FD_DEBUG +
+        # TOKENPACKER_FUSED_DECODE=debug): nodma skips every ring DMA
+        # start/wait (compute-only floor, dots read stale slot 0); nodot
+        # replaces the MXU dots with a scalar touch (DMA-only floor).
+        # Together with noattn they split the chain cost exactly.
+        import os as _os
+
+        _dbg = _os.environ.get("TOKENPACKER_FD_DEBUG", "")
+        nodma = "nodma" in _dbg
+        nodot = "nodot" in _dbg
+        if tail and not nodma:
             # the tail's one-shot DMA overlaps the whole main-chunk loop
             self._tail_dma().start()
-        if not self.hooks:
+        if not self.hooks and not nodma:
             self.start(0)
             self.start(1)
         n0 = next_starts[0] if len(next_starts) > 0 else lambda: None
@@ -277,15 +287,20 @@ class _Seg:
 
         def body(ci, acc):
             slot = self._slot(ci)
-            self._wait_chunk(ci)
+            if not nodma:
+                self._wait_chunk(ci)
             xs = self.xbuf[pl.ds(ci, 1), :b, :ck][0]  # [B, ck]
-            acc = acc + self._tile_dots(xs, slot)
+            if nodot:
+                acc = acc + jnp.sum(xs).astype(acc.dtype)
+            else:
+                acc = acc + self._tile_dots(xs, slot)
 
-            @pl.when(ci + 2 < nck)
-            def _():
-                self._start_chunk(ci + 2)
+            if not nodma:
+                @pl.when(ci + 2 < nck)
+                def _():
+                    self._start_chunk(ci + 2)
 
-            if self.hooks:
+            if self.hooks and not nodma:
                 @pl.when(ci + 2 == nck)
                 def _():
                     n0()
@@ -301,8 +316,12 @@ class _Seg:
             jnp.zeros((b, self.ncols), jnp.int32 if self.w8a8 else jnp.float32),
         )
         if tail:
-            self._tail_dma().wait()
-            acc = acc + self._tail_dots(x[:, nck * ck :])
+            if not nodma:
+                self._tail_dma().wait()
+            if nodot:
+                acc = acc + jnp.sum(x[:, nck * ck :]).astype(acc.dtype)
+            else:
+                acc = acc + self._tail_dots(x[:, nck * ck :])
         if self.w8a8:
             acc = acc.astype(jnp.float32) * sx
         return acc
@@ -622,7 +641,7 @@ def _kernel(
         return h
 
     # prologue: start layer 0's first two weight chunks + its first cache pair
-    if hooks:
+    if hooks and "nodma" not in dbg:
         first = segs_for(0)[0][0]
         first.start(0)
         first.start(1)

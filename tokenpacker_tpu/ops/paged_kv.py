@@ -52,20 +52,28 @@ def _use_paged_kernel() -> bool:
 
 
 class PagedKV(NamedTuple):
-    k_pages: jax.Array  # [L, P, ps, H, D]
+    k_pages: jax.Array  # [L, P, ps, H, D] (bf16, or int8 quantized)
     v_pages: jax.Array
     page_table: jax.Array  # [B, MP] int32
     lengths: jax.Array  # [B] int32
+    # per-(position, kv-head) absmax scales when pages are int8
+    # (ops/kv_quant): [L, P, ps, H] f32; None for float pools
+    k_scales: jax.Array | None = None
+    v_scales: jax.Array | None = None
 
     @classmethod
     def create(cls, cfg: LMConfig, num_pages: int, page_size: int, batch: int,
                max_pages_per_seq: int, dtype=jnp.bfloat16):
         shape = (cfg.num_hidden_layers, num_pages, page_size, cfg.kv_heads, cfg.head_dim)
+        scales = (None, None)
+        if dtype == jnp.int8:
+            scales = tuple(jnp.zeros(shape[:-1], jnp.float32) for _ in range(2))
         return cls(
             jnp.zeros(shape, dtype),
             jnp.zeros(shape, dtype),
             jnp.zeros((batch, max_pages_per_seq), jnp.int32),
             jnp.zeros((batch,), jnp.int32),
+            *scales,
         )
 
     @property
@@ -94,14 +102,17 @@ class PageAllocator:
         return len(self.free)
 
 
-def _paged_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table, cur_lens, write_page):
+def _paged_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table, cur_lens,
+                 write_page, ks=None, vs=None):
     """One decode-layer over the paged cache. x: [N, 1, D].
 
     write_page: [N] physical page each sequence writes its new K/V into —
     inactive slots are routed to the reserved null page 0 by the caller so
-    their (stale) page tables never corrupt re-allocated pages."""
+    their (stale) page tables never corrupt re-allocated pages.
+    ks/vs: [P, ps, H] f32 scale pages when kp/vp are int8 (ops/kv_quant)."""
     n = x.shape[0]
     ps = kp.shape[1]  # kp is layer-sliced: [P, ps, H, D]
+    int8_pages = kp.dtype == jnp.int8
     h = rms_norm(p["input_ln"], x, cfg.rms_norm_eps)
     q, k, v = qkv_proj(p["attn"], cfg, h)  # fused-qkv aware (load_8bit layout)
     q = apply_rope(q, cos, sin)
@@ -109,10 +120,20 @@ def _paged_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table, cur_le
 
     # scatter the new K/V into (page, offset)
     off = cur_lens % ps
-    kp = kp.at[write_page, off].set(k[:, 0].astype(kp.dtype))
-    vp = vp.at[write_page, off].set(v[:, 0].astype(vp.dtype))
+    if int8_pages:
+        from tokenpacker_tpu.ops.kv_quant import quantize_kv
 
-    if _use_paged_kernel():
+        k_st, k_sc = quantize_kv(k[:, 0])  # [N, H, D] int8, [N, H] f32
+        v_st, v_sc = quantize_kv(v[:, 0])
+        kp = kp.at[write_page, off].set(k_st)
+        vp = vp.at[write_page, off].set(v_st)
+        ks = ks.at[write_page, off].set(k_sc)
+        vs = vs.at[write_page, off].set(v_sc)
+    else:
+        kp = kp.at[write_page, off].set(k[:, 0].astype(kp.dtype))
+        vp = vp.at[write_page, off].set(v[:, 0].astype(vp.dtype))
+
+    if _use_paged_kernel() and not int8_pages:
         # vLLM-style Pallas paged attention: pages read in place via the
         # scalar-prefetched table — no [N, MP*ps, H, D] gather tensor
         from tokenpacker_tpu.ops.paged_attention import paged_attention
@@ -126,12 +147,19 @@ def _paged_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table, cur_le
         # gather this sequence's pages: [N, MP, ps, H, D] → [N, S_max, H, D]
         kg = kp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim)
         vg = vp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim)
-        attn = _sdpa(q, kg.astype(q.dtype), vg.astype(q.dtype), bias)
+        if int8_pages:
+            from tokenpacker_tpu.ops.kv_quant import dequantize_kv
+
+            kg = dequantize_kv(kg, ks[page_table].reshape(n, -1, cfg.kv_heads), q.dtype)
+            vg = dequantize_kv(vg, vs[page_table].reshape(n, -1, cfg.kv_heads), q.dtype)
+            attn = _sdpa(q, kg, vg, bias)
+        else:
+            attn = _sdpa(q, kg.astype(q.dtype), vg.astype(q.dtype), bias)
 
     x = x + linear(p["attn"]["o"], attn.reshape(n, 1, -1))
     h2 = rms_norm(p["post_ln"], x, cfg.rms_norm_eps)
     h2 = mlp_block(p["mlp"], cfg, h2)
-    return x + h2, kp, vp
+    return x + h2, kp, vp, ks, vs
 
 
 def paged_decode_step(params, cfg, paged: PagedKV, tokens, active):
@@ -163,21 +191,28 @@ def paged_decode_step(params, cfg, paged: PagedKV, tokens, active):
     ps_sz = paged.page_size
     write_page = jnp.where(active, paged.page_table[rows, cur_lens // ps_sz], 0)
 
+    int8_pages = paged.k_pages.dtype == jnp.int8
+
     def step(carry, xs):
         x = carry
-        layer_params, kp, vp = xs
-        x, kp, vp = _paged_layer(
+        layer_params, kp, vp, *scales = xs
+        x, kp, vp, ks, vs = _paged_layer(
             layer_params, lm_cfg, x, cos, sin, bias, kp, vp, paged.page_table, cur_lens,
-            write_page,
+            write_page, *scales,
         )
-        return x, (kp, vp)
+        return x, (kp, vp, ks, vs) if int8_pages else (kp, vp)
 
-    x, (nkp, nvp) = jax.lax.scan(
-        step, emb, (params["lm"]["layers"], paged.k_pages, paged.v_pages)
-    )
+    xs = (params["lm"]["layers"], paged.k_pages, paged.v_pages)
+    if int8_pages:
+        xs += (paged.k_scales, paged.v_scales)
+    x, out = jax.lax.scan(step, emb, xs)
     x = rms_norm(params["lm"]["norm"], x, lm_cfg.rms_norm_eps)
     logits = lm_logits(params["lm"], lm_cfg, x[:, 0])
     new_lens = cur_lens + active.astype(cur_lens.dtype)
+    if int8_pages:
+        nkp, nvp, nks, nvs = out
+        return logits, PagedKV(nkp, nvp, paged.page_table, new_lens, nks, nvs)
+    nkp, nvp = out
     return logits, PagedKV(nkp, nvp, paged.page_table, new_lens)
 
 
@@ -185,25 +220,44 @@ paged_decode_step_jit = jax.jit(paged_decode_step, static_argnames=("cfg",))
 
 
 def _paged_verify_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table,
-                        write_page, write_off):
+                        write_page, write_off, ks=None, vs=None):
     """Verify-layer over the paged cache: x [N, T, D], K/V for all T tokens
     scatter into (write_page, write_off) [N, T]. Attention uses the page
     GATHER path (the Pallas paged kernel is single-token); plain decode
     rounds keep the kernel."""
     n, t, _ = x.shape
+    int8_pages = kp.dtype == jnp.int8
     h = rms_norm(p["input_ln"], x, cfg.rms_norm_eps)
     q, k, v = qkv_proj(p["attn"], cfg, h)  # fused-qkv aware (load_8bit layout)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    kp = kp.at[write_page, write_off].set(k.astype(kp.dtype))
-    vp = vp.at[write_page, write_off].set(v.astype(vp.dtype))
-    kg = kp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim)
-    vg = vp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim)
-    attn = _sdpa(q, kg.astype(q.dtype), vg.astype(q.dtype), bias)
+    if int8_pages:
+        from tokenpacker_tpu.ops.kv_quant import dequantize_kv, quantize_kv
+
+        k_st, k_sc = quantize_kv(k)  # [N, T, H, D] int8, [N, T, H] f32
+        v_st, v_sc = quantize_kv(v)
+        kp = kp.at[write_page, write_off].set(k_st)
+        vp = vp.at[write_page, write_off].set(v_st)
+        ks = ks.at[write_page, write_off].set(k_sc)
+        vs = vs.at[write_page, write_off].set(v_sc)
+        kg = dequantize_kv(
+            kp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim),
+            ks[page_table].reshape(n, -1, cfg.kv_heads), q.dtype,
+        )
+        vg = dequantize_kv(
+            vp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim),
+            vs[page_table].reshape(n, -1, cfg.kv_heads), q.dtype,
+        )
+    else:
+        kp = kp.at[write_page, write_off].set(k.astype(kp.dtype))
+        vp = vp.at[write_page, write_off].set(v.astype(vp.dtype))
+        kg = kp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim).astype(q.dtype)
+        vg = vp[page_table].reshape(n, -1, cfg.kv_heads, cfg.head_dim).astype(q.dtype)
+    attn = _sdpa(q, kg, vg, bias)
     x = x + linear(p["attn"]["o"], attn.reshape(n, t, -1))
     h2 = rms_norm(p["post_ln"], x, cfg.rms_norm_eps)
     h2 = mlp_block(p["mlp"], cfg, h2)
-    return x + h2, kp, vp
+    return x + h2, kp, vp, ks, vs
 
 
 def paged_verify_step(params, cfg, paged: PagedKV, tokens, active):
@@ -243,20 +297,27 @@ def paged_verify_step(params, cfg, paged: PagedKV, tokens, active):
     )  # [N, T]
     write_off = positions % ps
 
+    int8_pages = paged.k_pages.dtype == jnp.int8
+
     def step(carry, xs):
         x = carry
-        layer_params, kp, vp = xs
-        x, kp, vp = _paged_verify_layer(
+        layer_params, kp, vp, *scales = xs
+        x, kp, vp, ks, vs = _paged_verify_layer(
             layer_params, lm_cfg, x, cos, sin, bias, kp, vp, paged.page_table,
-            write_page, write_off,
+            write_page, write_off, *scales,
         )
-        return x, (kp, vp)
+        return x, (kp, vp, ks, vs) if int8_pages else (kp, vp)
 
-    x, (nkp, nvp) = jax.lax.scan(
-        step, emb, (params["lm"]["layers"], paged.k_pages, paged.v_pages)
-    )
+    xs = (params["lm"]["layers"], paged.k_pages, paged.v_pages)
+    if int8_pages:
+        xs += (paged.k_scales, paged.v_scales)
+    x, out = jax.lax.scan(step, emb, xs)
     x = rms_norm(params["lm"]["norm"], x, lm_cfg.rms_norm_eps)
     logits = lm_logits(params["lm"], lm_cfg, x)
+    if int8_pages:
+        nkp, nvp, nks, nvs = out
+        return logits, PagedKV(nkp, nvp, paged.page_table, cur_lens, nks, nvs)
+    nkp, nvp = out
     return logits, PagedKV(nkp, nvp, paged.page_table, cur_lens)
 
 
@@ -282,7 +343,20 @@ def insert_prefill(paged: PagedKV, small_cache, seq: int, page_ids, length):
     )
     table = paged.page_table.at[seq, :n_pages].set(ids)
     lens = paged.lengths.at[seq].set(length)
-    return PagedKV(kp, vp, table, lens)
+    out = paged._replace(k_pages=kp, v_pages=vp, page_table=table, lengths=lens)
+    if paged.k_scales is not None:
+        # int8 pool: the admission prefill produced an int8 small cache
+        # (models/llama.kv_cache_dtype reads the same env) with matching scales
+        h = paged.k_scales.shape[3]
+        out = out._replace(
+            k_scales=paged.k_scales.at[:, ids].set(
+                small_cache.k_scale[:, 0].reshape(layers, n_pages, ps, h)
+            ),
+            v_scales=paged.v_scales.at[:, ids].set(
+                small_cache.v_scale[:, 0].reshape(layers, n_pages, ps, h)
+            ),
+        )
+    return out
 
 
 def map_page(paged: PagedKV, seq: int, logical_block: int, page_id: int):

@@ -102,8 +102,11 @@ class PagedContinuousBatcher:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.dead: Exception | None = None
+        from tokenpacker_tpu.models.llama import kv_cache_dtype
+
         self.paged = PagedKV.create(
-            cfg.lm, num_pages, page_size, num_slots, max_pages_per_seq, cfg.dtype
+            cfg.lm, num_pages, page_size, num_slots, max_pages_per_seq,
+            kv_cache_dtype(cfg.dtype, family=cfg.lm.model_family),
         )
         self.allocator = PageAllocator(num_pages)
         self.slot_pages: list[list[int]] = [[] for _ in range(num_slots)]
