@@ -214,6 +214,10 @@ def test_fused_matches_xla_decode_cb(staging, monkeypatch):
     the per-sample fallback when the scratch exceeds the scoped-vmem)."""
     if staging == "perb":
         monkeypatch.setenv("TOKENPACKER_FD_CACHE", "perb")
+        # the env flag is read at TRACE time: without a cache clear this
+        # parametrization would silently reuse the executable compiled for
+        # the batched-staging run (identical avals) and test nothing
+        jax.clear_caches()
     cfg = tiny_cfg()
     params = build_params(cfg)
     b, s = 2, 64
@@ -338,3 +342,40 @@ def test_fused_w8a8_close_to_xla(monkeypatch):
     # and it must really have changed the numerics vs the exact-int8 path
     # (guards against the flag silently not reaching the kernel)
     monkeypatch.delenv("TOKENPACKER_FD_W8A8")
+
+
+@pytest.mark.parametrize("ring", ["3", "4"])
+def test_fused_ring_depth_parity(ring, monkeypatch):
+    """TOKENPACKER_FD_RING deepens the weight ring (more DMA streams in
+    flight — the depth-2 chain floor measured 412 GB/s, half of HBM peak).
+    Parity must hold with the cross-segment hooks ENGAGED: FD_CK=256 gives
+    d//ck=4 chunks per segment >= nslots."""
+    monkeypatch.setenv("TOKENPACKER_FD_RING", ring)
+    monkeypatch.setenv("TOKENPACKER_FD_CK", "256")
+    jax.clear_caches()  # env flags are trace-time
+    cfg = LMConfig(
+        vocab_size=128,
+        hidden_size=1024,
+        intermediate_size=2048,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        model_family="llama",
+    )
+    params = build_params(cfg)
+    b, s, pre = 2, 32, 8
+    lengths = jnp.asarray([5, 8], jnp.int32)
+    cache = prefill(params, cfg, b, s, pre, lengths)
+    emb = (0.1 * jax.random.normal(jax.random.PRNGKey(5), (b, 1, cfg.hidden_size))).astype(
+        jnp.bfloat16
+    )
+    hx, _ = xla_decode(params, cfg, cache, emb, lengths, 0, pre, s)
+    wpos = jnp.full((b,), pre, jnp.int32)
+    hf_pre, _, _ = fused_decode_hidden(
+        params, cfg, emb[:, 0], cache.k, cache.v,
+        lengths, wpos, wpos, wpos, positions=lengths, interpret=True,
+    )
+    hf = rms_norm(params["norm"], hf_pre)
+    ax = np.asarray(hx, np.float32)
+    af = np.asarray(hf, np.float32)
+    assert np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9) < 0.02
+    jax.clear_caches()  # don't leak FD_CK=256 executables to other tests

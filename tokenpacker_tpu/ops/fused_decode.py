@@ -126,6 +126,7 @@ class _Seg:
         self.tail = k % ck
         self.nct = self.nck  # ring chunk count (the tail rides its own buffer)
         self.ring = ring
+        self.nslots = ring.shape[0]  # TOKENPACKER_FD_RING (default 2)
         self.sem = sem
         self.xbuf = xbuf
         self.parity = parity
@@ -137,7 +138,7 @@ class _Seg:
             assert tail_buf is not None, "tail chunk needs its dedicated buffer"
 
     def _slot(self, ci):
-        return jax.lax.rem(self.parity + ci, 2)
+        return jax.lax.rem(self.parity + ci, self.nslots)
 
     def _dma_s(self, ci, slot: int):
         """Copy for ring chunk ci into ring slot `slot`. Measured DMA-dest
@@ -158,16 +159,12 @@ class _Seg:
 
     def _slot_branch(self, ci, fn):
         """Run fn(copy) with the slot for ring chunk ci resolved to a
-        static 0/1 via pl.when branches (see _dma_s)."""
+        static index via pl.when branches (see _dma_s)."""
         slot = self._slot(ci)
-
-        @pl.when(slot == 0)
-        def _():
-            fn(self._dma_s(ci, 0))
-
-        @pl.when(slot == 1)
-        def _():
-            fn(self._dma_s(ci, 1))
+        for s in range(self.nslots):
+            @pl.when(slot == s)
+            def _(s=s):
+                fn(self._dma_s(ci, s))
 
     def _start_chunk(self, ci):
         self._slot_branch(ci, lambda dma: dma.start())
@@ -280,10 +277,12 @@ class _Seg:
             # the tail's one-shot DMA overlaps the whole main-chunk loop
             self._tail_dma().start()
         if not self.hooks and not nodma:
-            self.start(0)
-            self.start(1)
-        n0 = next_starts[0] if len(next_starts) > 0 else lambda: None
-        n1 = next_starts[1] if len(next_starts) > 1 else lambda: None
+            for s in range(self.nslots):
+                self.start(s)
+        ns = [
+            next_starts[i] if i < len(next_starts) else (lambda: None)
+            for i in range(self.nslots)
+        ]
 
         def body(ci, acc):
             slot = self._slot(ci)
@@ -296,18 +295,19 @@ class _Seg:
                 acc = acc + self._tile_dots(xs, slot)
 
             if not nodma:
-                @pl.when(ci + 2 < nck)
+                @pl.when(ci + self.nslots < nck)
                 def _():
-                    self._start_chunk(ci + 2)
+                    self._start_chunk(ci + self.nslots)
 
             if self.hooks and not nodma:
-                @pl.when(ci + 2 == nck)
-                def _():
-                    n0()
-
-                @pl.when(ci + 1 == nck)
-                def _():
-                    n1()
+                # fire the next segment's first `nslots` starts at this
+                # segment's last `nslots` computes: next chunk j reuses the
+                # slot of current chunk (nck - nslots + j), whose last read
+                # is the dots above
+                for j in range(self.nslots):
+                    @pl.when(ci + self.nslots - j == nck)
+                    def _(j=j):
+                        ns[j]()
 
             return acc
 
@@ -325,6 +325,15 @@ class _Seg:
         if self.w8a8:
             acc = acc.astype(jnp.float32) * sx
         return acc
+
+
+def _ring_slots() -> int:
+    """Weight-ring depth (TOKENPACKER_FD_RING, default 2). Deeper rings
+    keep more DMA streams in flight — the measured chain floor at depth 2
+    is 412 GB/s (half of v5e HBM peak), the motivating experiment."""
+    import os
+
+    return max(2, int(os.environ.get("TOKENPACKER_FD_RING", "2")))
 
 
 def _layer_chunkplan(d: int, f: int):
@@ -404,6 +413,7 @@ def _kernel(
     # boundaries; TOKENPACKER_FUSED_PIPELINE=self disables them (each
     # segment then starts its own first two chunks — ~8us ring-drain bubble
     # per segment boundary) — kept as a compile-compatibility fallback
+    nslots = _ring_slots()
     nct_d = d // ck_d  # ring chunks per D-reduction segment
     nct_f = f // ck_f  # ring chunks of the F-reduction segment (tail apart)
     total = nct_d * (n_qkv_segs + 3) + nct_f  # ring chunks per layer
@@ -411,7 +421,7 @@ def _kernel(
     # geometries fall back to self-starting segments
     hooks = (
         os.environ.get("TOKENPACKER_FUSED_PIPELINE", "hooks") == "hooks"
-        and min(d // ck_d, f // ck_f) >= 2
+        and min(d // ck_d, f // ck_f) >= nslots
     )
 
     # w8a8 (TOKENPACKER_FD_W8A8=1): native s8 MXU dots for every streaming
@@ -420,16 +430,19 @@ def _kernel(
     # measured accuracy/speed trade is recorded.
     w8a8 = os.environ.get("TOKENPACKER_FD_W8A8", "0") == "1"
 
+    def starters(seg, guard=None):
+        return tuple(seg.starter(i, guard) for i in range(nslots))
+
     def segs_for(l):
         """The layer's ordered segment list; ring parities are traced
         values derived from the layer index (no static parity constraint)."""
-        par = jax.lax.rem(l * total, 2)
+        par = jax.lax.rem(l * total, nslots)
         mk = lambda ref, co, nc, k, ck, p: _Seg(
             ref, l, co, nc, k, ck, ring, wsem, xbuf, p, hooks, w8a8=w8a8
         )
         if n_qkv_segs == 1:
             qkv_segs = [mk(qkv_ref, 0, 3 * d, d, ck_d, par)]
-            par = jax.lax.rem(par + nct_d, 2)
+            par = jax.lax.rem(par + nct_d, nslots)
         else:
             # 13B+ geometry (3D > MAX_WIDE): currently unreachable — the
             # fused_eligible width gates (hidden<=4096, F<=MAX_WIDE) block
@@ -438,13 +451,13 @@ def _kernel(
             qkv_segs = []
             for i in range(3):
                 qkv_segs.append(mk(qkv_ref, i * d, d, d, ck_d, par))
-                par = jax.lax.rem(par + nct_d, 2)
+                par = jax.lax.rem(par + nct_d, nslots)
         o_seg = mk(o_ref, 0, d, d, ck_d, par)
-        par = jax.lax.rem(par + nct_d, 2)
+        par = jax.lax.rem(par + nct_d, nslots)
         gate_seg = mk(gu_ref, 0, f, d, ck_d, par)
-        par = jax.lax.rem(par + nct_d, 2)
+        par = jax.lax.rem(par + nct_d, nslots)
         up_seg = mk(gu_ref, f, f, d, ck_d, par)
-        par = jax.lax.rem(par + nct_d, 2)
+        par = jax.lax.rem(par + nct_d, nslots)
         down_seg = _Seg(
             down_ref, l, 0, d, f, ck_f, ring, wsem, xbuf, par, hooks,
             tail_buf=tail_buf, tail_sem=aux_sem.at[2], w8a8=w8a8,
@@ -491,7 +504,7 @@ def _kernel(
         ln1 = ln1_ref[pl.ds(l, 1), :].astype(jnp.bfloat16)
         x1 = _rms(h, ln1, eps)
         if n_qkv_segs == 1:
-            qkv_acc = qkv_segs[0].gemv(x1, (o_seg.starter(0), o_seg.starter(1)))
+            qkv_acc = qkv_segs[0].gemv(x1, starters(o_seg))
             sc = qkv_s_ref[pl.ds(l, 1), :]
             qkv_acc = qkv_acc * sc
             q = jax.lax.slice(qkv_acc, (0, 0), (batch, d))
@@ -501,9 +514,7 @@ def _kernel(
             accs = []
             for i, seg in enumerate(qkv_segs):
                 nxt = (
-                    (qkv_segs[i + 1].starter(0), qkv_segs[i + 1].starter(1))
-                    if i + 1 < 3
-                    else (o_seg.starter(0), o_seg.starter(1))
+                    starters(qkv_segs[i + 1]) if i + 1 < 3 else starters(o_seg)
                 )
                 a = seg.gemv(x1, nxt)
                 a = a * qkv_s_ref[pl.ds(l, 1), i * d : (i + 1) * d]
@@ -618,21 +629,21 @@ def _kernel(
             else qr
         )  # [B, D]
 
-        ao = o_seg.gemv(attn, (gate_seg.starter(0), gate_seg.starter(1)))
+        ao = o_seg.gemv(attn, starters(gate_seg))
         o_sc = o_s_ref[pl.ds(l, 1), :]
         h = h + (ao * o_sc).astype(jnp.bfloat16)
 
         ln2 = ln2_ref[pl.ds(l, 1), :].astype(jnp.bfloat16)
         x2 = _rms(h, ln2, eps)
-        gate = gate_seg.gemv(x2, (up_seg.starter(0), up_seg.starter(1)))
+        gate = gate_seg.gemv(x2, starters(up_seg))
         gate = gate * gu_s_ref[pl.ds(l, 1), 0:f]
-        up = up_seg.gemv(x2, (down_seg.starter(0), down_seg.starter(1)))
+        up = up_seg.gemv(x2, starters(down_seg))
         up = up * gu_s_ref[pl.ds(l, 1), f : 2 * f]
         x_mlp = (jax.nn.silu(gate) * up).astype(jnp.bfloat16)
 
         nqs = segs_for(l + 1)[0][0]
         guard = l + 1 < layers
-        mo = down_seg.gemv(x_mlp, (nqs.starter(0, guard), nqs.starter(1, guard)))
+        mo = down_seg.gemv(x_mlp, starters(nqs, guard))
         down_sc = down_s_ref[pl.ds(l, 1), :]
         h = h + (mo * down_sc).astype(jnp.bfloat16)
 
@@ -643,8 +654,8 @@ def _kernel(
     # prologue: start layer 0's first two weight chunks + its first cache pair
     if hooks and "nodma" not in dbg:
         first = segs_for(0)[0][0]
-        first.start(0)
-        first.start(1)
+        for _s in range(nslots):
+            first.start(_s)
     if "noattn" not in dbg and "nocache" not in dbg:
         k_dma(0, 0).start()
         v_dma(0, 0).start()
@@ -671,7 +682,8 @@ def _fused_call(
     import os as _os
 
     hd = heads * head_dim
-    fixed = 2 * ck_max * ring_w + max_chunks * batch * ck_max * 2 + max(f % ck_max, 8) * d
+    nslots = _ring_slots()
+    fixed = nslots * ck_max * ring_w + max_chunks * batch * ck_max * 2 + max(f % ck_max, 8) * d
     cache_group = batch
     if (_os.environ.get("TOKENPACKER_FD_CACHE") == "perb"
             or fixed + 2 * batch * s * hd * 2 > 56 << 20):
@@ -698,12 +710,12 @@ def _fused_call(
             jax.ShapeDtypeStruct((layers, batch, heads * head_dim), jnp.bfloat16),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ck_max, ring_w), jnp.int8),
+            pltpu.VMEM((nslots, ck_max, ring_w), jnp.int8),
             pltpu.VMEM((max_chunks, batch, ck_max), jnp.bfloat16),
             pltpu.VMEM((max(f % ck_max, 8), d), jnp.int8),
             pltpu.VMEM((cache_group, s, heads * head_dim), jnp.bfloat16),  # kbuf
             pltpu.VMEM((cache_group, s, heads * head_dim), jnp.bfloat16),  # vbuf
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((nslots,)),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
