@@ -224,7 +224,14 @@ def _int8_params_on_device(cfg, dtype):
 
     shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, dtype))
     shapes = {**shapes, "lm": jax.eval_shape(fuse_llama_layers, shapes["lm"])}
-    return int8_params_like(shapes)
+    params = int8_params_like(shapes)
+    if os.environ.get("TOKENPACKER_FD_PACK") == "1":
+        # u16-row-packed weight storage for the fused decode kernel's fast
+        # DMA format (ops/quantize.pack_fused_weights; ROADMAP round-3)
+        from tokenpacker_tpu.ops.quantize import pack_fused_weights
+
+        params = {**params, "lm": jax.jit(pack_fused_weights)(params["lm"])}
+    return params
 
 
 def bench_7b_int8_decode():

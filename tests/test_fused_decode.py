@@ -379,3 +379,60 @@ def test_fused_ring_depth_parity(ring, monkeypatch):
     af = np.asarray(hf, np.float32)
     assert np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9) < 0.02
     jax.clear_caches()  # don't leak FD_CK=256 executables to other tests
+
+
+def test_fused_packed_weights_parity():
+    """u16-row-packed weight storage (ops/quantize.pack_fused_weights): the
+    v5e DMA engine streams 16-bit tiles ~2.5x the byte rate of int8's
+    packed tile format, so the fused kernel's weight ring can stream packed
+    rows and recover int8 via bitcast. Parity across the pipelined and
+    f-tail geometries, plus the XLA fallback path (linear unpacks qp)."""
+    from tokenpacker_tpu.ops.quantize import pack_fused_weights
+
+    for cfg in (
+        LMConfig(vocab_size=128, hidden_size=1024, intermediate_size=2048,
+                 num_hidden_layers=2, num_attention_heads=8,
+                 model_family="llama"),
+        LMConfig(vocab_size=128, hidden_size=1024, intermediate_size=2304,
+                 num_hidden_layers=2, num_attention_heads=8,
+                 model_family="llama"),
+    ):
+        params = build_params(cfg)
+        packed = pack_fused_weights(params)
+        assert fused_eligible(packed, cfg)
+        assert packed["layers"]["attn"]["qkv"]["kernel"]["qp"].dtype == jnp.uint16
+        b, s, pre = 2, 32, 8
+        lengths = jnp.asarray([5, 8], jnp.int32)
+        cache = prefill(params, cfg, b, s, pre, lengths)
+        emb = (0.1 * jax.random.normal(jax.random.PRNGKey(5), (b, 1, cfg.hidden_size))).astype(jnp.bfloat16)
+        hx, _ = xla_decode(params, cfg, cache, emb, lengths, 0, pre, s)
+        wpos = jnp.full((b,), pre, jnp.int32)
+        hf_pre, _, _ = fused_decode_hidden(
+            packed, cfg, emb[:, 0], cache.k, cache.v,
+            lengths, wpos, wpos, wpos, positions=lengths, interpret=True,
+        )
+        hf = rms_norm(params["norm"], hf_pre)
+        ax = np.asarray(hx, np.float32)
+        af = np.asarray(hf, np.float32)
+        assert np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9) < 0.02
+        # XLA fallback consumes qp too (llama_apply -> linear unpack)
+        hx2, _ = xla_decode(packed, cfg, cache, emb, lengths, 0, pre, s)
+        np.testing.assert_allclose(
+            np.asarray(hx2, np.float32), ax, rtol=1e-5, atol=1e-5
+        )
+
+
+def test_pack_unpack_roundtrip_and_pairing():
+    """pack_int8_rows must match pltpu.bitcast's measured sublane pairing:
+    u16 row r = (lo byte = int8 row 2r, hi byte = row 2r+1), same column."""
+    from tokenpacker_tpu.ops.quantize import pack_int8_rows, unpack_int8_rows
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(-128, 128, (3, 8, 16)), jnp.int8)
+    qp = pack_int8_rows(q)
+    assert qp.dtype == jnp.uint16 and qp.shape == (3, 4, 16)
+    assert (np.asarray(unpack_int8_rows(qp)) == np.asarray(q)).all()
+    u16 = np.asarray(qp)
+    u8 = np.asarray(q).astype(np.uint8)
+    assert (u16[..., 0, :] & 0xFF == u8[..., 0, :]).all()
+    assert (u16[..., 0, :] >> 8 == u8[..., 1, :]).all()

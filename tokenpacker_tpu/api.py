@@ -142,7 +142,18 @@ def load_pretrained_model(
                 # scales are per-column either way) and required by the
                 # single-dispatch fused decode kernel (ops/fused_decode.py)
                 lm = fuse_llama_layers(lm)
-            params["lm"] = quantize_tree(lm)
+            lm = quantize_tree(lm)
+            if (cfg.lm.model_family == "llama"
+                    and os.environ.get("TOKENPACKER_FD_PACK") == "1"):
+                # u16-row-packed weight storage: the fused decode kernel
+                # streams 16-bit tiles at ~2.5x int8's DMA byte rate
+                # (ops/quantize.pack_fused_weights). Other consumers unpack
+                # on the fly (ops/layers.linear) — opt-in because fallback
+                # dispatches (S>1024 caches, int8 KV) pay that unpack.
+                from tokenpacker_tpu.ops.quantize import pack_fused_weights
+
+                lm = pack_fused_weights(lm)
+            params["lm"] = lm
         elif load_4bit:
             # bitsandbytes load_4bit slot (reference builder.py:29-40):
             # nf4 (default) or int4 blockwise weight-only quantization, with

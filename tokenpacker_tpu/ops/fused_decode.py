@@ -114,8 +114,15 @@ class _Seg:
 
     def __init__(self, hbm_ref, layer, col_off, ncols, k, ck, ring, sem,
                  xbuf, parity, hooks=True, tail_buf=None, tail_sem=None,
-                 w8a8=False):
+                 w8a8=False, unpack=None):
         self.w8a8 = w8a8
+        # unpack: callable(u16 [rows/2, n]) -> int8 [rows, n] when the HBM
+        # source is row-packed uint16 (ops/quantize.pack_fused_weights — the
+        # v5e DMA engine streams 16-bit tiles ~2.5x the byte rate of int8);
+        # None = plain int8 source. k/ck stay in UNPACKED (int8-row) units;
+        # only the DMA slicing and ring rows halve.
+        self.unpack = unpack
+        self.rdiv = 2 if unpack is not None else 1
         self.hbm_ref = hbm_ref
         self.layer = layer
         self.col_off = col_off
@@ -148,12 +155,13 @@ class _Seg:
         crash), while COLUMN-partial dests are fine — hence one uniform
         chunk row count for every segment and a separate one-shot buffer
         for the K-remainder tail."""
+        rck = self.ck // self.rdiv  # rows per chunk in SOURCE units
         return pltpu.make_async_copy(
             self.hbm_ref.at[
-                self.layer, pl.ds(ci * self.ck, self.ck),
+                self.layer, pl.ds(ci * rck, rck),
                 pl.ds(self.col_off, self.ncols)
             ],
-            self.ring.at[slot, pl.ds(0, self.ck), pl.ds(0, self.ncols)],
+            self.ring.at[slot, pl.ds(0, rck), pl.ds(0, self.ncols)],
             self.sem.at[slot],
         )
 
@@ -175,12 +183,13 @@ class _Seg:
     def _tail_dma(self):
         """The K % ck tail streams through its own exact-shape one-shot
         buffer (a second SIMPLE buffer is fine; a second ring is not)."""
-        off = self.nck * self.ck
+        off = self.nck * self.ck // self.rdiv
+        rtail = self.tail // self.rdiv
         return pltpu.make_async_copy(
             self.hbm_ref.at[
-                self.layer, pl.ds(off, self.tail), pl.ds(self.col_off, self.ncols)
+                self.layer, pl.ds(off, rtail), pl.ds(self.col_off, self.ncols)
             ],
-            self.tail_buf.at[pl.ds(0, self.tail), pl.ds(0, self.ncols)],
+            self.tail_buf.at[pl.ds(0, rtail), pl.ds(0, self.ncols)],
             self.tail_sem,
         )
 
@@ -206,18 +215,25 @@ class _Seg:
         if self.w8a8:
             xs = xs.astype(jnp.int8)
         acc_t = jnp.int32 if self.w8a8 else jnp.float32
+        if self.unpack is not None:
+            # one bitcast recovers the whole slot's int8 rows (free in VMEM
+            # on mosaic — sublane repacking), then tiles slice a VALUE
+            w8 = self.unpack(
+                self.ring[pl.ds(slot, 1), : self.ck // 2, : self.ncols][0]
+            )  # [ck, ncols] int8
+            tiles = [w8[:, noff : noff + nsz] for noff, nsz in self.n_tiles]
+        else:
+            tiles = [
+                self.ring[pl.ds(slot, 1), : self.ck, noff : noff + nsz][0]
+                for noff, nsz in self.n_tiles
+            ]
         parts = [
             jax.lax.dot_general(
-                xs,
-                self.ring[pl.ds(slot, 1), : self.ck, noff : noff + nsz][0]
-                if self.w8a8
-                else self.ring[pl.ds(slot, 1), : self.ck, noff : noff + nsz][
-                    0
-                ].astype(jnp.bfloat16),
+                xs, t if self.w8a8 else t.astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=acc_t,
             )
-            for noff, nsz in self.n_tiles
+            for t in tiles
         ]
         return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
@@ -225,18 +241,21 @@ class _Seg:
         if self.w8a8:
             xs_t = xs_t.astype(jnp.int8)
         acc_t = jnp.int32 if self.w8a8 else jnp.float32
+        if self.unpack is not None:
+            w8 = self.unpack(self.tail_buf[: self.tail // 2, : self.ncols])
+            tiles = [w8[:, noff : noff + nsz] for noff, nsz in self.n_tiles]
+        else:
+            tiles = [
+                self.tail_buf[: self.tail, noff : noff + nsz]
+                for noff, nsz in self.n_tiles
+            ]
         parts = [
             jax.lax.dot_general(
-                xs_t,
-                self.tail_buf[: self.tail, noff : noff + nsz]
-                if self.w8a8
-                else self.tail_buf[: self.tail, noff : noff + nsz].astype(
-                    jnp.bfloat16
-                ),
+                xs_t, t if self.w8a8 else t.astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=acc_t,
             )
-            for noff, nsz in self.n_tiles
+            for t in tiles
         ]
         return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
@@ -404,6 +423,8 @@ def _kernel(
     head_dim: int,
     s: int,
     eps: float,
+    packed: bool = False,
+    interp: bool = False,
 ):
     ck_d, ck_f, n_qkv_segs = _layer_chunkplan(d, f)
     scale = head_dim**-0.5
@@ -430,6 +451,21 @@ def _kernel(
     # measured accuracy/speed trade is recorded.
     w8a8 = os.environ.get("TOKENPACKER_FD_W8A8", "0") == "1"
 
+    unpack = None
+    if packed:
+        if interp:
+            # interpret mode can't rely on pltpu.bitcast matching mosaic's
+            # measured sublane pairing — emulate it explicitly
+            def unpack(w):
+                lo = (w & jnp.uint16(0xFF)).astype(jnp.uint8)
+                hi = (w >> jnp.uint16(8)).astype(jnp.uint8)
+                inter = jnp.stack([lo, hi], axis=1)  # [r, 2, n]
+                out = inter.reshape(2 * w.shape[0], w.shape[1])
+                return jax.lax.bitcast_convert_type(out, jnp.int8)
+        else:
+            def unpack(w):
+                return pltpu.bitcast(w, jnp.int8)
+
     def starters(seg, guard=None):
         return tuple(seg.starter(i, guard) for i in range(nslots))
 
@@ -438,7 +474,8 @@ def _kernel(
         values derived from the layer index (no static parity constraint)."""
         par = jax.lax.rem(l * total, nslots)
         mk = lambda ref, co, nc, k, ck, p: _Seg(
-            ref, l, co, nc, k, ck, ring, wsem, xbuf, p, hooks, w8a8=w8a8
+            ref, l, co, nc, k, ck, ring, wsem, xbuf, p, hooks, w8a8=w8a8,
+            unpack=unpack,
         )
         if n_qkv_segs == 1:
             qkv_segs = [mk(qkv_ref, 0, 3 * d, d, ck_d, par)]
@@ -461,6 +498,7 @@ def _kernel(
         down_seg = _Seg(
             down_ref, l, 0, d, f, ck_f, ring, wsem, xbuf, par, hooks,
             tail_buf=tail_buf, tail_sem=aux_sem.at[2], w8a8=w8a8,
+            unpack=unpack,
         )
         return qkv_segs, o_seg, gate_seg, up_seg, down_seg
 
@@ -665,12 +703,12 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layers", "batch", "d", "f", "heads", "head_dim", "s", "eps", "interpret"),
+    static_argnames=("layers", "batch", "d", "f", "heads", "head_dim", "s", "eps", "interpret", "packed"),
 )
 def _fused_call(
     seq_info, h0, cos_e, sin_e, rot, gmat, gmat_t, ln1, ln2,
     qkv_s, o_s, gu_s, down_s, qkv_q, o_q, gu_q, down_q, k_cache, v_cache,
-    *, layers, batch, d, f, heads, head_dim, s, eps, interpret,
+    *, layers, batch, d, f, heads, head_dim, s, eps, interpret, packed=False,
 ):
     ck_d, ck_f, _ = _layer_chunkplan(d, f)
     ck_max = max(ck_d, ck_f)  # == ck_d == ck_f (uniform full-row ring)
@@ -691,7 +729,7 @@ def _fused_call(
     kernel = functools.partial(
         _kernel,
         layers=layers, batch=batch, d=d, f=f, heads=heads,
-        head_dim=head_dim, s=s, eps=eps,
+        head_dim=head_dim, s=s, eps=eps, packed=packed, interp=interpret,
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = lambda: pl.BlockSpec(memory_space=pl.ANY)
@@ -710,9 +748,13 @@ def _fused_call(
             jax.ShapeDtypeStruct((layers, batch, heads * head_dim), jnp.bfloat16),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nslots, ck_max, ring_w), jnp.int8),
+            pltpu.VMEM((nslots, ck_max // 2, ring_w), jnp.uint16)
+            if packed
+            else pltpu.VMEM((nslots, ck_max, ring_w), jnp.int8),
             pltpu.VMEM((max_chunks, batch, ck_max), jnp.bfloat16),
-            pltpu.VMEM((max(f % ck_max, 8), d), jnp.int8),
+            pltpu.VMEM((max((f % ck_max) // 2, 8), d), jnp.uint16)
+            if packed
+            else pltpu.VMEM((max(f % ck_max, 8), d), jnp.int8),
             pltpu.VMEM((cache_group, s, heads * head_dim), jnp.bfloat16),  # kbuf
             pltpu.VMEM((cache_group, s, heads * head_dim), jnp.bfloat16),  # vbuf
             pltpu.SemaphoreType.DMA((nslots,)),
@@ -763,13 +805,19 @@ def fused_eligible(lm_params, cfg) -> bool:
     mlp = layers.get("mlp", {})
     if "qkv" not in attn or "gateup" not in mlp:
         return False
+    modes = set()
     for leaf in (attn["qkv"], attn["o"], mlp["gateup"], mlp["down"]):
         k = leaf.get("kernel")
-        if not (isinstance(k, dict) and "q" in k and k["q"].dtype == jnp.int8):
+        if isinstance(k, dict) and "qp" in k and k["qp"].dtype == jnp.uint16:
+            modes.add("qp")  # u16-row-packed int8 (pack_fused_weights)
+        elif isinstance(k, dict) and "q" in k and k["q"].dtype == jnp.int8:
+            modes.add("q")
+        else:
             return False
         if "lora_a" in k:
             return False
-    return True
+    return len(modes) == 1  # all four matrices in the SAME storage mode
+
 
 
 def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
@@ -802,6 +850,8 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
     o = layers_p["attn"]["o"]["kernel"]
     gu = layers_p["mlp"]["gateup"]["kernel"]
     down = layers_p["mlp"]["down"]["kernel"]
+    packed = "qp" in qkv  # u16-row-packed storage (pack_fused_weights)
+    wkey = "qp" if packed else "q"
 
     hidden, k_new, v_new = _fused_call(
         seq_info,
@@ -813,11 +863,11 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
         jnp.squeeze(o["scale"], -2).astype(jnp.float32),
         jnp.squeeze(gu["scale"], -2).astype(jnp.float32),
         jnp.squeeze(down["scale"], -2).astype(jnp.float32),
-        qkv["q"], o["q"], gu["q"], down["q"],
+        qkv[wkey], o[wkey], gu[wkey], down[wkey],
         cache_k.reshape(l, b2, s, hkv * dh),
         cache_v.reshape(l, b2, s, hkv * dh),
         layers=l, batch=b, d=d, f=f, heads=heads, head_dim=dh, s=s,
-        eps=cfg.rms_norm_eps, interpret=interpret,
+        eps=cfg.rms_norm_eps, interpret=interpret, packed=packed,
     )
 
     rows = jnp.arange(b)

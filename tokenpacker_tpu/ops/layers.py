@@ -26,7 +26,16 @@ def linear(params, x):
     so the dense weight never materializes in HBM (8-bit serving path).
     """
     k = params["kernel"]
-    if isinstance(k, dict) and "q" in k:
+    if isinstance(k, dict) and "qp" in k:
+        # bf16-row-packed int8 (ops/quantize.pack_fused_weights — the fast
+        # DMA storage for the fused decode kernel). This fallback unpacks
+        # on the fly: correct everywhere, fast only where it matters (the
+        # kernel consumes qp via a free in-VMEM bitcast).
+        from tokenpacker_tpu.ops.quantize import unpack_int8_rows
+
+        y = x @ unpack_int8_rows(k["qp"]).astype(x.dtype)
+        y = y * jnp.squeeze(k["scale"], axis=-2).astype(x.dtype)
+    elif isinstance(k, dict) and "q" in k:
         import os
 
         import jax

@@ -197,3 +197,63 @@ def tree_bytes(params) -> int:
         if hasattr(leaf, "size") and hasattr(leaf, "dtype"):
             total += leaf.size * leaf.dtype.itemsize
     return total
+
+
+def pack_int8_rows(q):
+    """[..., K, N] int8 → [..., K/2, N] uint16: adjacent ROWS bit-packed
+    into one 16-bit lane (lo byte = row 2r, hi byte = row 2r+1, same
+    column).
+
+    Why: the v5e DMA engine streams 16-bit VMEM tiles at ~2.5x the byte
+    rate of int8's (32, 128)-packed tile format (measured 728 vs 294 GB/s
+    — ROADMAP round-3), and the fused decode kernel is weight-DMA-bound.
+    The pairing matches pltpu.bitcast's sublane semantics exactly
+    (scripts/probe_bitcast_pack.py), so the kernel recovers int8 rows with
+    a free in-VMEM bitcast. uint16 (not bf16): float-typed copies can
+    quietly canonicalize sNaN bit patterns (measured in interpret mode —
+    lo-byte bit 6 flipped wherever the exponent field was 0xFF); integer
+    lanes are bit-safe everywhere."""
+    assert q.shape[-2] % 2 == 0, "row count must be even to pack"
+    u16 = jax.lax.bitcast_convert_type(q, jnp.uint8).astype(jnp.uint16)
+    lo = u16[..., 0::2, :]
+    hi = u16[..., 1::2, :]
+    return (lo | (hi << 8)).astype(jnp.uint16)
+
+
+def unpack_int8_rows(qp):
+    """Inverse of pack_int8_rows (XLA ops — used by the fallback matmul
+    path and CPU tests; the fused kernel uses the free pltpu.bitcast)."""
+    u16 = qp
+    lo = (u16 & jnp.uint16(0xFF)).astype(jnp.uint8)
+    hi = (u16 >> jnp.uint16(8)).astype(jnp.uint8)
+    inter = jnp.stack([lo, hi], axis=-2)  # [..., K/2, 2, N]
+    out_shape = (*u16.shape[:-2], 2 * u16.shape[-2], u16.shape[-1])
+    return jax.lax.bitcast_convert_type(inter.reshape(out_shape), jnp.int8)
+
+
+def pack_fused_weights(lm_params):
+    """Convert the four streamed int8 matrices of the fused llama layout
+    (attn.qkv / attn.o / mlp.gateup / mlp.down) from {'q': int8 [L, K, N]}
+    to {'qp': bf16 [L, K/2, N]} for the fast-DMA fused decode kernel
+    (TOKENPACKER_FD_PACK=1). Other paths unpack on the fly
+    (ops/layers.linear) — correct everywhere, fast where it matters."""
+    layers = dict(lm_params["layers"])
+    attn = dict(layers["attn"])
+    mlp = dict(layers["mlp"])
+
+    def repack(leaf):
+        k = leaf.get("kernel")
+        if not (isinstance(k, dict) and "q" in k and k["q"].dtype == jnp.int8):
+            return leaf
+        if "lora_a" in k or k["q"].shape[-2] % 2:
+            return leaf
+        nk = {kk: v for kk, v in k.items() if kk != "q"}
+        nk["qp"] = pack_int8_rows(k["q"])
+        return {**leaf, "kernel": nk}
+
+    for d, name in ((attn, "qkv"), (attn, "o"), (mlp, "gateup"), (mlp, "down")):
+        if name in d:
+            d[name] = repack(d[name])
+    layers["attn"] = attn
+    layers["mlp"] = mlp
+    return {**lm_params, "layers": layers}
