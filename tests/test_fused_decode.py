@@ -436,3 +436,75 @@ def test_pack_unpack_roundtrip_and_pairing():
     u8 = np.asarray(q).astype(np.uint8)
     assert (u16[..., 0, :] & 0xFF == u8[..., 0, :]).all()
     assert (u16[..., 0, :] >> 8 == u8[..., 1, :]).all()
+
+
+def test_fused_mlp_column_splits(monkeypatch):
+    """F > MAX_WIDE geometry (the 13B shape class): gate/up stream as
+    column segments with matching down-projection k-splits, and 3D >
+    MAX_WIDE streams q/k/v as separate column segments. MAX_WIDE is
+    patched down so a CPU-sized model exercises all the split machinery
+    (3 qkv segs + 3 MLP splits + hooks via FD_CK=256)."""
+    import tokenpacker_tpu.ops.fused_decode as fd
+
+    monkeypatch.setattr(fd, "MAX_WIDE", 1024)
+    monkeypatch.setenv("TOKENPACKER_FD_CK", "256")
+    jax.clear_caches()
+    cfg = LMConfig(
+        vocab_size=128,
+        hidden_size=512,
+        intermediate_size=2560,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        model_family="llama",
+    )
+    params = build_params(cfg)
+    assert fused_eligible(params, cfg)
+    b, s, pre = 2, 32, 8
+    lengths = jnp.asarray([5, 8], jnp.int32)
+    cache = prefill(params, cfg, b, s, pre, lengths)
+    emb = (0.1 * jax.random.normal(jax.random.PRNGKey(7), (b, 1, cfg.hidden_size))).astype(
+        jnp.bfloat16
+    )
+    hx, _ = xla_decode(params, cfg, cache, emb, lengths, 0, pre, s)
+    wpos = jnp.full((b,), pre, jnp.int32)
+    hf_pre, _, _ = fused_decode_hidden(
+        params, cfg, emb[:, 0], cache.k, cache.v,
+        lengths, wpos, wpos, wpos, positions=lengths, interpret=True,
+    )
+    hf = rms_norm(params["norm"], hf_pre)
+    ax = np.asarray(hx, np.float32)
+    af = np.asarray(hf, np.float32)
+    assert np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9) < 0.02
+    jax.clear_caches()
+
+
+def test_fused_13b_geometry_eligible_and_parity():
+    """TRUE 13B widths (5120 / 13824 / 40 heads) at 1 layer: eligibility
+    now passes (the round-2 hidden<=4096 / F<=12288 gates are lifted) and
+    the interpret kernel matches the XLA path."""
+    cfg = LMConfig(
+        vocab_size=64,
+        hidden_size=5120,
+        intermediate_size=13824,
+        num_hidden_layers=1,
+        num_attention_heads=40,
+        model_family="llama",
+    )
+    params = build_params(cfg)
+    assert fused_eligible(params, cfg)
+    b, s, pre = 1, 16, 4
+    lengths = jnp.asarray([4], jnp.int32)
+    cache = prefill(params, cfg, b, s, pre, lengths)
+    emb = (0.1 * jax.random.normal(jax.random.PRNGKey(3), (b, 1, cfg.hidden_size))).astype(
+        jnp.bfloat16
+    )
+    hx, _ = xla_decode(params, cfg, cache, emb, lengths, 0, pre, s)
+    wpos = jnp.full((b,), pre, jnp.int32)
+    hf_pre, _, _ = fused_decode_hidden(
+        params, cfg, emb[:, 0], cache.k, cache.v,
+        lengths, wpos, wpos, wpos, positions=lengths, interpret=True,
+    )
+    hf = rms_norm(params["norm"], hf_pre)
+    ax = np.asarray(hx, np.float32)
+    af = np.asarray(hf, np.float32)
+    assert np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9) < 0.02

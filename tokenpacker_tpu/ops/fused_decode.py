@@ -114,7 +114,7 @@ class _Seg:
 
     def __init__(self, hbm_ref, layer, col_off, ncols, k, ck, ring, sem,
                  xbuf, parity, hooks=True, tail_buf=None, tail_sem=None,
-                 w8a8=False, unpack=None):
+                 w8a8=False, unpack=None, row_off=0):
         self.w8a8 = w8a8
         # unpack: callable(u16 [rows/2, n]) -> int8 [rows, n] when the HBM
         # source is row-packed uint16 (ops/quantize.pack_fused_weights — the
@@ -123,6 +123,10 @@ class _Seg:
         # only the DMA slicing and ring rows halve.
         self.unpack = unpack
         self.rdiv = 2 if unpack is not None else 1
+        # source-ROW offset (unpacked units): k-split segments of one
+        # matrix (the 13B down projection — its x operand would exceed the
+        # 12288-lane value width as a single gemv)
+        self.row_off = row_off
         self.hbm_ref = hbm_ref
         self.layer = layer
         self.col_off = col_off
@@ -143,6 +147,10 @@ class _Seg:
         self.n_tiles = _chunks(ncols, N_TILE)
         if self.tail:
             assert tail_buf is not None, "tail chunk needs its dedicated buffer"
+        # a tail-only segment would break the cross-segment hook chain (no
+        # main chunk ever fires the next segment's starts) — geometry plans
+        # must keep k >= ck (true for 7B/13B; guards exotic test shapes)
+        assert self.nck >= 1, "tail-only segment unsupported"
 
     def _slot(self, ci):
         return jax.lax.rem(self.parity + ci, self.nslots)
@@ -158,7 +166,8 @@ class _Seg:
         rck = self.ck // self.rdiv  # rows per chunk in SOURCE units
         return pltpu.make_async_copy(
             self.hbm_ref.at[
-                self.layer, pl.ds(ci * rck, rck),
+                self.layer,
+                pl.ds(self.row_off // self.rdiv + ci * rck, rck),
                 pl.ds(self.col_off, self.ncols)
             ],
             self.ring.at[slot, pl.ds(0, rck), pl.ds(0, self.ncols)],
@@ -183,7 +192,7 @@ class _Seg:
     def _tail_dma(self):
         """The K % ck tail streams through its own exact-shape one-shot
         buffer (a second SIMPLE buffer is fine; a second ring is not)."""
-        off = self.nck * self.ck // self.rdiv
+        off = (self.row_off + self.nck * self.ck) // self.rdiv
         rtail = self.tail // self.rdiv
         return pltpu.make_async_copy(
             self.hbm_ref.at[
@@ -436,13 +445,20 @@ def _kernel(
     # per segment boundary) — kept as a compile-compatibility fallback
     nslots = _ring_slots()
     nct_d = d // ck_d  # ring chunks per D-reduction segment
-    nct_f = f // ck_f  # ring chunks of the F-reduction segment (tail apart)
-    total = nct_d * (n_qkv_segs + 3) + nct_f  # ring chunks per layer
-    # hook scheduling needs >=2 main chunks per segment; tiny test
+    # F (gate/up width) may exceed the 12288-lane value limit (13B: 13824)
+    # → gate/up stream as column segments and down as matching row (k)
+    # segments, so every gemv accumulator and x operand stays <= MAX_WIDE.
+    # 7B (f=11008) keeps a single split — identical to the round-2 plan.
+    mlp_splits = _chunks(f, (MAX_WIDE // ck_f) * ck_f)
+    total = (
+        nct_d * (n_qkv_segs + 1 + 2 * len(mlp_splits))
+        + sum(nc // ck_f for _, nc in mlp_splits)
+    )  # ring chunks per layer
+    # hook scheduling needs >=nslots main chunks per segment; tiny test
     # geometries fall back to self-starting segments
     hooks = (
         os.environ.get("TOKENPACKER_FUSED_PIPELINE", "hooks") == "hooks"
-        and min(d // ck_d, f // ck_f) >= nslots
+        and min(d // ck_d, min(nc // ck_f for _, nc in mlp_splits)) >= nslots
     )
 
     # w8a8 (TOKENPACKER_FD_W8A8=1): native s8 MXU dots for every streaming
@@ -471,36 +487,39 @@ def _kernel(
 
     def segs_for(l):
         """The layer's ordered segment list; ring parities are traced
-        values derived from the layer index (no static parity constraint)."""
-        par = jax.lax.rem(l * total, nslots)
-        mk = lambda ref, co, nc, k, ck, p: _Seg(
-            ref, l, co, nc, k, ck, ring, wsem, xbuf, p, hooks, w8a8=w8a8,
-            unpack=unpack,
-        )
+        values derived from the layer index (no static parity constraint).
+        Construction order == gemv call order == ring chunk order (the
+        parity bookkeeping and the cross-segment hooks both depend on it):
+        qkv segs, o, (gate_i, up_i) per mlp column split, down k-segs."""
+        par_box = [jax.lax.rem(l * total, nslots)]
+
+        def mk(ref, co, nc, k, ck, row_off=0, with_tail=False):
+            seg = _Seg(
+                ref, l, co, nc, k, ck, ring, wsem, xbuf, par_box[0], hooks,
+                w8a8=w8a8, unpack=unpack, row_off=row_off,
+                tail_buf=tail_buf if with_tail else None,
+                tail_sem=aux_sem.at[2] if with_tail else None,
+            )
+            par_box[0] = jax.lax.rem(par_box[0] + seg.nck, nslots)
+            return seg
+
         if n_qkv_segs == 1:
-            qkv_segs = [mk(qkv_ref, 0, 3 * d, d, ck_d, par)]
-            par = jax.lax.rem(par + nct_d, nslots)
+            qkv_segs = [mk(qkv_ref, 0, 3 * d, d, ck_d)]
         else:
-            # 13B+ geometry (3D > MAX_WIDE): currently unreachable — the
-            # fused_eligible width gates (hidden<=4096, F<=MAX_WIDE) block
-            # 13B until those widths are probed on-chip; kept for that
-            # enablement
-            qkv_segs = []
-            for i in range(3):
-                qkv_segs.append(mk(qkv_ref, i * d, d, d, ck_d, par))
-                par = jax.lax.rem(par + nct_d, nslots)
-        o_seg = mk(o_ref, 0, d, d, ck_d, par)
-        par = jax.lax.rem(par + nct_d, nslots)
-        gate_seg = mk(gu_ref, 0, f, d, ck_d, par)
-        par = jax.lax.rem(par + nct_d, nslots)
-        up_seg = mk(gu_ref, f, f, d, ck_d, par)
-        par = jax.lax.rem(par + nct_d, nslots)
-        down_seg = _Seg(
-            down_ref, l, 0, d, f, ck_f, ring, wsem, xbuf, par, hooks,
-            tail_buf=tail_buf, tail_sem=aux_sem.at[2], w8a8=w8a8,
-            unpack=unpack,
-        )
-        return qkv_segs, o_seg, gate_seg, up_seg, down_seg
+            # 13B geometry (3D > MAX_WIDE): q/k/v as three column segments
+            qkv_segs = [mk(qkv_ref, i * d, d, d, ck_d) for i in range(3)]
+        o_seg = mk(o_ref, 0, d, d, ck_d)
+        gu_segs = [
+            (mk(gu_ref, co, nc, d, ck_d), mk(gu_ref, f + co, nc, d, ck_d))
+            for co, nc in mlp_splits
+        ]
+        # only the LAST k-split can have a K % ck remainder (earlier splits
+        # are multiples of ck by construction) — it owns the tail buffer
+        down_segs = [
+            mk(down_ref, 0, d, nc, ck_f, row_off=co, with_tail=nc % ck_f > 0)
+            for co, nc in mlp_splits
+        ]
+        return qkv_segs, o_seg, gu_segs, down_segs
 
     # kbuf/vbuf hold `cache_group` samples per DMA: the whole batch when the
     # scratch fits the raised scoped-vmem stack (ONE K + ONE V copy per
@@ -537,7 +556,7 @@ def _kernel(
     dbg = os.environ.get("TOKENPACKER_FD_DEBUG", "")  # chain-only A/B probe
 
     def layer_body(l, h):
-        qkv_segs, o_seg, gate_seg, up_seg, down_seg = segs_for(l)
+        qkv_segs, o_seg, gu_segs, down_segs = segs_for(l)
 
         ln1 = ln1_ref[pl.ds(l, 1), :].astype(jnp.bfloat16)
         x1 = _rms(h, ln1, eps)
@@ -667,22 +686,37 @@ def _kernel(
             else qr
         )  # [B, D]
 
-        ao = o_seg.gemv(attn, starters(gate_seg))
+        ao = o_seg.gemv(attn, starters(gu_segs[0][0]))
         o_sc = o_s_ref[pl.ds(l, 1), :]
         h = h + (ao * o_sc).astype(jnp.bfloat16)
 
         ln2 = ln2_ref[pl.ds(l, 1), :].astype(jnp.bfloat16)
         x2 = _rms(h, ln2, eps)
-        gate = gate_seg.gemv(x2, starters(up_seg))
-        gate = gate * gu_s_ref[pl.ds(l, 1), 0:f]
-        up = up_seg.gemv(x2, starters(down_seg))
-        up = up * gu_s_ref[pl.ds(l, 1), f : 2 * f]
-        x_mlp = (jax.nn.silu(gate) * up).astype(jnp.bfloat16)
+        # flat MLP segment order (== ring order): gate_0, up_0, gate_1, ...
+        # then the down k-segments; each gemv hooks the NEXT flat segment
+        mlp_flat = [seg for pair in gu_segs for seg in pair] + down_segs
+        x_mlps = []
+        for i, (co, nc) in enumerate(mlp_splits):
+            g_seg, u_seg = gu_segs[i]
+            gate = g_seg.gemv(x2, starters(mlp_flat[2 * i + 1]))
+            gate = gate * gu_s_ref[pl.ds(l, 1), co : co + nc]
+            up = u_seg.gemv(x2, starters(mlp_flat[2 * i + 2]))
+            up = up * gu_s_ref[pl.ds(l, 1), f + co : f + co + nc]
+            # silu in f32 (jax.nn.silu on bf16 plants f32->bf16 broadcasts
+            # that fail mosaic verification at some widths — CLAUDE.md)
+            x_mlps.append((jax.nn.silu(gate) * up).astype(jnp.bfloat16))
 
-        nqs = segs_for(l + 1)[0][0]
         guard = l + 1 < layers
-        mo = down_seg.gemv(x_mlp, starters(nqs, guard))
         down_sc = down_s_ref[pl.ds(l, 1), :]
+        mo = None
+        for i, d_seg in enumerate(down_segs):
+            if i + 1 < len(down_segs):
+                nxt = starters(down_segs[i + 1])
+            else:
+                nqs = segs_for(l + 1)[0][0]
+                nxt = starters(nqs, guard)
+            c = d_seg.gemv(x_mlps[i], nxt)
+            mo = c if mo is None else mo + c
         h = h + (mo * down_sc).astype(jnp.bfloat16)
 
         knew_ref[pl.ds(l, 1), :, :] = kr[None]
@@ -712,8 +746,10 @@ def _fused_call(
 ):
     ck_d, ck_f, _ = _layer_chunkplan(d, f)
     ck_max = max(ck_d, ck_f)  # == ck_d == ck_f (uniform full-row ring)
-    max_chunks = max(d // ck_d, f // ck_f)
-    ring_w = min(max(3 * d, f, d), MAX_WIDE)
+    mlp_splits = _chunks(f, (MAX_WIDE // ck_f) * ck_f)  # mirrors _kernel
+    tail_rows = mlp_splits[-1][1] % ck_f
+    max_chunks = max(d // ck_d, *(nc // ck_f for _, nc in mlp_splits))
+    ring_w = min(max(3 * d, *(nc for _, nc in mlp_splits), d), MAX_WIDE)
     # cache staging group: the whole batch when the scratch total fits the
     # raised 64 MB scoped-vmem stack (one K + one V DMA per layer), else
     # per-sample. TOKENPACKER_FD_CACHE=perb forces the fallback (tests).
@@ -721,7 +757,7 @@ def _fused_call(
 
     hd = heads * head_dim
     nslots = _ring_slots()
-    fixed = nslots * ck_max * ring_w + max_chunks * batch * ck_max * 2 + max(f % ck_max, 8) * d
+    fixed = nslots * ck_max * ring_w + max_chunks * batch * ck_max * 2 + max(tail_rows, 8) * d
     cache_group = batch
     if (_os.environ.get("TOKENPACKER_FD_CACHE") == "perb"
             or fixed + 2 * batch * s * hd * 2 > 56 << 20):
@@ -752,9 +788,9 @@ def _fused_call(
             if packed
             else pltpu.VMEM((nslots, ck_max, ring_w), jnp.int8),
             pltpu.VMEM((max_chunks, batch, ck_max), jnp.bfloat16),
-            pltpu.VMEM((max((f % ck_max) // 2, 8), d), jnp.uint16)
+            pltpu.VMEM((max(tail_rows // 2, 8), d), jnp.uint16)
             if packed
-            else pltpu.VMEM((max(f % ck_max, 8), d), jnp.int8),
+            else pltpu.VMEM((max(tail_rows, 8), d), jnp.int8),
             pltpu.VMEM((cache_group, s, heads * head_dim), jnp.bfloat16),  # kbuf
             pltpu.VMEM((cache_group, s, heads * head_dim), jnp.bfloat16),  # vbuf
             pltpu.SemaphoreType.DMA((nslots,)),
@@ -790,15 +826,17 @@ def fused_eligible(lm_params, cfg) -> bool:
     """The kernel serves the int8 fused-projection llama-family decode.
 
     Geometry gates reflect measured mosaic limits: values wider than 12288
-    lanes crash the axon compiler, so F (the silu width) and D must fit;
-    3D wider than 12288 is handled by per-projection column segments."""
+    lanes crash the axon compiler, so D must fit one accumulator; wider
+    compound widths split into segments (3D > 12288 → per-projection
+    column segments; F > 12288 → gate/up column splits with matching
+    down-projection k-splits), which covers 13B (5120/13824/40h)."""
     if cfg.model_family != "llama":
         return False
     if cfg.num_attention_heads != cfg.kv_heads or cfg.head_dim != 128:
         return False
     if cfg.hidden_size % 512 or cfg.intermediate_size % 128:
         return False
-    if cfg.intermediate_size > MAX_WIDE or cfg.hidden_size > 4096:
+    if cfg.hidden_size > MAX_WIDE:
         return False
     layers = lm_params.get("layers", {})
     attn = layers.get("attn", {})
