@@ -7,6 +7,9 @@ data dependency, single scalar fetch (CLAUDE.md).
 
 Usage: python scripts/bench_fused_decode.py [batch ...]
 Env: TOKENPACKER_FUSED_DECODE=0 to measure only the XLA path.
+     GEOM=13b to measure vicuna-13B geometry (40 layers, D=5120, F=13824 —
+     the MLP column/k-split path in the kernel; ~12.7 GB int8 weights, so
+     B=1 only on one v5e unless TOKENPACKER_KV_CACHE=int8).
 """
 import functools
 import os
@@ -28,7 +31,12 @@ def bench(batch: int, s_max: int = None, n_steps: int = 64, fill: int = None):
     fill = fill or int(os.environ.get("FILL", "200"))
     from tokenpacker_tpu import generate as gen
 
-    cfg = TokenPackerVLMConfig()
+    if os.environ.get("GEOM", "7b").lower() == "13b":
+        from tokenpacker_tpu.config import preset_config
+
+        cfg = preset_config("tokenpacker-13b-144token")
+    else:
+        cfg = TokenPackerVLMConfig()
     params = _int8_params_on_device(cfg, jnp.bfloat16)
     lm = cfg.lm
     from tokenpacker_tpu.models.llama import kv_cache_dtype

@@ -438,12 +438,14 @@ def test_pack_unpack_roundtrip_and_pairing():
     assert (u16[..., 0, :] >> 8 == u8[..., 1, :]).all()
 
 
-def test_fused_mlp_column_splits(monkeypatch):
+@pytest.mark.parametrize("pack", [False, True])
+def test_fused_mlp_column_splits(pack, monkeypatch):
     """F > MAX_WIDE geometry (the 13B shape class): gate/up stream as
     column segments with matching down-projection k-splits, and 3D >
     MAX_WIDE streams q/k/v as separate column segments. MAX_WIDE is
     patched down so a CPU-sized model exercises all the split machinery
-    (3 qkv segs + 3 MLP splits + hooks via FD_CK=256)."""
+    (3 qkv segs + 3 MLP splits + hooks via FD_CK=256); pack=True layers
+    the u16-row-packed storage over the k-split row offsets."""
     import tokenpacker_tpu.ops.fused_decode as fd
 
     monkeypatch.setattr(fd, "MAX_WIDE", 1024)
@@ -458,6 +460,10 @@ def test_fused_mlp_column_splits(monkeypatch):
         model_family="llama",
     )
     params = build_params(cfg)
+    if pack:
+        from tokenpacker_tpu.ops.quantize import pack_fused_weights
+
+        params = pack_fused_weights(params)
     assert fused_eligible(params, cfg)
     b, s, pre = 2, 32, 8
     lengths = jnp.asarray([5, 8], jnp.int32)
