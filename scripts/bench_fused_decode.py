@@ -50,7 +50,9 @@ def bench(batch: int, s_max: int = None, n_steps: int = 64, fill: int = None):
     from tokenpacker_tpu.generate import _fd_compiler_options
 
     copts = _fd_compiler_options()
-    if os.environ.get("TOKENPACKER_FD_VMEM_KIB"):
+    # the override only applies where TPU flags are legal (copts is None on
+    # CPU backends, which reject unknown XLA options — generate.py:41)
+    if copts is not None and os.environ.get("TOKENPACKER_FD_VMEM_KIB"):
         copts = {"xla_tpu_scoped_vmem_limit_kib": int(os.environ["TOKENPACKER_FD_VMEM_KIB"])}
 
     @functools.partial(jax.jit, compiler_options=copts)

@@ -340,8 +340,17 @@ def test_fused_w8a8_close_to_xla(monkeypatch):
     rel = np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9)
     assert rel < 0.08, rel
     # and it must really have changed the numerics vs the exact-int8 path
-    # (guards against the flag silently not reaching the kernel)
+    # (guards against the flag silently not reaching the kernel): rerun with
+    # the flag off — activation-quant rounding must move the output
     monkeypatch.delenv("TOKENPACKER_FD_W8A8")
+    jax.clear_caches()  # env flags are trace-time
+    hf_exact_pre, _, _ = fused_decode_hidden(
+        params, cfg, emb[:, 0], cache.k, cache.v,
+        lengths, wpos, wpos, wpos, positions=lengths, interpret=True,
+    )
+    ae = np.asarray(rms_norm(params["norm"], hf_exact_pre), np.float32)
+    assert np.max(np.abs(ae - af)) > 0, "w8a8 flag did not reach the kernel"
+    jax.clear_caches()  # don't leak 3-layer executables to other tests
 
 
 @pytest.mark.parametrize("ring", ["3", "4"])

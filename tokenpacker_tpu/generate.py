@@ -109,7 +109,14 @@ def prefill(params, cfg: TokenPackerVLMConfig, batch, s_max: int):
     return _prefill_into(params, cfg, batch, cache, s_max)
 
 
-@partial(jax.jit, static_argnames=("cfg", "s_max"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "s_max"),
+    # donate the empty cache so the output aliases its storage — without
+    # this the zeros input and the filled output coexist during execution
+    # (B=8/S=2048 bf16: 2 x 8.6 GB beside the weights -> OOMs one v5e)
+    donate_argnums=(3,),
+)
 def _prefill_into(params, cfg: TokenPackerVLMConfig, batch, cache, s_max: int):
     n, l = batch["token_ids"].shape
     lengths = batch["lengths"]  # [N] true prompt lengths
@@ -346,6 +353,15 @@ def _decode_step_cb_xla(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_le
 def insert_into_cache(big: KVCache, small: KVCache, slot: int, length):
     """Copy a prefilled single-request cache (batch 1, padded) into slot
     `slot` of the shared cache; positions beyond `length` stay invalid."""
+    if big.k.dtype != small.k.dtype or (big.k_scale is None) != (small.k_scale is None):
+        # TOKENPACKER_KV_CACHE is read at each cache-creation site; a cache
+        # created under a different setting must not be spliced in — int8
+        # values written raw into a bf16 cache corrupt attention silently
+        raise ValueError(
+            f"KV cache dtype mismatch: shared {big.k.dtype} "
+            f"(quantized={big.k_scale is not None}) vs prefill {small.k.dtype} "
+            f"(quantized={small.k_scale is not None})"
+        )
     l_pad = small.k.shape[2]
     k = big.k.at[:, slot, :l_pad].set(small.k[:, 0])
     v = big.v.at[:, slot, :l_pad].set(small.v[:, 0])

@@ -471,13 +471,10 @@ def _kernel(
     if packed:
         if interp:
             # interpret mode can't rely on pltpu.bitcast matching mosaic's
-            # measured sublane pairing — emulate it explicitly
-            def unpack(w):
-                lo = (w & jnp.uint16(0xFF)).astype(jnp.uint8)
-                hi = (w >> jnp.uint16(8)).astype(jnp.uint8)
-                inter = jnp.stack([lo, hi], axis=1)  # [r, 2, n]
-                out = inter.reshape(2 * w.shape[0], w.shape[1])
-                return jax.lax.bitcast_convert_type(out, jnp.int8)
+            # measured sublane pairing — emulate it with the shared XLA
+            # inverse (ops/quantize.unpack_int8_rows, the single source of
+            # truth for the lo/hi byte pairing)
+            from tokenpacker_tpu.ops.quantize import unpack_int8_rows as unpack
         else:
             def unpack(w):
                 return pltpu.bitcast(w, jnp.int8)

@@ -27,7 +27,7 @@ def linear(params, x):
     """
     k = params["kernel"]
     if isinstance(k, dict) and "qp" in k:
-        # bf16-row-packed int8 (ops/quantize.pack_fused_weights — the fast
+        # u16-row-packed int8 (ops/quantize.pack_fused_weights — the fast
         # DMA storage for the fused decode kernel). This fallback unpacks
         # on the fly: correct everywhere, fast only where it matters (the
         # kernel consumes qp via a free in-VMEM bitcast).

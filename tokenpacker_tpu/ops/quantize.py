@@ -234,7 +234,7 @@ def unpack_int8_rows(qp):
 def pack_fused_weights(lm_params):
     """Convert the four streamed int8 matrices of the fused llama layout
     (attn.qkv / attn.o / mlp.gateup / mlp.down) from {'q': int8 [L, K, N]}
-    to {'qp': bf16 [L, K/2, N]} for the fast-DMA fused decode kernel
+    to {'qp': uint16 [L, K/2, N]} for the fast-DMA fused decode kernel
     (TOKENPACKER_FD_PACK=1). Other paths unpack on the fly
     (ops/layers.linear) — correct everywhere, fast where it matters."""
     layers = dict(lm_params["layers"])
