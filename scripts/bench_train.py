@@ -105,14 +105,16 @@ def main():
     dt = time.perf_counter() - t0
     step_t = dt / n_steps
     tokens = batch * l
-    # QLoRA flop estimate: fwd 2PT + remat re-fwd 2PT + dx backward 2PT
-    # (adapter/projector weight grads are small); P = decoder params
+    # QLoRA flop estimate: fwd 2PT + dx backward 2PT (+ remat re-fwd 2PT
+    # under full remat; --remat dots saves the GEMM outputs so the re-fwd
+    # is elementwise-only). Adapter/projector weight grads are small.
     lm = cfg.lm
     p_lm = layers * (4 * lm.hidden_size**2 + 3 * lm.hidden_size * lm.intermediate_size)
-    flops = 6 * p_lm * tokens
+    pt = 4 if os.environ.get("TOKENPACKER_REMAT") == "dots" else 6
+    flops = pt * p_lm * tokens
     mfu = flops / step_t / 197e12
     print(f"step {step_t*1e3:.1f} ms  {tokens/step_t:.0f} tokens/s/chip  "
-          f"~{mfu*100:.0f}% MFU (6PT est, P={p_lm/1e9:.2f}B)", flush=True)
+          f"~{mfu*100:.0f}% MFU ({pt}PT est, P={p_lm/1e9:.2f}B)", flush=True)
 
 
 if __name__ == "__main__":

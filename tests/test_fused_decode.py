@@ -312,15 +312,22 @@ def test_fused_greedy_tokens_match():
     assert (ref_t == got_t)[decisive].all(), (ref_t, got_t, decisive)
 
 
-def test_fused_w8a8_close_to_xla(monkeypatch):
+@pytest.mark.parametrize("pack", [False, True])
+def test_fused_w8a8_close_to_xla(pack, monkeypatch):
     """TOKENPACKER_FD_W8A8=1: native s8 MXU dots with dynamic per-row
     activation quantization. Numerics drift by the activation rounding
     (~0.8% per GEMV), so the tolerance is looser than the bf16-reorder
     tests. Uses a 3-layer geometry so the jitted _fused_call cannot reuse
-    an executable traced with the flag off (env flags are trace-time)."""
+    an executable traced with the flag off (env flags are trace-time).
+    pack=True composes the u16-row-packed weight storage (the s8 dots must
+    consume the bitcast-recovered rows identically)."""
     monkeypatch.setenv("TOKENPACKER_FD_W8A8", "1")
     cfg = tiny_cfg(layers=3)
     params = build_params(cfg, seed=11)
+    if pack:
+        from tokenpacker_tpu.ops.quantize import pack_fused_weights
+
+        params = pack_fused_weights(params)
     b, s, pre = 2, 64, 16
     lengths = jnp.asarray([10, 16], jnp.int32)
     cache = prefill(params, cfg, b, s, pre, lengths)

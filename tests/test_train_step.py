@@ -1,6 +1,7 @@
 """Training step tests: stage-wise freezing, loss decrease, grad flow."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -131,16 +132,18 @@ def test_gradient_accumulation_matches_large_batch():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-5, atol=2e-6)
 
 
-def test_remat_matches_no_remat(monkeypatch):
-    """TOKENPACKER_REMAT=1 (per-layer jax.checkpoint on the training path)
-    must not change loss or gradients — only memory/recompute scheduling."""
+@pytest.mark.parametrize("mode", ["1", "dots"])
+def test_remat_matches_no_remat(mode, monkeypatch):
+    """TOKENPACKER_REMAT (per-layer jax.checkpoint on the training path)
+    must not change loss or gradients — only memory/recompute scheduling.
+    "dots" is the save-matmul-outputs policy (train.py --remat dots)."""
     cfg = tiny_vlm_config()
     params = init_vlm(jax.random.PRNGKey(0), cfg)
     batch = _tiny_batch(cfg)
 
     monkeypatch.delenv("TOKENPACKER_REMAT", raising=False)
     (l0, _), g0 = jax.value_and_grad(vlm_loss, has_aux=True)(params, cfg, batch)
-    monkeypatch.setenv("TOKENPACKER_REMAT", "1")
+    monkeypatch.setenv("TOKENPACKER_REMAT", mode)
     (l1, _), g1 = jax.value_and_grad(vlm_loss, has_aux=True)(params, cfg, batch)
 
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)

@@ -161,13 +161,24 @@ def mlp_block(p_mlp, cfg: LMConfig, h):
     )
 
 
-def _use_remat() -> bool:
-    """TOKENPACKER_REMAT=1 wraps each decoder layer in jax.checkpoint on the
+def _remat_mode() -> str:
+    """TOKENPACKER_REMAT wraps each decoder layer in jax.checkpoint on the
     cache-less (training) path — required for full-depth 7B backward on one
-    chip (also exposed as train.py --remat)."""
+    chip (also exposed as train.py --remat [POLICY]).
+
+    Modes: "" (off) | "1"/"full" (recompute everything — O(1)-in-depth
+    activation memory, ~1/3 extra FLOPs) | "dots" (save projection-GEMM
+    outputs, recompute only elementwise ops — backward skips the re-fwd
+    GEMMs at ~(5D+2F)*B*T bf16 per layer of saved activations; for runs
+    where HBM, not FLOPs, has headroom)."""
     import os
 
-    return os.environ.get("TOKENPACKER_REMAT", "0") not in ("0", "off", "")
+    v = os.environ.get("TOKENPACKER_REMAT", "0")
+    return "" if v in ("0", "off", "") else v
+
+
+def _use_remat() -> bool:
+    return bool(_remat_mode())
 
 
 def _use_flash_prefill(t: int) -> bool:
@@ -335,7 +346,19 @@ def llama_apply(
             )
             return y, None
 
-        if _use_remat():
+        mode = _remat_mode()
+        if mode == "dots":
+            # save projection-GEMM outputs, recompute elementwise work: the
+            # backward skips the per-layer re-forward GEMMs (vs full remat's
+            # ~1/3 extra FLOPs) at ~(5D+2F)*B*T bf16 per layer of saved
+            # activations. no_batch_dims excludes the [B,H,T,S] attention
+            # score/context dots (batched dot_generals) — saving those
+            # costs O(T^2) memory per layer and OOMs at depth
+            step = jax.checkpoint(
+                step,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif mode:
             # per-layer rematerialization: the backward recomputes each
             # layer's activations instead of storing them — trades ~1/3 more
             # FLOPs for O(1)-in-depth activation memory, which is what lets

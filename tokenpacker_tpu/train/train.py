@@ -47,9 +47,13 @@ def build_parser():
     p.add_argument("--warmup-ratio", type=float, default=0.03)
     p.add_argument("--num-train-epochs", type=int, default=1)
     p.add_argument("--per-device-batch-size", type=int, default=16)
-    p.add_argument("--remat", action="store_true",
+    p.add_argument("--remat", nargs="?", const="full", default=None,
+                   choices=["full", "dots"],
                    help="per-layer rematerialization (activation checkpointing) "
-                        "— needed for full-depth 7B backward on one chip")
+                        "— needed for full-depth 7B backward on one chip. "
+                        "'full' (the bare-flag default) recomputes each layer; "
+                        "'dots' saves matmul outputs and recomputes only "
+                        "elementwise work (faster backward, more HBM)")
     p.add_argument("--gradient-accumulation-steps", type=int, default=1,
                    help="micro-steps per optimizer step (reference global "
                         "batch 256/128 = per-device-batch x devices x this)")
@@ -115,7 +119,7 @@ def main(argv=None):
     if args.remat:
         import os
 
-        os.environ["TOKENPACKER_REMAT"] = "1"
+        os.environ["TOKENPACKER_REMAT"] = args.remat
     tcfg = TrainConfig(
         stage=args.stage,
         learning_rate=args.learning_rate,
