@@ -129,7 +129,11 @@ def bench_spec_batched(params, cfg, k: int, slots: int, rounds: int = 48):
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("n_rounds",))
+    from tokenpacker_tpu.generate import _fd_jit
+
+    # _fd_jit: the outermost jit must carry the fused kernel's compiler
+    # options when verify_step_cb dispatches to it (generate._fd_jit)
+    @functools.partial(_fd_jit, static_argnames=("n_rounds",))
     def loop(params, cache, fed, active, n_rounds: int):
         def body(i, carry):
             cache, fed = carry
@@ -168,10 +172,18 @@ def main():
 
     from tokenpacker_tpu.config import TokenPackerVLMConfig
     from tokenpacker_tpu.models.vlm import init_vlm
+    from tokenpacker_tpu.ops.quantize import fuse_llama_layers
     from tokenpacker_tpu.utils.bench_params import int8_params_like, repeater_params_like
 
     cfg = TokenPackerVLMConfig()
     shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, jnp.bfloat16))
+    # fused qkv/gateup layout (the load_8bit serving shape): required for the
+    # fused whole-stack kernel to serve decode AND verify steps
+    shapes = {**shapes, "lm": jax.eval_shape(fuse_llama_layers, shapes["lm"])}
+    print(json.dumps({
+        "fused_decode": os.environ.get("TOKENPACKER_FUSED_DECODE", "1"),
+        "fd_verify": os.environ.get("TOKENPACKER_FD_VERIFY", "1"),
+    }), flush=True)
 
     params = int8_params_like(shapes, seed=1)
     if not args.skip_plain:

@@ -391,14 +391,20 @@ def _rms(h, w_row, eps):
 def _kernel(
     # inputs
     seq_ref,  # SMEM [3, B] int32: len0 / start2 / end2 (excl)
-    h_ref,  # [B, D] bf16
-    cos_ref,  # [B*H, Dh] f32 (per-head expanded)
+    h_ref,  # [B*T, D] bf16 (T = t_tok verify tokens per sample; 1 = decode)
+    cos_ref,  # [B*T*H, Dh] f32 (per-head expanded)
     sin_ref,
     rot_ref,  # [Dh, Dh] bf16 rotate-half permutation
     g_ref,  # [D, H] bf16 block-diagonal ones
     gt_ref,  # [H, D] bf16 — its transpose: every attention dot stays in
     # standard (contract lhs dim1 with rhs dim0) form; NT-form dot_general
     # inside the layer fori is part of what crashes the axon compiler
+    e_ref,  # [T, T*H] f32 query-selector: E[t, t*H+h] = 1 (the qg attention
+    # form and the T>1 block-extract / denominator-expand dots)
+    grep_ref,  # [D, T*H] bf16 — G tiled T times along columns
+    grept_ref,  # [T*H, D] f32 — its transpose
+    cmask_ref,  # [T, T*H] f32 — in-chunk causal mask: key row t' may attend
+    # query column t*H+h iff t' <= t (0 / NEG)
     ln1_ref,  # [L, D] f32 — dynamically-indexed row reads of a 2D BF16
     ln2_ref,  # VMEM ref crash the axon compiler; f32 refs read fine
     qkv_s_ref,  # [L, 3D] f32
@@ -412,8 +418,8 @@ def _kernel(
     kc_ref,  # ANY [L, B, S, HD] bf16
     vc_ref,
     # outputs
-    hout_ref,  # [B, D] bf16
-    knew_ref,  # [L, B, HD] bf16
+    hout_ref,  # [B*T, D] bf16
+    knew_ref,  # [L, B*T, HD] bf16
     vnew_ref,
     # scratch
     ring,  # [2, ck, ring_w] int8 — the one shared weight ring (full-row dests)
@@ -434,10 +440,19 @@ def _kernel(
     eps: float,
     packed: bool = False,
     interp: bool = False,
+    t_tok: int = 1,
 ):
     ck_d, ck_f, n_qkv_segs = _layer_chunkplan(d, f)
+    rows = batch * t_tok  # GEMV/RoPE row count; attention is per SAMPLE
     scale = head_dim**-0.5
     import os
+
+    # the qg attention form: per-sample [T, D] query blocks contract with
+    # Qg[d, tH+h] = q[t,d]·G[d,h] so every [S, ·]-sized op is a single MXU
+    # dot even at T>1 (verify steps). T==1 keeps the proven broadcast form
+    # unless TOKENPACKER_FD_ATTN=qg opts in (the qg form also replaces the
+    # [S, D] VPU row-broadcast multiply with MXU work — measure then flip).
+    use_qg = t_tok > 1 or os.environ.get("TOKENPACKER_FD_ATTN") == "qg"
 
     # cross-segment prefetch hooks keep the ring full across matrix
     # boundaries; TOKENPACKER_FUSED_PIPELINE=self disables them (each
@@ -561,9 +576,9 @@ def _kernel(
             qkv_acc = qkv_segs[0].gemv(x1, starters(o_seg))
             sc = qkv_s_ref[pl.ds(l, 1), :]
             qkv_acc = qkv_acc * sc
-            q = jax.lax.slice(qkv_acc, (0, 0), (batch, d))
-            k = jax.lax.slice(qkv_acc, (0, d), (batch, 2 * d))
-            v = jax.lax.slice(qkv_acc, (0, 2 * d), (batch, 3 * d))
+            q = jax.lax.slice(qkv_acc, (0, 0), (rows, d))
+            k = jax.lax.slice(qkv_acc, (0, d), (rows, 2 * d))
+            v = jax.lax.slice(qkv_acc, (0, 2 * d), (rows, 3 * d))
         else:
             accs = []
             for i, seg in enumerate(qkv_segs):
@@ -579,13 +594,13 @@ def _kernel(
         rot32 = rot_ref[...].astype(jnp.float32)
 
         def rope(x32, out_f32=False):
-            x3 = x32.reshape(batch * heads, head_dim)
+            x3 = x32.reshape(rows * heads, head_dim)
             xr = jax.lax.dot_general(
                 x3, rot32, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             y = x3 * cos_ref[...] + xr * sin_ref[...]
-            y2 = y.reshape(batch, d)
+            y2 = y.reshape(rows, d)
             return y2 if out_f32 else y2.astype(jnp.bfloat16)
 
         qr = rope(q)
@@ -608,7 +623,83 @@ def _kernel(
         # are wrong under any of them; used by scripts/bench_fused_decode.py)
         cache_on = "nocache" not in dbg
         outs = []
-        for b in range(batch if "noattn" not in dbg else 0):
+        n_att = batch if "noattn" not in dbg else 0
+        for b in range(n_att if use_qg else 0):
+            # qg form (T>=1): logits[s, tH+h] = K[s,:]·Qg[:, tH+h] with
+            # Qg = (Qᵀ tiled per head) ⊙ (G tiled per query) — one MXU dot
+            # replaces T broadcast-multiplies, and the fed tokens' keys ride
+            # a second [T, TH] logit block with an in-chunk causal mask (so
+            # T=1's separate current-token rank-1 term is subsumed)
+            qb = jax.lax.slice(qr, (b * t_tok, 0), ((b + 1) * t_tok, d))
+            kn = jax.lax.slice(kr, (b * t_tok, 0), ((b + 1) * t_tok, d))
+            vn = jax.lax.slice(v, (b * t_tok, 0), ((b + 1) * t_tok, d))
+            e32 = e_ref[...]  # [T, TH] f32
+            # Qᵀ replication on the MXU via an NT-form dot with E ([1,D]→
+            # [D,1]-style relayouts do not lower in mosaic; NT dots do):
+            # qt_rep[d, tH+h] = q[t, d]
+            qt_rep = jax.lax.dot_general(
+                qb, e32.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [D, TH]
+            qg = qt_rep.astype(jnp.bfloat16) * grep_ref[...]
+            if cache_on and (b == 0 or not batched_cache):
+                k_dma(l, b).wait()
+            kslot = b if batched_cache else 0
+            logits = (
+                jax.lax.dot_general(
+                    kbuf[kslot], qg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )  # [S, TH]
+            if cache_on:
+                start_next_cache(k_dma, l, b)  # kbuf's last read is above
+            ln_new = (
+                jax.lax.dot_general(
+                    kn, qg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+                + cmask_ref[...]
+            )  # [T, TH] — causal among the fed tokens, self included
+            iot = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+            len0 = seq_ref[0, b]
+            st2 = seq_ref[1, b]
+            en2 = seq_ref[2, b]
+            valid = (iot < len0) | ((iot >= st2) & (iot < en2))
+            logits = jnp.where(valid, logits, NEG)
+            m = jnp.maximum(
+                jnp.max(logits, axis=0, keepdims=True),
+                jnp.max(ln_new, axis=0, keepdims=True),
+            )  # [1, TH]
+            p = jnp.exp(logits - m)  # [S, TH] f32
+            pn = jnp.exp(ln_new - m)  # [T, TH]
+            den = jnp.sum(p, axis=0, keepdims=True) + jnp.sum(
+                pn, axis=0, keepdims=True
+            )  # [1, TH]
+            if cache_on and (b == 0 or not batched_cache):
+                v_dma(l, b).wait()
+            ctx_full = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vbuf[kslot], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [TH, D]
+            if cache_on:
+                start_next_cache(v_dma, l, b)  # vbuf's last read is above
+            ctx_full = ctx_full + jax.lax.dot_general(
+                pn.astype(jnp.bfloat16), vn, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            masked = ctx_full * grept_ref[...]  # keep each column's own head
+            num = jax.lax.dot_general(
+                e32, masked, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, D] block-diagonal extract
+            den_e = jax.lax.dot_general(
+                e32 * den, grept_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, D] per-(t, head) denominator expanded to lanes
+            outs.append(num / den_e)
+        for b in range(0 if use_qg else n_att):
             qb = jax.lax.slice(qr, (b, 0), (b + 1, d))  # [1, D] bf16
             if cache_on and (b == 0 or not batched_cache):
                 k_dma(l, b).wait()
@@ -734,12 +825,14 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layers", "batch", "d", "f", "heads", "head_dim", "s", "eps", "interpret", "packed"),
+    static_argnames=("layers", "batch", "d", "f", "heads", "head_dim", "s", "eps", "interpret", "packed", "t_tok"),
 )
 def _fused_call(
-    seq_info, h0, cos_e, sin_e, rot, gmat, gmat_t, ln1, ln2,
+    seq_info, h0, cos_e, sin_e, rot, gmat, gmat_t, e_mat, grep, grept, cmask,
+    ln1, ln2,
     qkv_s, o_s, gu_s, down_s, qkv_q, o_q, gu_q, down_q, k_cache, v_cache,
     *, layers, batch, d, f, heads, head_dim, s, eps, interpret, packed=False,
+    t_tok=1,
 ):
     ck_d, ck_f, _ = _layer_chunkplan(d, f)
     ck_max = max(ck_d, ck_f)  # == ck_d == ck_f (uniform full-row ring)
@@ -753,8 +846,9 @@ def _fused_call(
     import os as _os
 
     hd = heads * head_dim
+    rows = batch * t_tok
     nslots = _ring_slots()
-    fixed = nslots * ck_max * ring_w + max_chunks * batch * ck_max * 2 + max(tail_rows, 8) * d
+    fixed = nslots * ck_max * ring_w + max_chunks * rows * ck_max * 2 + max(tail_rows, 8) * d
     cache_group = batch
     if (_os.environ.get("TOKENPACKER_FD_CACHE") == "perb"
             or fixed + 2 * batch * s * hd * 2 > 56 << 20):
@@ -763,6 +857,7 @@ def _fused_call(
         _kernel,
         layers=layers, batch=batch, d=d, f=f, heads=heads,
         head_dim=head_dim, s=s, eps=eps, packed=packed, interp=interpret,
+        t_tok=t_tok,
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = lambda: pl.BlockSpec(memory_space=pl.ANY)
@@ -771,20 +866,20 @@ def _fused_call(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
-            vmem(), vmem(), vmem(), vmem(),
+            vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
             any_(), any_(), any_(), any_(), any_(), any_(),
         ],
         out_specs=[vmem(), vmem(), vmem()],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, d), jnp.bfloat16),
-            jax.ShapeDtypeStruct((layers, batch, heads * head_dim), jnp.bfloat16),
-            jax.ShapeDtypeStruct((layers, batch, heads * head_dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct((rows, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((layers, rows, heads * head_dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct((layers, rows, heads * head_dim), jnp.bfloat16),
         ],
         scratch_shapes=[
             pltpu.VMEM((nslots, ck_max // 2, ring_w), jnp.uint16)
             if packed
             else pltpu.VMEM((nslots, ck_max, ring_w), jnp.int8),
-            pltpu.VMEM((max_chunks, batch, ck_max), jnp.bfloat16),
+            pltpu.VMEM((max_chunks, rows, ck_max), jnp.bfloat16),
             pltpu.VMEM((max(tail_rows // 2, 8), d), jnp.uint16)
             if packed
             else pltpu.VMEM((max(tail_rows, 8), d), jnp.int8),
@@ -795,7 +890,8 @@ def _fused_call(
         ],
         interpret=interpret,
     )(
-        seq_info, h0, cos_e, sin_e, rot, gmat, gmat_t, ln1, ln2,
+        seq_info, h0, cos_e, sin_e, rot, gmat, gmat_t, e_mat, grep, grept,
+        cmask, ln1, ln2,
         qkv_s, o_s, gu_s, down_s, qkv_q, o_q, gu_q, down_q, k_cache, v_cache,
     )
 
@@ -817,6 +913,29 @@ def _g_matrix(heads: int, head_dim: int) -> np.ndarray:
     for h in range(heads):
         g[h * head_dim : (h + 1) * head_dim, h] = 1.0
     return g
+
+
+def _qg_constants(heads: int, head_dim: int, t: int):
+    """Constant operands for the qg attention form at T = t fed tokens:
+    E [T, T*H] query selector, G tiled per query [D, T*H] (+ transpose),
+    and the in-chunk causal mask [T, T*H] (key row t' attends query column
+    t*H+h iff t' <= t). At T=1 these degenerate to ones/G/Gᵀ/zeros."""
+    th = t * heads
+    e = np.zeros((t, th), np.float32)
+    for tt in range(t):
+        e[tt, tt * heads : (tt + 1) * heads] = 1.0
+    g = _g_matrix(heads, head_dim)
+    grep = np.tile(g, (1, t))  # [D, T*H]
+    tq = np.arange(th) // heads  # query index per column
+    cmask = np.where(np.arange(t)[:, None] <= tq[None, :], 0.0, NEG).astype(
+        np.float32
+    )
+    return (
+        jnp.asarray(e),
+        jnp.asarray(grep, jnp.bfloat16),
+        jnp.asarray(grep.T, jnp.float32),
+        jnp.asarray(cmask),
+    )
 
 
 def fused_eligible(lm_params, cfg) -> bool:
@@ -879,6 +998,7 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
 
     rot = jnp.asarray(_rot_matrix(dh), jnp.bfloat16)
     gmat = jnp.asarray(_g_matrix(heads, dh), jnp.bfloat16)
+    e_mat, grep, grept, cmask = _qg_constants(heads, dh, 1)
     seq_info = jnp.stack([lengths0, start2, end2]).astype(jnp.int32)  # [3, B]
 
     qkv = layers_p["attn"]["qkv"]["kernel"]
@@ -891,7 +1011,7 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
     hidden, k_new, v_new = _fused_call(
         seq_info,
         h0.astype(jnp.bfloat16),
-        cos_e, sin_e, rot, gmat, gmat.T,
+        cos_e, sin_e, rot, gmat, gmat.T, e_mat, grep, grept, cmask,
         layers_p["input_ln"]["scale"].astype(jnp.float32),
         layers_p["post_ln"]["scale"].astype(jnp.float32),
         jnp.squeeze(qkv["scale"], -2).astype(jnp.float32),
@@ -913,3 +1033,71 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
         v_new.reshape(l, b, hkv, dh).astype(cache_v.dtype)
     )
     return hidden, new_k, new_v
+
+
+def fused_verify_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
+                        start2, end2, write_pos0, positions, *,
+                        interpret=False):
+    """Run the full decoder stack for a T-token verify step (speculative
+    decoding: the last accepted token + the drafts, one weight-streaming
+    pass — a verify step costs nearly the same HBM traffic as a 1-token
+    step, so every accepted draft is a nearly-free extra token).
+
+    h0: [B, T, D] bf16 embedded tokens. positions: [B, T] RoPE positions.
+    lengths0/start2/end2: per-sample attendable CACHE ranges [0,len0) ∪
+    [start2,end2) — shared by all T queries; causality among the fed tokens
+    themselves is enforced in-kernel (query t attends fed keys 0..t).
+    write_pos0: [B] first cache slot — token t writes write_pos0+t.
+    Returns (hidden [B, T, D] pre-final-norm, new cache_k, new cache_v).
+    """
+    from tokenpacker_tpu.models.llama import rope_cos_sin
+
+    layers_p = lm_params["layers"]
+    l, b2, s, hkv, dh = cache_k.shape
+    b, t, d = h0.shape
+    heads = cfg.num_attention_heads
+    f = cfg.intermediate_size
+
+    pos_flat = positions.reshape(b * t)
+    cos, sin = rope_cos_sin(pos_flat[:, None], dh, cfg.rope_theta)  # [B*T,1,dh]
+    cos_e = jnp.repeat(cos[:, 0], heads, axis=0)  # [B*T*H, dh] f32
+    sin_e = jnp.repeat(sin[:, 0], heads, axis=0)
+
+    rot = jnp.asarray(_rot_matrix(dh), jnp.bfloat16)
+    gmat = jnp.asarray(_g_matrix(heads, dh), jnp.bfloat16)
+    e_mat, grep, grept, cmask = _qg_constants(heads, dh, t)
+    seq_info = jnp.stack([lengths0, start2, end2]).astype(jnp.int32)  # [3, B]
+
+    qkv = layers_p["attn"]["qkv"]["kernel"]
+    o = layers_p["attn"]["o"]["kernel"]
+    gu = layers_p["mlp"]["gateup"]["kernel"]
+    down = layers_p["mlp"]["down"]["kernel"]
+    packed = "qp" in qkv
+    wkey = "qp" if packed else "q"
+
+    hidden, k_new, v_new = _fused_call(
+        seq_info,
+        h0.reshape(b * t, d).astype(jnp.bfloat16),
+        cos_e, sin_e, rot, gmat, gmat.T, e_mat, grep, grept, cmask,
+        layers_p["input_ln"]["scale"].astype(jnp.float32),
+        layers_p["post_ln"]["scale"].astype(jnp.float32),
+        jnp.squeeze(qkv["scale"], -2).astype(jnp.float32),
+        jnp.squeeze(o["scale"], -2).astype(jnp.float32),
+        jnp.squeeze(gu["scale"], -2).astype(jnp.float32),
+        jnp.squeeze(down["scale"], -2).astype(jnp.float32),
+        qkv[wkey], o[wkey], gu[wkey], down[wkey],
+        cache_k.reshape(l, b2, s, hkv * dh),
+        cache_v.reshape(l, b2, s, hkv * dh),
+        layers=l, batch=b, d=d, f=f, heads=heads, head_dim=dh, s=s,
+        eps=cfg.rms_norm_eps, interpret=interpret, packed=packed, t_tok=t,
+    )
+
+    rows_bt = jnp.repeat(jnp.arange(b), t)  # sample of each flat row
+    wpos_bt = (write_pos0[:, None] + jnp.arange(t)[None, :]).reshape(-1)
+    new_k = cache_k.at[:, rows_bt, wpos_bt].set(
+        k_new.reshape(l, b * t, hkv, dh).astype(cache_k.dtype)
+    )
+    new_v = cache_v.at[:, rows_bt, wpos_bt].set(
+        v_new.reshape(l, b * t, hkv, dh).astype(cache_v.dtype)
+    )
+    return hidden.reshape(b, t, d), new_k, new_v

@@ -34,10 +34,51 @@ import jax
 import jax.numpy as jnp
 
 from tokenpacker_tpu.config import TokenPackerVLMConfig
+from tokenpacker_tpu.generate import _fd_jit
 from tokenpacker_tpu.models.llama import KVCache
 from tokenpacker_tpu.models.lm_api import lm_apply, lm_embed, lm_logits
 
 NEG_INF = jnp.finfo(jnp.float32).min
+
+
+def _fd_verify_mode(params, cfg, cache):
+    """Fused-kernel dispatch for verify steps: the decode gate
+    (generate._fused_decode_mode) plus a TOKENPACKER_FD_VERIFY=0 opt-out
+    (decoupled so an on-chip verify regression can't take plain decode
+    down with it)."""
+    import os
+
+    if os.environ.get("TOKENPACKER_FD_VERIFY", "1") in ("0", "off"):
+        return None
+    from tokenpacker_tpu.generate import _fused_decode_mode
+
+    return _fused_decode_mode(params, cfg, cache)
+
+
+def _verify_fused(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths,
+                  step, prefill_len: int, interpret: bool):
+    """_verify semantics on the fused whole-stack kernel
+    (ops/fused_decode.fused_verify_hidden): all T = k+1 fed tokens run in
+    ONE weight-streaming pass — the kernel's in-chunk causal block scores
+    the drafts, so a verify round costs ~a plain fused step instead of the
+    XLA path's per-layer dispatch chain."""
+    from tokenpacker_tpu.ops.fused_decode import fused_verify_hidden
+    from tokenpacker_tpu.ops.layers import rms_norm
+
+    n, t = tokens.shape
+    offs = jnp.arange(t, dtype=jnp.int32)
+    emb = lm_embed(params["lm"], cfg.lm, tokens)  # [N, T, D]
+    positions = lengths[:, None] + step + offs[None, :]
+    start2 = jnp.full_like(lengths, prefill_len)
+    wpos0 = start2 + step
+    hidden, nk, nv = fused_verify_hidden(
+        params["lm"], cfg.lm, emb, cache.k, cache.v,
+        lengths, start2, wpos0, wpos0, positions, interpret=interpret,
+    )
+    hidden = rms_norm(params["lm"]["norm"], hidden, cfg.lm.rms_norm_eps)
+    logits = lm_logits(params["lm"], cfg.lm, hidden)
+    # match the XLA path's returned length (cache_at.length + t)
+    return logits, KVCache(nk, nv, prefill_len + step + t)
 
 
 def _verify(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step,
@@ -50,7 +91,17 @@ def _verify(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step,
     produce at steps step..step+T-1. Writes KV at slots prefill_len+step+j;
     query positions are lengths+step+j (RoPE/ALiBi stay exact under bucket
     padding, same per-sample position discipline as decode_step).
+
+    Dispatches to the fused whole-stack kernel for quantized llama params
+    on TPU (same gate as generate.decode_step, TOKENPACKER_FD_VERIFY=0
+    opts out); the XLA per-layer path otherwise.
     """
+    mode = _fd_verify_mode(params, cfg, cache)
+    if mode:
+        return _verify_fused(
+            params, cfg, cache, tokens, lengths, step, prefill_len,
+            interpret=mode == "interpret",
+        )
     s_max = cache.k.shape[2]
     n, t = tokens.shape
     offs = jnp.arange(t, dtype=jnp.int32)
@@ -81,7 +132,10 @@ def _verify(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step,
     return logits, new_cache
 
 
-verify_step = partial(jax.jit, static_argnames=("cfg", "prefill_len"))(_verify)
+# _fd_jit: carries the fused kernel's compiler options (scoped-vmem limit)
+# when it is the outermost jit — required since _verify can contain the
+# fused whole-stack kernel
+verify_step = partial(_fd_jit, static_argnames=("cfg", "prefill_len"))(_verify)
 
 
 def _propose_ngram(ctx, ctx_len, k: int, ngram: int):
@@ -121,7 +175,7 @@ def propose_ngram_host(ctx: list[int], k: int, ngram: int = 2) -> list[int]:
     return []
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(_fd_jit, static_argnames=("cfg",))
 def verify_step_cb(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_lens, active):
     """Continuous-batching verify step: score T = k+1 tokens PER SLOT in one
     forward over slot-contiguous caches (the speculative sibling of
@@ -137,6 +191,23 @@ def verify_step_cb(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_lens, a
     are overwritten before ever becoming attendable (same invariant as the
     rejected-draft slots)."""
     del active
+    mode = _fd_verify_mode(params, cfg, cache)
+    if mode:
+        from tokenpacker_tpu.ops.fused_decode import fused_verify_hidden
+        from tokenpacker_tpu.ops.layers import rms_norm
+
+        n, t = tokens.shape
+        offs = jnp.arange(t, dtype=jnp.int32)
+        emb = lm_embed(params["lm"], cfg.lm, tokens)
+        zeros = jnp.zeros_like(cur_lens)
+        hidden, nk, nv = fused_verify_hidden(
+            params["lm"], cfg.lm, emb, cache.k, cache.v,
+            cur_lens, zeros, zeros, cur_lens,
+            cur_lens[:, None] + offs[None, :], interpret=mode == "interpret",
+        )
+        hidden = rms_norm(params["lm"]["norm"], hidden, cfg.lm.rms_norm_eps)
+        logits = lm_logits(params["lm"], cfg.lm, hidden)
+        return logits, KVCache(nk, nv, cur_lens)
     s_max = cache.k.shape[2]
     n, t = tokens.shape
     offs = jnp.arange(t, dtype=jnp.int32)
@@ -164,7 +235,7 @@ def accept_greedy(preds_row, draft_row, dk: int, eos: int) -> list[int]:
 
 
 @partial(
-    jax.jit,
+    _fd_jit,
     static_argnames=("cfg", "prefill_len", "n_max", "k", "ngram"),
     # the KV cache and ctx buffer are threaded through chunk calls; donating
     # them lets the while-loop carry alias the input (7B bf16 + an undonated
