@@ -200,10 +200,14 @@ def bench_7b_speculative():
     from bench_speculative import bench_spec
     from tokenpacker_tpu.config import TokenPackerVLMConfig
     from tokenpacker_tpu.models.vlm import init_vlm
+    from tokenpacker_tpu.ops.quantize import fuse_llama_layers
     from tokenpacker_tpu.utils.bench_params import repeater_params_like
 
     cfg = TokenPackerVLMConfig()
     shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, jnp.bfloat16))
+    # fused qkv/gateup layout so verify rounds ride the fused whole-stack
+    # kernel (speculative._verify dispatch) like the load_8bit serving path
+    shapes = {**shapes, "lm": jax.eval_shape(fuse_llama_layers, shapes["lm"])}
     params = repeater_params_like(shapes, seed=1, quant="int8")
     tps, produced, rounds = bench_spec(params, cfg, 64, 4)
     return {
