@@ -159,6 +159,47 @@ def test_verify_consistent_with_qg_decode(monkeypatch):
         assert diff / denom < 1e-3, (j, diff / denom)
 
 
+def test_fused_verify_split_geometry(monkeypatch):
+    """T>1 verify through the 13B shape class (3D > MAX_WIDE qkv column
+    segments + gate/up column splits + down k-splits, MAX_WIDE patched so a
+    CPU-sized model exercises the machinery)."""
+    import tokenpacker_tpu.ops.fused_decode as fd
+    from tokenpacker_tpu.config import LMConfig
+
+    monkeypatch.setattr(fd, "MAX_WIDE", 1024)
+    monkeypatch.setenv("TOKENPACKER_FD_CK", "256")
+    jax.clear_caches()
+    cfg = LMConfig(
+        vocab_size=128,
+        hidden_size=512,
+        intermediate_size=2560,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        model_family="llama",
+    )
+    params = build_params(cfg)
+    b, s, pre, t, step = 2, 32, 8, 2, 0
+    lengths = jnp.asarray([5, 8], jnp.int32)
+    cache = prefill(params, cfg, b, s, pre, lengths)
+    emb = (
+        0.1 * jax.random.normal(jax.random.PRNGKey(11), (b, t, cfg.hidden_size))
+    ).astype(jnp.bfloat16)
+
+    hx, _ = _xla_verify_hidden(params, cfg, cache, emb, lengths, step, pre, s)
+    offs = jnp.arange(t, dtype=jnp.int32)
+    wpos0 = jnp.full((b,), pre + step, jnp.int32)
+    hf_pre, _, _ = fused_verify_hidden(
+        params, cfg, emb, cache.k, cache.v,
+        lengths, jnp.full((b,), pre, jnp.int32), wpos0, wpos0,
+        lengths[:, None] + step + offs[None, :], interpret=True,
+    )
+    hf = rms_norm(params["norm"], hf_pre)
+    ax = np.asarray(hx, np.float32)
+    af = np.asarray(hf, np.float32)
+    assert np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9) < 0.02
+    jax.clear_caches()
+
+
 def test_speculative_chunk_fused_runs(monkeypatch):
     """speculative_chunk with the fused verify inside the while_loop:
     produces >= n_max tokens, advances the bookkeeping, and every emitted
