@@ -66,6 +66,33 @@ def init_clip_vit(key, cfg: VisionConfig, dtype=jnp.float32):
     return params
 
 
+def quantize_tower_int8(params):
+    """int8-quantize the transformer blocks' GEMM kernels (attn q/k/v/o,
+    mlp fc1/fc2) per out-channel; embeddings, LayerNorms, and biases stay
+    dense. With TOKENPACKER_W8A8=1 the tower's batched GEMMs then ride the
+    native int8 MXU path (ops/s8_gemm.py, 2x bf16 peak on v5e) — the opt-in
+    fast serving mode for the vision path (weight-only int8 semantics
+    otherwise). The stacked [L, K, N] kernels quantize along K so each
+    layer slice under scan is a standard {'q','scale'} leaf."""
+    from tokenpacker_tpu.ops.quantize import quantize_int8
+
+    def quant_leaf(leaf):
+        q, scale = quantize_int8(leaf["kernel"], axis=-2)
+        out = dict(leaf)
+        out["kernel"] = {"q": q, "scale": scale}
+        return out
+
+    layers = params["layers"]
+    new_layers = dict(layers)
+    new_layers["attn"] = {
+        name: quant_leaf(layers["attn"][name]) for name in ("q", "k", "v", "o")
+    }
+    new_layers["mlp"] = {
+        name: quant_leaf(layers["mlp"][name]) for name in ("fc1", "fc2")
+    }
+    return {**params, "layers": new_layers}
+
+
 def _attn_einsum(p, x, num_heads: int):
     """Reference-semantics XLA path (CPU/tests, and any non-TPU backend)."""
     n, t, w = x.shape

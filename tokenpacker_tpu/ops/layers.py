@@ -53,6 +53,15 @@ def linear(params, x):
             from tokenpacker_tpu.ops.q8_matmul import w8a8_matmul
 
             y = w8a8_matmul(x, k)
+        elif (os.environ.get("TOKENPACKER_W8A8") == "1" and k["q"].ndim == 2
+                and jax.default_backend() == "tpu" and m >= 256
+                and x.shape[-1] % 128 == 0 and k["q"].shape[1] % 128 == 0):
+            # large-M regime (ViT tower batches, prefill): tiled w8a8 GEMM
+            # with in-kernel activation quant — the int8 MXU runs at 2x the
+            # bf16 FLOP rate on v5e (see ops/s8_gemm.py)
+            from tokenpacker_tpu.ops.s8_gemm import w8a8_gemm
+
+            y = w8a8_gemm(x, k)
         else:
             y = x @ k["q"].astype(x.dtype)
             y = y * jnp.squeeze(k["scale"], axis=-2).astype(x.dtype)
