@@ -257,9 +257,11 @@ def build_parser():
 
 
 def main(argv=None):
+    from tokenpacker_tpu.utils.compile_cache import enable_compilation_cache
     from tokenpacker_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+    enable_compilation_cache()  # chunked eval fan-out shares compiles
     args = build_parser().parse_args(argv)
     args.fn(args)
 

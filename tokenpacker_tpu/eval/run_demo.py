@@ -52,9 +52,11 @@ def main(argv=None):
     parser.add_argument("--speculative-k", type=int, default=0,
                         help="prompt-lookup speculative decoding draft length "
                              "(greedy only; 0 disables)")
+    from tokenpacker_tpu.utils.compile_cache import enable_compilation_cache
     from tokenpacker_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+    enable_compilation_cache()  # chunked eval fan-out shares compiles
     eval_model(parser.parse_args(argv))
 
 

@@ -57,9 +57,11 @@ def main(argv=None):
     parser.add_argument("--load-8bit", action="store_true")
     parser.add_argument("--load-4bit", action="store_true")
     args = parser.parse_args(argv)
+    from tokenpacker_tpu.utils.compile_cache import enable_compilation_cache
     from tokenpacker_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+    enable_compilation_cache()  # repeat CLI runs skip recompilation
 
     from tokenpacker_tpu.api import load_pretrained_model
 

@@ -403,9 +403,19 @@ def main(argv=None):
                              "(ops/kv_quant) — halves cache HBM, enabling "
                              "HD-length multi-slot serving on one chip; "
                              "llama-family only")
+    parser.add_argument("--compile-cache", default=None, metavar="DIR|off",
+                        help="persistent XLA compilation cache directory "
+                             "(default ~/.cache/tokenpacker_tpu/xla, or "
+                             "TOKENPACKER_COMPILE_CACHE). Makes worker "
+                             "restarts skip recompilation; 'off' disables")
     args = parser.parse_args(argv)
     import os
 
+    from tokenpacker_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache(args.compile_cache)
+    if cache_dir:
+        logger.info(f"persistent compilation cache: {cache_dir}")
     if args.kv_cache == "int8":
         # process-level: read by models/llama.kv_cache_dtype at every cache
         # creation site (batcher slots, chunked-admission staging, prefill)
