@@ -125,3 +125,29 @@ def test_trainer_two_stage(tiny_data, tmp_path, monkeypatch):
     ckpts2 = [p for p in os.listdir(out2) if p.startswith("checkpoint-")]
     assert ckpts2
     assert os.path.isdir(os.path.join(out2, ckpts2[0], "state"))
+
+
+def test_async_save_resume_roundtrip(tiny_data, tmp_path):
+    """Async checkpoint (write overlaps training) commits a readable state:
+    params round-trip exactly through save_checkpoint -> try_resume."""
+    data_path, img_dir = tiny_data
+    cfg = tiny_vlm_config()
+    tok = Tok()
+    ds = SupervisedDataset(data_path, tok, image_folder=img_dir, version="v1")
+    params = init_vlm(jax.random.PRNGKey(1), cfg)
+
+    out = tmp_path / "async-run"
+    tcfg = TrainConfig(stage="finetune", learning_rate=1e-4)
+    rcfg = RunConfig(output_dir=str(out), per_device_batch_size=1,
+                     save_steps=100, tp=1, seq_pad_to=64, async_save=True)
+    trainer = Trainer(cfg, tcfg, rcfg, params, ds, tok)
+    trainer.save_checkpoint(step=7)  # returns while the write is in flight
+    trainer.finish_pending_saves()
+
+    trainer2 = Trainer(cfg, tcfg, rcfg, init_vlm(jax.random.PRNGKey(2), cfg),
+                       ds, tok)
+    step, _ = trainer2.try_resume()
+    assert step == 7
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        trainer2.params, params)

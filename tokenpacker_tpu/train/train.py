@@ -62,6 +62,9 @@ def build_parser():
     p.add_argument("--output-dir", required=True)
     p.add_argument("--save-steps", type=int, default=500)
     p.add_argument("--save-total-limit", type=int, default=1)
+    p.add_argument("--no-async-save", action="store_true",
+                   help="block on checkpoint disk writes (default: writes "
+                        "overlap subsequent train steps)")
     p.add_argument("--logging-steps", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
@@ -145,6 +148,7 @@ def main(argv=None):
         per_device_batch_size=args.per_device_batch_size,
         save_steps=args.save_steps,
         save_total_limit=args.save_total_limit,
+        async_save=not args.no_async_save,
         logging_steps=args.logging_steps,
         group_by_modality_length=args.group_by_modality_length,
         seed=args.seed,

@@ -46,6 +46,10 @@ class RunConfig:
     per_device_batch_size: int = 16
     save_steps: int = 500
     save_total_limit: int = 1
+    # async checkpointing: save() returns after the synchronous device→host
+    # copy; the disk write overlaps subsequent train steps (orbax
+    # AsyncCheckpointer). Replaces the reference's blocking HF Trainer saves.
+    async_save: bool = True
     logging_steps: int = 1
     group_by_modality_length: bool = False
     seed: int = 42
@@ -132,15 +136,28 @@ class Trainer:
             # adapter-only: reference-format mm_projector.bin
             self.save_mm_projector(os.path.join(out, "mm_projector.bin"))
         else:
-            state = {"params": jax.device_get(self.params), "step": step}
+            state = {"params": self.params, "step": step}
             if opt_state is not None:
-                state["opt_state"] = jax.device_get(opt_state)
+                state["opt_state"] = opt_state
+            # One save in flight at a time. Orbax copies arrays to host
+            # synchronously inside save() (so the train step's donated
+            # buffers are safe to reuse immediately); only the disk write
+            # runs in the background thread — training overlaps the IO.
+            self.ckptr.wait_until_finished()
             self.ckptr.save(
                 os.path.abspath(os.path.join(out, "state")), state, force=True
             )
-            self.ckptr.wait_until_finished()
+            if not self.rcfg.async_save:
+                self.ckptr.wait_until_finished()
         self._prune_checkpoints()
-        logger.info(f"saved checkpoint-{step}")
+        logger.info(f"saved checkpoint-{step}"
+                    + (" (writing in background)" if self.rcfg.async_save
+                       and self.tcfg.stage != "pretrain" else ""))
+
+    def finish_pending_saves(self):
+        """Block until any in-flight async checkpoint write has committed
+        (call before process exit or before reading the checkpoint back)."""
+        self.ckptr.wait_until_finished()
 
     def save_mm_projector(self, path: str):
         from tokenpacker_tpu.io.hf_import import export_tokenpacker
@@ -321,4 +338,5 @@ class Trainer:
                     if step % rcfg.save_steps == 0:
                         self.save_checkpoint(step, opt_state)
             self.save_checkpoint(step, opt_state)
+            self.finish_pending_saves()
         return self.params
