@@ -64,6 +64,8 @@ def tiny_worker():
     w.queue_length = 0
     w._ql_lock = threading.Lock()
     w.call_ct = 0
+    w.batcher = None
+    w.draining = False
     return w
 
 
@@ -385,3 +387,54 @@ def test_web_server_moderation_hook(servers, monkeypatch):
     finally:
         gs.shutdown()
         ms.shutdown()
+
+
+def test_deregister_worker_endpoint(servers):
+    _post(
+        servers["controller"] + "/register_worker",
+        {
+            "worker_name": "http://localhost:9999",
+            "check_heart_beat": False,
+            "worker_status": {"model_names": ["drain-me"], "speed": 1, "queue_length": 0},
+        },
+    )
+    assert "drain-me" in _post(servers["controller"] + "/list_models", {})["models"]
+    ret = _post(
+        servers["controller"] + "/deregister_worker",
+        {"worker_name": "http://localhost:9999"},
+    )
+    assert ret["existed"] is True
+    assert "drain-me" not in _post(servers["controller"] + "/list_models", {})["models"]
+    # idempotent
+    ret = _post(
+        servers["controller"] + "/deregister_worker",
+        {"worker_name": "http://localhost:9999"},
+    )
+    assert ret["existed"] is False
+
+
+def test_worker_drain(servers, tiny_worker):
+    """drain(): deregisters, refuses new requests, returns when idle."""
+    tiny_worker.controller_addr = servers["controller"]
+    tiny_worker.worker_addr = servers["worker"]
+    try:
+        _post(
+            servers["controller"] + "/register_worker",
+            {
+                "worker_name": servers["worker"],
+                "check_heart_beat": False,
+                "worker_status": {
+                    "model_names": ["tiny-tokenpacker"], "speed": 1, "queue_length": 0,
+                },
+            },
+        )
+        tiny_worker.drain(timeout=5.0)
+        models = _post(servers["controller"] + "/list_models", {})["models"]
+        assert "tiny-tokenpacker" not in models
+        chunks = list(tiny_worker.generate_stream_gate({"prompt": "hi"}))
+        msg = json.loads(chunks[-1].rstrip(b"\0"))
+        assert msg["error_code"] == 1 and "shutting down" in msg["text"]
+    finally:
+        tiny_worker.draining = False
+        tiny_worker.controller_addr = None
+        tiny_worker.worker_addr = None

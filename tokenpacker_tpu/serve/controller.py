@@ -112,6 +112,16 @@ class Controller:
                 names.update(info.model_names)
         return sorted(names)
 
+    def deregister_worker(self, worker_name: str) -> bool:
+        """Graceful-drain path (beyond the reference, whose workers only
+        drop off via 30 s heartbeat expiry): a worker announcing shutdown
+        is removed immediately so no new requests are dispatched to it."""
+        with self.lock:
+            existed = self.worker_info.pop(worker_name, None) is not None
+        if existed:
+            logger.info(f"Deregistered worker: {worker_name}")
+        return existed
+
     def receive_heart_beat(self, worker_name: str, queue_length: int) -> bool:
         with self.lock:
             info = self.worker_info.get(worker_name)
@@ -226,6 +236,9 @@ def make_handler(controller: Controller):
                 self._send_json({"models": controller.list_models()})
             elif route == "/get_worker_address":
                 self._send_json({"address": controller.get_worker_address(body["model"])})
+            elif route == "/deregister_worker":
+                existed = controller.deregister_worker(body["worker_name"])
+                self._send_json({"existed": existed})
             elif route == "/receive_heart_beat":
                 exist = controller.receive_heart_beat(body["worker_name"], body["queue_length"])
                 self._send_json({"exist": exist})

@@ -113,6 +113,8 @@ class ModelWorker:
         self.queue_length = 0
         self._ql_lock = threading.Lock()
         self.call_ct = 0
+        self.draining = False
+        self.registered = not no_register
         if not no_register:
             self.register_to_controller()
             self.heart_beat_thread = threading.Thread(target=self._heartbeat_loop, daemon=True)
@@ -328,7 +330,38 @@ class ModelWorker:
         if n > 1:
             GLOBAL_STATS.record("decode_per_token", (time.perf_counter() - t_decode) / (n - 1))
 
+    def drain(self, timeout: float = 60.0):
+        """Graceful shutdown: deregister from the controller (no new
+        dispatches), refuse new requests, wait for in-flight generations,
+        then stop the batcher. The reference has no drain path — a killed
+        worker just times out of the controller's 30 s heartbeat window,
+        failing every request dispatched to it in between."""
+        self.draining = True
+        if self.controller_addr and getattr(self, "registered", True):
+            try:
+                _post_json(
+                    self.controller_addr + "/deregister_worker",
+                    {"worker_name": self.worker_addr},
+                )
+            except Exception as e:
+                logger.error(f"deregister failed (continuing drain): {e}")
+        deadline = time.time() + timeout
+        while self.queue_length > 0 and time.time() < deadline:
+            time.sleep(0.25)
+        if self.queue_length:
+            logger.warning(
+                f"drain timeout with {self.queue_length} requests in flight"
+            )
+        if self.batcher is not None:
+            self.batcher.stop()
+        logger.info("worker drained")
+
     def generate_stream_gate(self, params: dict):
+        if getattr(self, "draining", False):
+            yield json.dumps(
+                {"text": "worker is shutting down", "error_code": 1}
+            ).encode() + b"\0"
+            return
         with self._ql_lock:
             self.queue_length += 1
         self.semaphore.acquire()
@@ -440,8 +473,22 @@ def main(argv=None):
         speculative_k=args.speculative_k,
     )
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
+
+    import signal
+
+    def _graceful(signum, frame):
+        logger.info(f"signal {signum}: draining worker")
+        # drain + shutdown off the signal handler thread (server.shutdown()
+        # deadlocks if called from within serve_forever's own thread)
+        threading.Thread(
+            target=lambda: (worker.drain(), server.shutdown()), daemon=True
+        ).start()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _graceful)
     logger.info(f"worker listening on {args.host}:{args.port}")
     server.serve_forever()
+    logger.info("worker exited cleanly")
 
 
 if __name__ == "__main__":
