@@ -21,6 +21,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("TOKENPACKER_W8A8", "1")
 
 import jax
