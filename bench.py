@@ -234,7 +234,9 @@ def _int8_params_on_device(cfg, dtype):
         # DMA format (ops/quantize.pack_fused_weights; ROADMAP round-3)
         from tokenpacker_tpu.ops.quantize import pack_fused_weights
 
-        params = {**params, "lm": jax.jit(pack_fused_weights)(params["lm"])}
+        # donate: the replaced int8 'q' buffers are freed as packing
+        # consumes them — without it, int8 + packed copies coexist (~13 GB)
+        params = {**params, "lm": jax.jit(pack_fused_weights, donate_argnums=0)(params["lm"])}
     return params
 
 

@@ -248,7 +248,12 @@ def pack_fused_weights(lm_params):
         if "lora_a" in k or k["q"].shape[-2] % 2:
             return leaf
         nk = {kk: v for kk, v in k.items() if kk != "q"}
-        nk["qp"] = pack_int8_rows(k["q"])
+        # pack_int8_rows builds a full-size uint16 intermediate (2x the
+        # int8 bytes — 5.8 GB for a 7B gateup stack): map over the layer
+        # axis so the transient is per-layer (~90 MB), or packing a full
+        # int8 7B on one v5e OOMs (RESOURCE_EXHAUSTED, measured)
+        qv = k["q"]
+        nk["qp"] = jax.lax.map(pack_int8_rows, qv) if qv.ndim == 3 else pack_int8_rows(qv)
         return {**leaf, "kernel": nk}
 
     for d, name in ((attn, "qkv"), (attn, "o"), (mlp, "gateup"), (mlp, "down")):
