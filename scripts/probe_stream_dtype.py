@@ -87,7 +87,10 @@ def main():
         "int8": (jnp.int8, 1),
         "int32": (jnp.int32, 4),
         "bf16": (jnp.bfloat16, 2),
-        "uint16": (jnp.uint16, 2),
+        "uint16": (jnp.uint16, 2),  # fails: mosaic can't reduce unsigned —
+        # use int16 (same 16-bit VMEM tile format, signedness is irrelevant
+        # to the DMA engine) as the stand-in for the FD_PACK u16 ring
+        "int16": (jnp.int16, 2),
     }
     names = sys.argv[1:] or list(cases)
     reps_layers = int(os.environ.get("REPS", "8")) * L
