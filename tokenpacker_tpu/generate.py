@@ -101,6 +101,13 @@ def prefill(params, cfg: TokenPackerVLMConfig, batch, s_max: int):
     of silently reusing the old dtype's compilation."""
     from tokenpacker_tpu.models.llama import kv_cache_dtype
 
+    # round the cache length up to the TPU sublane tile (8): the fused
+    # decode kernel stages [S, HD] cache slices by DMA and mosaic rejects
+    # row counts not aligned to the (8,128) tiling ("Slice shape along
+    # dimension 2 must be aligned to tiling (8)"). The extra rows are never
+    # attended (lengths/bias gate every path), so this is free capacity.
+    s_max = -(-s_max // 8) * 8
+
     n, l = batch["token_ids"].shape
     cache = KVCache.create(
         cfg.lm, n, s_max,
@@ -204,7 +211,11 @@ def _fused_decode_mode(params, cfg: TokenPackerVLMConfig, cache) -> str | None:
     # so the default dispatch keeps the kernel where it wins (S=512:
     # 87.4 vs 84.6 B=1 and 416 vs 317 agg B=8; S=1024: 73.9 vs 72.1 B=1 —
     # all with identical argmax-chained token sums)
-    if cache.k.dtype != jnp.bfloat16 or cache.k.shape[2] > 1024:
+    # S must be a multiple of 8: the kernel's cache staging DMAs [S, HD]
+    # slices and mosaic rejects non-8-aligned row counts (prefill() aligns
+    # its allocations; this guard covers externally-created caches)
+    if (cache.k.dtype != jnp.bfloat16 or cache.k.shape[2] > 1024
+            or cache.k.shape[2] % 8 != 0):
         return None
     if v == "interpret":
         return "interpret"
