@@ -102,8 +102,11 @@ def test_pipeline_grads_match_scan():
     got_l, got_g = jax.jit(jax.value_and_grad(pp_loss))(sharded)
 
     np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
-    flat_w, _ = jax.tree_util.tree_flatten(want_g)
-    flat_g, _ = jax.tree_util.tree_flatten(got_g)
+    flat_w, tdef_w = jax.tree_util.tree_flatten(want_g)
+    flat_g, tdef_g = jax.tree_util.tree_flatten(got_g)
+    # equal treedefs first: a leaf missing from the pipeline grad must fail
+    # loudly, not silently truncate the zip (ADVICE r3)
+    assert tdef_w == tdef_g, (tdef_w, tdef_g)
     for w, g in zip(flat_w, flat_g):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=3e-4, atol=3e-5)
@@ -122,3 +125,10 @@ def test_pipeline_rejects_bad_divisibility():
     with pytest.raises(ValueError, match="divisible"):
         pipeline_llama_hidden(params8, cfg8, x[:6], positions[:6],
                               key_valid[:6], mesh, num_microbatches=2)
+
+
+def test_make_pp_mesh_rejects_underused_devices():
+    """Regression (ADVICE r3): an explicit dp with dp*pp < n must raise, not
+    silently idle the remaining devices."""
+    with pytest.raises(ValueError, match="!="):
+        make_pp_mesh(pp=2, dp=2)  # 4 < the 8 virtual devices

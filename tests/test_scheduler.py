@@ -462,3 +462,57 @@ def test_batcher_chunked_prefill_matches_generator(model):
         batcher.stop()
     for got, exp in zip(results, expected):
         assert got == exp, (got, exp)
+
+
+def _request_padded(cfg, seed, pad_to):
+    r = _request(cfg, seed)
+    ids = np.concatenate(
+        [[1, 17 + seed], [IMAGE_TOKEN_INDEX], 30 + np.arange(2)]
+    ).astype(np.int64)
+    plan = build_splice_plan(
+        [ids], [[(1, 1)]], cfg.tokens_per_view, "single", 7, 8, 0, pad_to=pad_to
+    )
+    r.update(token_ids=plan.token_ids, is_image=plan.is_image,
+             image_slot=plan.image_slot, lengths=plan.lengths)
+    return r
+
+
+def test_paged_admission_unaligned_page_pad(model):
+    """Regression (ADVICE r3 medium): page_size=4 with a prompt whose
+    page-aligned pad is NOT 8-aligned (pad_to=12 -> old l_pad 12) used to
+    crash admission — prefill() rounds its cache to the sublane tile (8),
+    so insert_prefill saw a 16-wide cache but only 3 allocated pages."""
+    from tokenpacker_tpu.serve.scheduler import PagedContinuousBatcher
+
+    cfg, params = model
+    gen = Generator(params, cfg)
+    req = _request_padded(cfg, 3, pad_to=12)
+    exp = gen.generate(req, max_new_tokens=4, temperature=0.0).sequences[0]
+
+    batcher = PagedContinuousBatcher(
+        params, cfg, num_slots=2, num_pages=24, page_size=4, max_pages_per_seq=8
+    )
+    batcher.start()
+    try:
+        got = batcher.submit(req, 4).result(timeout=120)
+    finally:
+        batcher.stop()
+    assert got == exp, (got, exp)
+
+
+def test_batcher_unaligned_max_seq_len(model):
+    """Regression (ADVICE r3 medium): max_seq_len not 8-aligned + a
+    near-max prompt — prefill's 8-rounded cache (64) is wider than the
+    shared cache (60); insert_into_cache must clamp the copy, not crash."""
+    cfg, params = model
+    gen = Generator(params, cfg)
+    req = _request_padded(cfg, 4, pad_to=60)
+    exp = gen.generate(req, max_new_tokens=2, temperature=0.0).sequences[0]
+
+    batcher = ContinuousBatcher(params, cfg, num_slots=1, max_seq_len=60)
+    batcher.start()
+    try:
+        got = batcher.submit(req, 2).result(timeout=120)
+    finally:
+        batcher.stop()
+    assert got == exp, (got, exp)

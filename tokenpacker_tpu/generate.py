@@ -373,15 +373,19 @@ def insert_into_cache(big: KVCache, small: KVCache, slot: int, length):
             f"(quantized={big.k_scale is not None}) vs prefill {small.k.dtype} "
             f"(quantized={small.k_scale is not None})"
         )
-    l_pad = small.k.shape[2]
-    k = big.k.at[:, slot, :l_pad].set(small.k[:, 0])
-    v = big.v.at[:, slot, :l_pad].set(small.v[:, 0])
+    # prefill() rounds its cache length up to the sublane tile (8), so the
+    # small cache can be wider than the shared cache when max_seq_len is not
+    # 8-aligned and a near-max prompt rounds past it — clamp the copy; the
+    # clipped rows are padding beyond the prompt, never prefilled (ADVICE r3)
+    l_pad = min(small.k.shape[2], big.k.shape[2])
+    k = big.k.at[:, slot, :l_pad].set(small.k[:, 0, :l_pad])
+    v = big.v.at[:, slot, :l_pad].set(small.v[:, 0, :l_pad])
     new_len = big.length.at[slot].set(length)
     out = big._replace(k=k, v=v, length=new_len)
     if big.k_scale is not None:
         out = out._replace(
-            k_scale=big.k_scale.at[:, slot, :l_pad].set(small.k_scale[:, 0]),
-            v_scale=big.v_scale.at[:, slot, :l_pad].set(small.v_scale[:, 0]),
+            k_scale=big.k_scale.at[:, slot, :l_pad].set(small.k_scale[:, 0, :l_pad]),
+            v_scale=big.v_scale.at[:, slot, :l_pad].set(small.v_scale[:, 0, :l_pad]),
         )
     return out
 

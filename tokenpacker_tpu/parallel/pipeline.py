@@ -59,8 +59,10 @@ def make_pp_mesh(pp: int, dp: int | None = None, devices=None) -> Mesh:
         if n % pp != 0:
             raise ValueError(f"{n} devices not divisible by pp={pp}")
         dp = n // pp
-    if dp * pp > n:
-        raise ValueError(f"dp*pp = {dp * pp} > {n} devices")
+    if dp * pp != n:
+        # an explicit dp that underuses the devices would silently idle the
+        # rest (ADVICE r3) — match the strictness of the dp=None path
+        raise ValueError(f"dp*pp = {dp * pp} != {n} devices")
     arr = np.asarray(devices[: dp * pp]).reshape(dp, pp)
     return Mesh(arr, (DATA_AXIS, STAGE_AXIS))
 
@@ -148,6 +150,13 @@ def pipeline_llama_hidden(
         ticks = m + n_stages - 1
 
         def tick(carry, t_idx):
+            # bubble ticks (t_idx outside [s, s+m-1]) re-run the clipped edge
+            # microbatch and discard the result — deliberate: SPMD lockstep
+            # means gating them saves no wall-clock (every stage waits for
+            # the slowest tick anyway), and a lax.cond would double-trace the
+            # stage body. The redundant forwards (and their remat backward)
+            # are the inherent pipeline-bubble cost, paid in FLOPs/energy
+            # only (ADVICE r3, documented trade).
             state, outputs = carry
             mb_idx = jnp.clip(t_idx - s, 0, m - 1)
             pick = lambda a: jax.lax.dynamic_index_in_dim(a, mb_idx, 0, False)

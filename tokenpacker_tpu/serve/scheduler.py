@@ -19,6 +19,7 @@ Streaming: pass `on_token=callable(token_id)`.
 
 from __future__ import annotations
 
+import math
 import queue
 import threading
 from concurrent.futures import Future
@@ -163,7 +164,12 @@ class PagedContinuousBatcher:
         b = req.batch
         l = b["token_ids"].shape[1]
         ps = self.page_size
-        l_pad = ((l + ps - 1) // ps) * ps
+        # align to lcm(page_size, 8): prefill() rounds its cache length up to
+        # the TPU sublane tile (8), so admission page math must agree with
+        # the cache shape prefill actually returns (ADVICE r3: page_size=4 +
+        # a 12-token pad produced a 16-wide cache and crashed insert_prefill)
+        align = math.lcm(ps, 8)
+        l_pad = ((l + align - 1) // align) * align
         assert l_pad // ps <= self.max_pages_per_seq
         token_ids = np.zeros((1, l_pad), b["token_ids"].dtype)
         token_ids[:, :l] = b["token_ids"]
