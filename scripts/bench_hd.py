@@ -43,29 +43,27 @@ def quant_params(cfg, dtype, quant: str):
     return int8_params_like(shapes)
 
 
-def main():
-    import argparse
+def measure(preset: str = "7b-9patch", quant: str | None = None, n_loop: int = 8,
+            params=None):
+    """Measure (images_per_sec_per_chip, ttft_p50_ms) for an HD preset.
 
+    Importable (bench.py's hd_7b_9patch section); params may be passed in to
+    reuse an already-materialized quantized model."""
     from tokenpacker_tpu.config import vicuna_13b
     from tokenpacker_tpu.generate import pick_bucket
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="7b-9patch", choices=["7b-9patch", "13b-16patch"])
-    ap.add_argument("--quant", default=None, choices=["int8", "int4"],
-                    help="default: int8 for 7b, int4 for 13b")
-    args = ap.parse_args()
-
-    if args.preset == "13b-16patch":
+    if preset == "13b-16patch":
         cfg = TokenPackerVLMConfig(lm=vicuna_13b(), patch_num=16,
                                    image_aspect_ratio="slice")
         hb = wb = 4  # worst-case patch_num-16 grid; 17 crops incl. global
-        quant = args.quant or "int4"
+        quant = quant or "int4"
     else:
         cfg = TokenPackerVLMConfig()
         hb = wb = 3  # worst-case patch_num-9 grid; 10 crops incl. global view
-        quant = args.quant or "int8"
+        quant = quant or "int8"
     dtype = jnp.bfloat16
-    params = quant_params(cfg, dtype, quant)
+    if params is None:
+        params = quant_params(cfg, dtype, quant)
 
     ids = np.concatenate([[1], np.arange(100, 135), [IMAGE_TOKEN_INDEX], np.arange(150, 160)]).astype(np.int64)
     probe = build_splice_plan([ids], [[(hb, wb)]], cfg.tokens_per_view, "slice",
@@ -97,8 +95,10 @@ def main():
         float(logits[0, 0])
         ts.append(time.perf_counter() - t0)
     ttft_ms = sorted(ts)[2] * 1e3
+    print(f"TTFT p50: {ttft_ms:.0f} ms", flush=True)
 
-    # throughput: chained loop (tunnel-proof)
+    # throughput: chained loop (tunnel-proof). prefill() is called directly —
+    # its nested jit inlines under the outer trace (cache creation is pure)
     import functools
 
     @functools.partial(jax.jit, static_argnames=("n",))
@@ -106,20 +106,32 @@ def main():
         def body(i, c):
             b = dict(batch)
             b["images"] = batch["images"] + c
-            lg, _ = prefill.__wrapped__(params, cfg, b, s_max)
+            lg, _ = prefill(params, cfg, b, s_max)
             return jnp.max(lg).astype(dtype) * jnp.asarray(0, dtype)
 
         return jax.lax.fori_loop(0, n, body, jnp.asarray(0, dtype))
 
-    n = 8
+    n = n_loop
     float(loop(params, batch, n))
     t0 = time.perf_counter()
     float(loop(params, batch, n))
     dt = time.perf_counter() - t0
     ips = n / dt
-    label = f"HD-{args.preset} ({hb}x{wb}+global, {quant} LM)"
+    label = f"HD-{preset} ({hb}x{wb}+global, {quant} LM)"
     print(f"{label}: {ips:.2f} images/s/chip, TTFT p50 {ttft_ms:.0f} ms")
     print(f"x8 DP extrapolation: {ips * 8:.1f} images/s on v5e-8 (north star: >=20)")
+    return ips, ttft_ms
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="7b-9patch", choices=["7b-9patch", "13b-16patch"])
+    ap.add_argument("--quant", default=None, choices=["int8", "int4"],
+                    help="default: int8 for 7b, int4 for 13b")
+    args = ap.parse_args()
+    measure(args.preset, args.quant)
 
 
 if __name__ == "__main__":
