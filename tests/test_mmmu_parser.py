@@ -210,3 +210,28 @@ def test_evaluate_scores_match_reference(ref):
             s["answer"], s["parsed_pred"]
         )
         assert ours == (judge[s["id"]] == "Correct"), s["id"]
+
+
+def test_convert_to_test(tmp_path):
+    """The val→test submission reformatter: {id: parsed_pred}, list preds
+    collapse to str(first) (reference convert_to_test.py:18-25)."""
+    import json
+
+    from tokenpacker_tpu.eval import mmmu
+
+    rf = tmp_path / "val.jsonl"
+    rows = [
+        {"id": "validation_Art_1", "parsed_pred": "B"},
+        {"id": "validation_Math_2", "parsed_pred": ["3.14", "pi"]},
+        {"id": "validation_Bio_3", "parsed_pred": [7]},
+    ]
+    rf.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "sub.json"
+    mmmu.main(["convert-to-test", "--result-file", str(rf),
+               "--output-path", str(out)])
+    got = json.loads(out.read_text())
+    assert got == {
+        "validation_Art_1": "B",
+        "validation_Math_2": "3.14",
+        "validation_Bio_3": "7",
+    }

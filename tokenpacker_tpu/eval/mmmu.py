@@ -277,6 +277,26 @@ def run(args):
         json.dump(parsed, f, indent=2)
 
 
+def convert_to_test(args):
+    """val-format results (jsonl of {'id', 'parsed_pred', ...}) → the MMMU
+    test-split submission mapping {id: pred}; list preds collapse to their
+    first element stringified. Faithful port of the reference reformatter
+    (llava/eval/mmmu/eval/convert_to_test.py:18-25)."""
+    out_json = {}
+    with open(args.result_file) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            sample = json.loads(line)
+            result = sample["parsed_pred"]
+            if isinstance(result, list):
+                result = str(result[0])
+            out_json[sample["id"]] = result
+    with open(args.output_path, "w") as f:
+        json.dump(out_json, f, indent=4)
+    print(f"wrote {len(out_json)} entries to {args.output_path}")
+
+
 def score(args):
     with open(args.answers) as f:
         answers = json.load(f)
@@ -307,6 +327,10 @@ def main(argv=None):
     sp.add_argument("--answers", required=True)
     sp.add_argument("--answer-dict", required=True)
     sp.set_defaults(fn=score)
+    sp = sub.add_parser("convert-to-test")
+    sp.add_argument("--result-file", required=True)
+    sp.add_argument("--output-path", required=True)
+    sp.set_defaults(fn=convert_to_test)
     args = p.parse_args(argv)
     args.fn(args)
 
