@@ -41,8 +41,9 @@ def bench(batch: int, s_max: int = None, n_steps: int = 64, fill: int = None):
     lm = cfg.lm
     from tokenpacker_tpu.models.llama import kv_cache_dtype
 
-    # honors TOKENPACKER_KV_CACHE=int8 (ops/kv_quant): int8 caches take the
-    # XLA path (the fused kernel's eligibility gate rejects them)
+    # honors TOKENPACKER_KV_CACHE=int8 (ops/kv_quant): since round 4 int8
+    # caches COMPOSE with the fused kernel (int8 staging + factored scales;
+    # the dispatch gate also extends to S=2048 for int8)
     cache = KVCache.create(
         lm, batch, s_max, dtype=kv_cache_dtype(jnp.bfloat16)
     )._replace(length=jnp.full((batch,), fill, jnp.int32))

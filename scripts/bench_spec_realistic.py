@@ -1,0 +1,274 @@
+"""Realistic speculative-decoding economics: prompt-lookup acceptance on
+REAL text streams + on-chip verify-round costs → a net-speedup table.
+
+Why this design (VERDICT r3 item 5): every earlier speculation number used
+rigged repeater weights or repetitive random-LM cycles — upper bounds, not
+workload measurements. Acceptance of prompt-lookup drafts is a property of
+the TOKEN STREAM, not of the weights: for a teacher-forced stream (the
+model reproduces a real text continuation exactly), a draft is accepted iff
+it matches the text's actual next tokens. So the acceptance side is
+measured EXACTLY on the host by replaying real text through the deployed
+proposal + acceptance + backoff logic (speculative.propose_ngram_host /
+accept_greedy semantics / generate._stream_speculative's zero-streak
+backoff), while the per-round COSTS (plain decode step, k+1-token verify
+round) are measured on-chip. Net throughput over a workload
+    = produced / (n_verify·t_verify(k) + n_plain·t_plain).
+
+Tokenization: word+punctuation level (the HF BPE vocab is not fetchable in
+this environment); BPE sub-word units repeat at least as often as whole
+words, so word-level n-gram acceptance is a CONSERVATIVE proxy for real
+prompt-lookup (which matches token ids).
+
+Workloads:
+  prose        — this repo's own English documentation (descriptive answers)
+  code         — a Python source file (code-assistant output)
+  doc_quote    — DocVQA/OCR-style: the answer quotes spans of the prompt
+                 passage (prompt-lookup's motivating case)
+  short_answer — VQA-style 3–8-token answers re-using question words
+
+Usage:
+  python scripts/bench_spec_realistic.py                # host sim + on-chip
+  python scripts/bench_spec_realistic.py --no-measure   # host sim only,
+      costs taken from --t-plain/--t-verify (defaults: round-3 measurements)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tokenize_words(text: str) -> list[int]:
+    """Word+punct tokens → stable int ids (vocabulary local to the text)."""
+    toks = re.findall(r"\w+|[^\w\s]", text)
+    vocab: dict[str, int] = {}
+    return [vocab.setdefault(t, len(vocab) + 4) for t in toks]
+
+
+def simulate(stream: list[int], prompt_len: int, k: int, max_new: int | None = None):
+    """Replay a teacher-forced stream through the deployed speculative
+    policy. Returns per-round accounting.
+
+    Mirrors generate._stream_speculative: propose via the trailing-2-gram
+    lookup (speculative.propose_ngram_host); a verify round emits
+    (accepted + 1 bonus) tokens; 4 consecutive zero-acceptance rounds back
+    off to 16 plain rounds."""
+    from tokenpacker_tpu.speculative import propose_ngram_host
+
+    ctx = list(stream[:prompt_len])
+    target = stream[prompt_len:]
+    if max_new is not None:
+        target = target[:max_new]
+    produced = n_verify = n_plain = accepted = 0
+    zero_streak = plain_budget = 0
+    while produced < len(target):
+        draft = [] if plain_budget > 0 else propose_ngram_host(ctx, k)
+        if not draft:
+            plain_budget = max(0, plain_budget - 1)
+            n_plain += 1
+            ctx.append(target[produced])
+            produced += 1
+            continue
+        n_verify += 1
+        a = 0
+        for j, d in enumerate(draft):
+            if produced + j < len(target) and d == target[produced + j]:
+                a += 1
+            else:
+                break
+        emit = min(a + 1, len(target) - produced)  # accepted + bonus token
+        ctx.extend(target[produced : produced + emit])
+        produced += emit
+        accepted += min(a, emit)
+        if a == 0:
+            zero_streak += 1
+            if zero_streak >= 4:
+                plain_budget, zero_streak = 16, 0
+        else:
+            zero_streak = 0
+    return {
+        "produced": produced,
+        "n_verify": n_verify,
+        "n_plain": n_plain,
+        "accepted_drafts": accepted,
+        "accept_per_verify": accepted / max(n_verify, 1),
+    }
+
+
+def load_workloads() -> dict[str, list[tuple[list[int], int]]]:
+    """(stream, prompt_len) samples per workload."""
+
+    def read(p):
+        with open(os.path.join(ROOT, p)) as f:
+            return f.read()
+
+    prose = tokenize_words(read("README.md") + "\n" + read("docs/serving.md"))
+    code = tokenize_words(read("tokenpacker_tpu/generate.py"))
+
+    # DocVQA/OCR-readout: a ~400-token "document" prompt; the answer quotes
+    # three spans of it with short connective glue — the prompt-lookup
+    # motivating workload (answers copied out of the page text)
+    doc = prose[:400]
+    glue1, glue2, glue3 = ([9000], [9001, 9002], [9003])
+    answer = glue1 + doc[60:95] + glue2 + doc[210:245] + glue3 + doc[300:330]
+    doc_quote = (doc + answer, len(doc))
+
+    # short-answer VQA proxy: 3–8-token answers reusing question words
+    # ("what color is the car" → "the car is red"); 12 dialogues
+    short = []
+    rng_words = prose
+    import random
+
+    rng = random.Random(0)
+    for i in range(12):
+        q = rng_words[i * 37 : i * 37 + 24]
+        # answer re-uses a bigram from the question + fresh tokens
+        j = rng.randrange(0, 20)
+        ans = q[j : j + 2] + [8000 + i, 8100 + i, 8200 + rng.randrange(4)]
+        short.append((q + ans, len(q)))
+
+    return {
+        "prose": [(prose[: 64 + 256], 64)],
+        "code": [(code[: 64 + 256], 64)],
+        "doc_quote": [doc_quote],
+        "short_answer": short,
+    }
+
+
+def measure_costs_on_chip(ks: tuple[int, ...]):
+    """t_plain and t_verify(k) on the real chip: 7B int8, fused layout,
+    S=512 cache, chained-loop timing per CLAUDE.md tunnel rules."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from tokenpacker_tpu.config import TokenPackerVLMConfig
+    from tokenpacker_tpu.generate import _fd_jit, decode_step
+    from tokenpacker_tpu.models.llama import KVCache
+    from tokenpacker_tpu.models.vlm import init_vlm
+    from tokenpacker_tpu.ops.quantize import fuse_llama_layers
+    from tokenpacker_tpu.speculative import verify_step
+    from tokenpacker_tpu.utils.bench_params import int8_params_like
+
+    cfg = TokenPackerVLMConfig()
+    lm = cfg.lm
+    shapes = jax.eval_shape(lambda: init_vlm(jax.random.PRNGKey(0), cfg, jnp.bfloat16))
+    shapes = {**shapes, "lm": jax.eval_shape(fuse_llama_layers, shapes["lm"])}
+    params = int8_params_like(shapes)
+    s_max, pre = 512, 64
+    import functools
+
+    def fresh_cache():
+        return KVCache(
+            jnp.zeros((lm.num_hidden_layers, 1, s_max, lm.kv_heads, lm.head_dim), jnp.bfloat16),
+            jnp.zeros((lm.num_hidden_layers, 1, s_max, lm.kv_heads, lm.head_dim), jnp.bfloat16),
+            jnp.full((1,), pre, jnp.int32),
+        )
+
+    lengths = jnp.full((1,), pre, jnp.int32)
+    n_steps = 64
+
+    @functools.partial(_fd_jit, static_argnames=("n",))
+    def plain_loop(params, cache, tok, salt, n: int):
+        tok = tok + salt * 0
+
+        def body(i, carry):
+            cache, tok = carry
+            logits, cache = decode_step(params, cfg, cache, tok, lengths, i, pre)
+            return cache, jnp.argmax(logits, -1).astype(jnp.int32)
+
+        cache, tok = jax.lax.fori_loop(0, n, body, (cache, tok))
+        return jnp.sum(tok)
+
+    tok = jnp.ones((1,), jnp.int32)
+    float(plain_loop(params, fresh_cache(), tok, jnp.asarray(0), n_steps))
+    t0 = time.perf_counter()
+    float(plain_loop(params, fresh_cache(), tok, jnp.asarray(1), n_steps))
+    t_plain = (time.perf_counter() - t0) / n_steps
+
+    out = {"t_plain_ms": t_plain * 1e3}
+    for k in ks:
+        rounds = max(8, (s_max - pre - 2) // (k + 1) - 1)
+
+        @functools.partial(_fd_jit, static_argnames=("n",))
+        def verify_loop(params, cache, fed, salt, n: int, k=k):
+            fed = fed + salt * 0
+
+            def body(i, carry):
+                cache, fed = carry
+                logits, cache = verify_step(
+                    params, cfg, cache, fed, lengths, i * (k + 1), pre
+                )
+                return cache, jnp.argmax(logits[:, -1], -1)[:, None] * jnp.ones(
+                    (1, k + 1), jnp.int32
+                )
+
+            cache, fed = jax.lax.fori_loop(0, n, body, (cache, fed))
+            return jnp.sum(fed)
+
+        fed = jnp.ones((1, k + 1), jnp.int32)
+        float(verify_loop(params, fresh_cache(), fed, jnp.asarray(0), rounds))
+        t0 = time.perf_counter()
+        float(verify_loop(params, fresh_cache(), fed, jnp.asarray(1), rounds))
+        out[f"t_verify_ms_k{k}"] = (time.perf_counter() - t0) / rounds * 1e3
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ks", default="2,4,8")
+    ap.add_argument("--no-measure", action="store_true",
+                    help="skip the on-chip cost measurement; use --t-plain/"
+                         "--t-verify (ms; comma list matching --ks)")
+    ap.add_argument("--t-plain", type=float, default=11.4)
+    ap.add_argument("--t-verify", default=None)
+    args = ap.parse_args()
+    ks = tuple(int(x) for x in args.ks.split(","))
+
+    if args.no_measure:
+        costs = {"t_plain_ms": args.t_plain}
+        tv = ([float(x) for x in args.t_verify.split(",")]
+              if args.t_verify else [args.t_plain * 1.28] * len(ks))
+        for k, t in zip(ks, tv):
+            costs[f"t_verify_ms_k{k}"] = t
+        costs["costs_source"] = "assumed (--no-measure)"
+    else:
+        costs = measure_costs_on_chip(ks)
+        costs["costs_source"] = "measured on-chip"
+    print(json.dumps(costs), flush=True)
+
+    workloads = load_workloads()
+    for name, samples in workloads.items():
+        for k in ks:
+            agg = {"produced": 0, "n_verify": 0, "n_plain": 0, "accepted_drafts": 0}
+            for stream, plen in samples:
+                r = simulate(stream, plen, k)
+                for key in agg:
+                    agg[key] += r[key]
+            tp = costs["t_plain_ms"]
+            tv = costs[f"t_verify_ms_k{k}"]
+            t_spec = agg["n_verify"] * tv + agg["n_plain"] * tp
+            t_plain_total = agg["produced"] * tp
+            print(json.dumps({
+                "workload": name, "k": k,
+                "produced": agg["produced"],
+                "verify_rounds": agg["n_verify"],
+                "plain_steps": agg["n_plain"],
+                "accept_per_verify": round(
+                    agg["accepted_drafts"] / max(agg["n_verify"], 1), 2),
+                "net_tok_s": round(agg["produced"] / t_spec * 1e3, 1),
+                "plain_tok_s": round(1e3 / tp, 1),
+                "speedup": round(t_plain_total / t_spec, 3),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,7 @@ def _xla_verify_hidden(params, cfg, cache, emb, lengths, step, pre, s):
     prompt_ok = key_idx < lengths[:, None, None]
     dec_ok = (key_idx >= pre) & (key_idx <= pre + step + offs[None, :, None])
     bias = jnp.where((prompt_ok | dec_ok)[:, None], 0.0, NEG).astype(jnp.float32)
-    cache_at = KVCache(cache.k, cache.v, pre + step)
+    cache_at = cache._replace(length=pre + step)
     return llama_apply(params, cfg, emb, positions, bias, cache_at)
 
 
@@ -229,3 +229,44 @@ def test_speculative_chunk_fused_runs(monkeypatch):
     assert int(rounds) >= 1
     toks = np.asarray(out)[:produced]
     assert ((toks >= 0) & (toks < cfg_lm.vocab_size)).all()
+
+
+def test_fused_verify_matches_xla_verify_int8_kv():
+    """Verify (T>1, qg attention form) over an int8-quantized cache: the
+    kernel's int8 staging + factored scales + in-kernel qdq of the fed
+    tokens' k/v must match the XLA int8-cache verify path (VERDICT r3
+    item 2 — the composition covers decode AND speculative verify)."""
+    cfg = tiny_cfg(layers=2)
+    params = build_params(cfg)
+    b, s, pre, t, step = 2, 64, 16, 3, 2
+    lengths = jnp.asarray([10, 16], jnp.int32)
+    cache = prefill(params, cfg, b, s, pre, lengths, cache_dtype=jnp.int8)
+    assert cache.k_scale is not None
+    emb = (
+        0.1 * jax.random.normal(jax.random.PRNGKey(7), (b, t, cfg.hidden_size))
+    ).astype(jnp.bfloat16)
+
+    hx, ncx = _xla_verify_hidden(params, cfg, cache, emb, lengths, step, pre, s)
+
+    offs = jnp.arange(t, dtype=jnp.int32)
+    wpos0 = jnp.full((b,), pre + step, jnp.int32)
+    hf_pre, nk, nv, nks, nvs = fused_verify_hidden(
+        params, cfg, emb, cache.k, cache.v,
+        lengths, jnp.full((b,), pre, jnp.int32), wpos0, wpos0,
+        lengths[:, None] + step + offs[None, :], interpret=True,
+        k_scale=cache.k_scale, v_scale=cache.v_scale,
+    )
+    hf = rms_norm(params["norm"], hf_pre)
+
+    ax = np.asarray(hx, np.float32)
+    af = np.asarray(hf, np.float32)
+    assert np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9) < 0.02
+    # written int8 rows + scales track the XLA writes (+-1 LSB wobble from
+    # bf16 accumulation-order differences upstream of the quantizer)
+    for tt in range(t):
+        kx = np.asarray(ncx.k[:, :, pre + step + tt], np.int32)
+        kf = np.asarray(nk[:, :, pre + step + tt], np.int32)
+        assert np.mean(np.abs(kx - kf) <= 1) > 0.99
+        sx = np.asarray(ncx.k_scale[:, :, pre + step + tt], np.float32)
+        sf = np.asarray(nks[:, :, pre + step + tt], np.float32)
+        assert np.max(np.abs(sx - sf)) / (np.max(np.abs(sx)) + 1e-9) < 0.02

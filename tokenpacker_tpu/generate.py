@@ -101,19 +101,29 @@ def prefill(params, cfg: TokenPackerVLMConfig, batch, s_max: int):
     of silently reusing the old dtype's compilation."""
     from tokenpacker_tpu.models.llama import kv_cache_dtype
 
-    # round the cache length up to the TPU sublane tile (8): the fused
-    # decode kernel stages [S, HD] cache slices by DMA and mosaic rejects
-    # row counts not aligned to the (8,128) tiling ("Slice shape along
-    # dimension 2 must be aligned to tiling (8)"). The extra rows are never
-    # attended (lengths/bias gate every path), so this is free capacity.
-    s_max = -(-s_max // 8) * 8
+    # round the cache length up to the TPU tile: the fused decode kernel
+    # stages [S, HD] cache slices by DMA and mosaic rejects row counts not
+    # aligned to the dtype's native tiling — (8,128) for bf16, (32,128) for
+    # int8 KV caches. The extra rows are never attended (lengths/bias gate
+    # every path), so this is free capacity.
+    dtype = kv_cache_dtype(cfg.dtype, family=cfg.lm.model_family)
+    tile = cache_len_tile(dtype)
+    s_max = -(-s_max // tile) * tile
 
     n, l = batch["token_ids"].shape
-    cache = KVCache.create(
-        cfg.lm, n, s_max,
-        dtype=kv_cache_dtype(cfg.dtype, family=cfg.lm.model_family),
-    )
+    cache = KVCache.create(cfg.lm, n, s_max, dtype=dtype)
     return _prefill_into(params, cfg, batch, cache, s_max)
+
+
+def cache_len_tile(dtype=None) -> int:
+    """Cache-length alignment prefill() applies (the fused kernel's DMA
+    staging needs S aligned to the KV dtype's native sublane tiling).
+    Admission page math (serve/scheduler) must agree with this."""
+    if dtype is None:
+        from tokenpacker_tpu.models.llama import kv_cache_dtype
+
+        dtype = kv_cache_dtype()
+    return 32 if dtype == jnp.int8 else 8
 
 
 @partial(
@@ -204,18 +214,20 @@ def _fused_decode_mode(params, cfg: TokenPackerVLMConfig, cache) -> str | None:
 
     if not fused_eligible(params.get("lm", {}), cfg.lm):
         return None
-    # the kernel's KV scratch is bf16 and scales with S (the XLA path
-    # handles any cache dtype/length). S=2048 (HD serving) compiles and
-    # matches tokens exactly but measured a WASH (56.5 vs 57.5 tok/s B=1 —
-    # cache traffic dominates at long S and the XLA gather path is equal),
-    # so the default dispatch keeps the kernel where it wins (S=512:
-    # 87.4 vs 84.6 B=1 and 416 vs 317 agg B=8; S=1024: 73.9 vs 72.1 B=1 —
-    # all with identical argmax-chained token sums)
-    # S must be a multiple of 8: the kernel's cache staging DMAs [S, HD]
-    # slices and mosaic rejects non-8-aligned row counts (prefill() aligns
-    # its allocations; this guard covers externally-created caches)
-    if (cache.k.dtype != jnp.bfloat16 or cache.k.shape[2] > 1024
-            or cache.k.shape[2] % 8 != 0):
+    # cache-dtype/length gates. bf16 caches: the kernel wins up to S=1024
+    # (S=512: 87.4 vs 84.6 B=1 and 416 vs 317 agg B=8; S=1024: 73.9 vs
+    # 72.1 — identical argmax-chained token sums) but S=2048 measured a
+    # WASH (56.5 vs 57.5 — cache traffic dominates), so bf16 dispatch stops
+    # at 1024. int8 KV caches (round 4) compose with the kernel: staging
+    # moves HALF the cache bytes, so the kernel stays on through S=2048
+    # (the HD serving shape). S must be tile-aligned for the staging DMA —
+    # 8 rows for bf16, 32 for int8 (prefill() aligns its allocations; the
+    # guard covers externally-created caches).
+    s_len = cache.k.shape[2]
+    if cache.k_scale is not None and cache.k.dtype == jnp.int8:
+        if s_len > 2048 or s_len % 32 != 0:
+            return None
+    elif (cache.k.dtype != jnp.bfloat16 or s_len > 1024 or s_len % 8 != 0):
         return None
     if v == "interpret":
         return "interpret"
@@ -233,17 +245,20 @@ def _decode_step_fused(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths
 
     emb = lm_embed(params["lm"], cfg.lm, tokens[:, None])[:, 0]
     wpos = jnp.full_like(lengths, prefill_len) + step
-    hidden, nk, nv = fused_decode_hidden(
+    out = fused_decode_hidden(
         params["lm"], cfg.lm, emb, cache.k, cache.v,
         lengths, jnp.full_like(lengths, prefill_len), wpos, wpos,
         positions=lengths + step, interpret=interpret,
+        k_scale=cache.k_scale, v_scale=cache.v_scale,
     )
+    hidden, nk, nv = out[:3]
+    nks, nvs = out[3:] if len(out) == 5 else (None, None)
     hidden = rms_norm(params["lm"]["norm"], hidden, cfg.lm.rms_norm_eps)
     logits = lm_logits(params["lm"], cfg.lm, hidden)
     # pin the length exactly like the XLA path (prefill_len + step + 1,
     # ignoring any stale input length — speculative verify rounds leave
     # cache.length overshot by rejected draft slots)
-    return logits, KVCache(nk, nv, prefill_len + step + 1)
+    return logits, KVCache(nk, nv, prefill_len + step + 1, nks, nvs)
 
 
 @partial(_fd_jit, static_argnames=("cfg", "interpret"))
@@ -254,15 +269,18 @@ def _decode_step_cb_fused(params, cfg: TokenPackerVLMConfig, cache, tokens,
 
     emb = lm_embed(params["lm"], cfg.lm, tokens[:, None])[:, 0]
     zeros = jnp.zeros_like(cur_lens)
-    hidden, nk, nv = fused_decode_hidden(
+    out = fused_decode_hidden(
         params["lm"], cfg.lm, emb, cache.k, cache.v,
         cur_lens, zeros, zeros, cur_lens, positions=cur_lens,
         interpret=interpret,
+        k_scale=cache.k_scale, v_scale=cache.v_scale,
     )
+    hidden, nk, nv = out[:3]
+    nks, nvs = out[3:] if len(out) == 5 else (None, None)
     hidden = rms_norm(params["lm"]["norm"], hidden, cfg.lm.rms_norm_eps)
     logits = lm_logits(params["lm"], cfg.lm, hidden)
     new_len = cur_lens + active.astype(cur_lens.dtype)
-    return logits, KVCache(nk, nv, new_len)
+    return logits, KVCache(nk, nv, new_len, nks, nvs)
 
 
 def decode_step(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step, prefill_len: int):

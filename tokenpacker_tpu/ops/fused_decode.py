@@ -415,20 +415,25 @@ def _kernel(
     o_ref,  # ANY [L, D, D]
     gu_ref,  # ANY [L, D, 2F]
     down_ref,  # ANY [L, F, D]
-    kc_ref,  # ANY [L, B, S, HD] bf16
-    vc_ref,
+    kc_ref,  # ANY [L, B, S, HD] bf16 — or int8 when kv_quant (int8 KV cache:
+    vc_ref,  # halves the per-step cache DMA bytes, the dominant traffic at
+    # long S — composes the two round-3 winners, VERDICT r3 item 2)
+    ks_ref,  # ANY [L, B, S, H] f32 per-(position, head) scales (kv_quant;
+    vs_ref,  # dummy [1,1,8,H] otherwise — never touched)
     # outputs
     hout_ref,  # [B*T, D] bf16
-    knew_ref,  # [L, B*T, HD] bf16
-    vnew_ref,
+    knew_ref,  # [L, B*T, HD] bf16 (kv_quant: quantize-dequantized values —
+    vnew_ref,  # the wrapper's quantize_kv reproduces the int8+scale exactly)
     # scratch
     ring,  # [2, ck, ring_w] int8 — the one shared weight ring (full-row dests)
     xbuf,  # [max_chunks, B, ck] bf16 — staged x chunks
     tail_buf,  # [F % ck (or 8), D] int8 — one-shot down-projection tail
-    kbuf,  # [S, HD] bf16 — K-cache staging (single buffer; the next (l,b)
-    vbuf,  # DMA starts right after this one's last read)  — V likewise
+    kbuf,  # [S, HD] bf16/int8 — K-cache staging (single buffer; the next
+    vbuf,  # (l,b) DMA starts right after this one's last read) — V likewise
+    ksbuf,  # [cache_group, S, H] f32 — staged K scales (kv_quant)
+    vsbuf,
     wsem,
-    aux_sem,  # [3] DMA sems: 0 = K cache, 1 = V cache, 2 = down tail
+    aux_sem,  # [5] DMA sems: 0=K, 1=V, 2=down tail, 3=K scales, 4=V scales
     *,
     layers: int,
     batch: int,
@@ -441,6 +446,7 @@ def _kernel(
     packed: bool = False,
     interp: bool = False,
     t_tok: int = 1,
+    kv_quant: bool = False,
 ):
     ck_d, ck_f, n_qkv_segs = _layer_chunkplan(d, f)
     rows = batch * t_tok  # GEMV/RoPE row count; attention is per SAMPLE
@@ -539,15 +545,47 @@ def _kernel(
     # else one sample at a time (the round-3 per-b fallback)
     batched_cache = kbuf.shape[0] == batch
 
+    class _PairDMA:
+        """A cache copy + its scale copy started/awaited together (int8 KV:
+        every K/V staging DMA has a [S, H] f32 scale companion — ~1.5% of
+        the int8 payload's bytes)."""
+
+        def __init__(self, *copies):
+            self.copies = copies
+
+        def start(self):
+            for c in self.copies:
+                c.start()
+
+        def wait(self):
+            for c in self.copies:
+                c.wait()
+
     def k_dma(l, b):
         if batched_cache:
-            return pltpu.make_async_copy(kc_ref.at[l], kbuf, aux_sem.at[0])
-        return pltpu.make_async_copy(kc_ref.at[l, b], kbuf.at[0], aux_sem.at[0])
+            c = pltpu.make_async_copy(kc_ref.at[l], kbuf, aux_sem.at[0])
+            if kv_quant:
+                return _PairDMA(c, pltpu.make_async_copy(
+                    ks_ref.at[l], ksbuf, aux_sem.at[3]))
+            return c
+        c = pltpu.make_async_copy(kc_ref.at[l, b], kbuf.at[0], aux_sem.at[0])
+        if kv_quant:
+            return _PairDMA(c, pltpu.make_async_copy(
+                ks_ref.at[l, b], ksbuf.at[0], aux_sem.at[3]))
+        return c
 
     def v_dma(l, b):
         if batched_cache:
-            return pltpu.make_async_copy(vc_ref.at[l], vbuf, aux_sem.at[1])
-        return pltpu.make_async_copy(vc_ref.at[l, b], vbuf.at[0], aux_sem.at[1])
+            c = pltpu.make_async_copy(vc_ref.at[l], vbuf, aux_sem.at[1])
+            if kv_quant:
+                return _PairDMA(c, pltpu.make_async_copy(
+                    vs_ref.at[l], vsbuf, aux_sem.at[4]))
+            return c
+        c = pltpu.make_async_copy(vc_ref.at[l, b], vbuf.at[0], aux_sem.at[1])
+        if kv_quant:
+            return _PairDMA(c, pltpu.make_async_copy(
+                vs_ref.at[l, b], vsbuf.at[0], aux_sem.at[4]))
+        return c
 
     def start_next_cache(dma_of, l, b):
         """Start the next cache DMA — issued immediately after the current
@@ -606,6 +644,22 @@ def _kernel(
         qr = rope(q)
         kr = rope(k)
         v = v.astype(jnp.bfloat16)
+        if kv_quant:
+            # quantize-dequantize the new k/v per (row, head) — the XLA int8
+            # path writes quantized values to the cache BEFORE attending, so
+            # the current token is attended through its int8 representation;
+            # matching that keeps greedy parity token-exact. The wrapper's
+            # quantize_kv on these values reproduces the (int8, scale) pair
+            # bit-exactly (max|q|=127 ⇒ the recomputed scale is identical).
+            def qdq(x):
+                x3 = x.reshape(rows * heads, head_dim).astype(jnp.float32)
+                amax = jnp.max(jnp.abs(x3), axis=1, keepdims=True)
+                s_ = jnp.maximum(amax, 1e-8) / 127.0
+                y = jnp.round(x3 / s_) * s_
+                return y.astype(jnp.bfloat16).reshape(rows, d)
+
+            kr = qdq(kr)
+            v = qdq(v)
 
         # --- attention over the cached sequence + the current token ---
         # MXU-centric form (round 3): every [S, ·]-sized op is a dot.
@@ -645,13 +699,23 @@ def _kernel(
             if cache_on and (b == 0 or not batched_cache):
                 k_dma(l, b).wait()
             kslot = b if batched_cache else 0
+            kmat = kbuf[kslot]
+            if kv_quant:
+                kmat = kmat.astype(jnp.bfloat16)  # int8 → bf16, one VPU pass
             logits = (
                 jax.lax.dot_general(
-                    kbuf[kslot], qg, (((1,), (0,)), ((), ())),
+                    kmat, qg, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 * scale
             )  # [S, TH]
+            if kv_quant:
+                # per-(position, head) K scales factor out of the head's
+                # d-contraction: one [S, H] multiply (tiled per query at T>1)
+                ks_t = ksbuf[kslot]
+                if t_tok > 1:
+                    ks_t = jnp.concatenate([ks_t] * t_tok, axis=1)
+                logits = logits * ks_t
             if cache_on:
                 start_next_cache(k_dma, l, b)  # kbuf's last read is above
             ln_new = (
@@ -679,8 +743,17 @@ def _kernel(
             )  # [1, TH]
             if cache_on and (b == 0 or not batched_cache):
                 v_dma(l, b).wait()
+            vmat = vbuf[kslot]
+            if kv_quant:
+                # V scales fold into p (only the block diagonal of ctx_full
+                # is kept, where head(d) == the column's head)
+                vmat = vmat.astype(jnp.bfloat16)
+                vs_t = vsbuf[kslot]
+                if t_tok > 1:
+                    vs_t = jnp.concatenate([vs_t] * t_tok, axis=1)
+                p = p * vs_t
             ctx_full = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vbuf[kslot], (((0,), (0,)), ((), ())),
+                p.astype(jnp.bfloat16), vmat, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [TH, D]
             if cache_on:
@@ -708,13 +781,20 @@ def _kernel(
             # bf16) then per-head reduction on the MXU via G — a [1,D]→
             # [D,1] relayout for a q-masked G matrix does not lower
             if "nologit" not in dbg:
+                kmat = kbuf[kslot]
+                if kv_quant:
+                    kmat = kmat.astype(jnp.bfloat16)
                 logits = (
                     jax.lax.dot_general(
-                        kbuf[kslot] * qb, gb, (((1,), (0,)), ((), ())),
+                        kmat * qb, gb, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                     * scale
                 )  # [S, H]
+                if kv_quant:
+                    # per-(position, head) K scales factor out of the
+                    # d-contraction (kv_quant.py scheme)
+                    logits = logits * ksbuf[kslot]
             else:
                 logits = jnp.zeros((s, heads), jnp.float32)
             if cache_on:
@@ -745,8 +825,12 @@ def _kernel(
             if cache_on and (b == 0 or not batched_cache):
                 v_dma(l, b).wait()
             if "noctx" not in dbg:
+                vmat = vbuf[kslot]
+                if kv_quant:
+                    vmat = vmat.astype(jnp.bfloat16)
+                    p = p * vsbuf[kslot]  # fold V scales into p (see qg)
                 ctx_full = jax.lax.dot_general(
-                    p.astype(jnp.bfloat16), vbuf[kslot], (((0,), (0,)), ((), ())),
+                    p.astype(jnp.bfloat16), vmat, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [H, D] — only the block diagonal is wanted
             else:
@@ -825,14 +909,15 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layers", "batch", "d", "f", "heads", "head_dim", "s", "eps", "interpret", "packed", "t_tok"),
+    static_argnames=("layers", "batch", "d", "f", "heads", "head_dim", "s", "eps", "interpret", "packed", "t_tok", "kv_quant"),
 )
 def _fused_call(
     seq_info, h0, cos_e, sin_e, rot, gmat, gmat_t, e_mat, grep, grept, cmask,
     ln1, ln2,
     qkv_s, o_s, gu_s, down_s, qkv_q, o_q, gu_q, down_q, k_cache, v_cache,
+    k_scales, v_scales,
     *, layers, batch, d, f, heads, head_dim, s, eps, interpret, packed=False,
-    t_tok=1,
+    t_tok=1, kv_quant=False,
 ):
     ck_d, ck_f, _ = _layer_chunkplan(d, f)
     ck_max = max(ck_d, ck_f)  # == ck_d == ck_f (uniform full-row ring)
@@ -849,15 +934,20 @@ def _fused_call(
     rows = batch * t_tok
     nslots = _ring_slots()
     fixed = nslots * ck_max * ring_w + max_chunks * rows * ck_max * 2 + max(tail_rows, 8) * d
+    # per-sample staged cache bytes: int8 halves the K/V payload, plus the
+    # small f32 scale companions — B=8 S=512 int8 fits the batched grouping
+    # (≈34 MB) where bf16 (67 MB) does not
+    cache_bytes_per_b = 2 * s * (hd * (1 if kv_quant else 2)
+                                 + (heads * 4 if kv_quant else 0))
     cache_group = batch
     if (_os.environ.get("TOKENPACKER_FD_CACHE") == "perb"
-            or fixed + 2 * batch * s * hd * 2 > 56 << 20):
+            or fixed + batch * cache_bytes_per_b > 56 << 20):
         cache_group = 1
     kernel = functools.partial(
         _kernel,
         layers=layers, batch=batch, d=d, f=f, heads=heads,
         head_dim=head_dim, s=s, eps=eps, packed=packed, interp=interpret,
-        t_tok=t_tok,
+        t_tok=t_tok, kv_quant=kv_quant,
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = lambda: pl.BlockSpec(memory_space=pl.ANY)
@@ -867,7 +957,7 @@ def _fused_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
             vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
-            any_(), any_(), any_(), any_(), any_(), any_(),
+            any_(), any_(), any_(), any_(), any_(), any_(), any_(), any_(),
         ],
         out_specs=[vmem(), vmem(), vmem()],
         out_shape=[
@@ -883,16 +973,23 @@ def _fused_call(
             pltpu.VMEM((max(tail_rows // 2, 8), d), jnp.uint16)
             if packed
             else pltpu.VMEM((max(tail_rows, 8), d), jnp.int8),
-            pltpu.VMEM((cache_group, s, heads * head_dim), jnp.bfloat16),  # kbuf
-            pltpu.VMEM((cache_group, s, heads * head_dim), jnp.bfloat16),  # vbuf
+            pltpu.VMEM((cache_group, s, hd),
+                       jnp.int8 if kv_quant else jnp.bfloat16),  # kbuf
+            pltpu.VMEM((cache_group, s, hd),
+                       jnp.int8 if kv_quant else jnp.bfloat16),  # vbuf
+            pltpu.VMEM((cache_group, s, heads) if kv_quant else (1, 8, 128),
+                       jnp.float32),  # ksbuf (dummy when bf16 cache)
+            pltpu.VMEM((cache_group, s, heads) if kv_quant else (1, 8, 128),
+                       jnp.float32),  # vsbuf
             pltpu.SemaphoreType.DMA((nslots,)),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
         interpret=interpret,
     )(
         seq_info, h0, cos_e, sin_e, rot, gmat, gmat_t, e_mat, grep, grept,
         cmask, ln1, ln2,
         qkv_s, o_s, gu_s, down_s, qkv_q, o_q, gu_q, down_q, k_cache, v_cache,
+        k_scales, v_scales,
     )
 
 
@@ -975,7 +1072,8 @@ def fused_eligible(lm_params, cfg) -> bool:
 
 
 def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
-                        start2, end2, write_pos, positions, *, interpret=False):
+                        start2, end2, write_pos, positions, *, interpret=False,
+                        k_scale=None, v_scale=None):
     """Run the full decoder stack for one decode step.
 
     h0: [B, D] bf16 embedded tokens. cache_k/v: [L, B, S, Hkv, Dh].
@@ -983,6 +1081,12 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
     [start2,end2) over cache slots (the current token is always attended).
     write_pos: cache slot for the new k/v. positions: [B] true positions
     for RoPE. Returns (hidden [B, D] — pre-final-norm, new cache_k/v).
+
+    k_scale/v_scale: [L, B, S, Hkv] f32 when the cache is int8-quantized
+    (ops/kv_quant.py format) — the kernel stages int8 K/V (half the cache
+    DMA bytes, the dominant per-step traffic at long S) and dequantizes via
+    the factored-out scales; the return becomes a 5-tuple
+    (hidden, new_k, new_v, new_k_scale, new_v_scale).
     """
     from tokenpacker_tpu.models.llama import rope_cos_sin
 
@@ -1007,6 +1111,8 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
     down = layers_p["mlp"]["down"]["kernel"]
     packed = "qp" in qkv  # u16-row-packed storage (pack_fused_weights)
     wkey = "qp" if packed else "q"
+    kv_quant = k_scale is not None
+    dummy_s = jnp.zeros((1, 1, 8, hkv), jnp.float32)
 
     hidden, k_new, v_new = _fused_call(
         seq_info,
@@ -1021,11 +1127,28 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
         qkv[wkey], o[wkey], gu[wkey], down[wkey],
         cache_k.reshape(l, b2, s, hkv * dh),
         cache_v.reshape(l, b2, s, hkv * dh),
+        k_scale.astype(jnp.float32) if kv_quant else dummy_s,
+        v_scale.astype(jnp.float32) if kv_quant else dummy_s,
         layers=l, batch=b, d=d, f=f, heads=heads, head_dim=dh, s=s,
         eps=cfg.rms_norm_eps, interpret=interpret, packed=packed,
+        kv_quant=kv_quant,
     )
 
     rows = jnp.arange(b)
+    if kv_quant:
+        from tokenpacker_tpu.ops.kv_quant import quantize_kv
+
+        # the kernel returned quantize-dequantized rows: quantize_kv here
+        # reproduces the in-kernel (int8, scale) pair bit-exactly
+        kq, ksc = quantize_kv(k_new.reshape(l, b, hkv, dh))
+        vq, vsc = quantize_kv(v_new.reshape(l, b, hkv, dh))
+        return (
+            hidden,
+            cache_k.at[:, rows, write_pos].set(kq),
+            cache_v.at[:, rows, write_pos].set(vq),
+            k_scale.at[:, rows, write_pos].set(ksc),
+            v_scale.at[:, rows, write_pos].set(vsc),
+        )
     new_k = cache_k.at[:, rows, write_pos].set(
         k_new.reshape(l, b, hkv, dh).astype(cache_k.dtype)
     )
@@ -1037,7 +1160,7 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
 
 def fused_verify_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
                         start2, end2, write_pos0, positions, *,
-                        interpret=False):
+                        interpret=False, k_scale=None, v_scale=None):
     """Run the full decoder stack for a T-token verify step (speculative
     decoding: the last accepted token + the drafts, one weight-streaming
     pass — a verify step costs nearly the same HBM traffic as a 1-token
@@ -1049,6 +1172,8 @@ def fused_verify_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
     themselves is enforced in-kernel (query t attends fed keys 0..t).
     write_pos0: [B] first cache slot — token t writes write_pos0+t.
     Returns (hidden [B, T, D] pre-final-norm, new cache_k, new cache_v).
+    k_scale/v_scale: int8-KV scales as in fused_decode_hidden (return
+    becomes a 5-tuple with the updated scale arrays appended).
     """
     from tokenpacker_tpu.models.llama import rope_cos_sin
 
@@ -1074,6 +1199,8 @@ def fused_verify_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
     down = layers_p["mlp"]["down"]["kernel"]
     packed = "qp" in qkv
     wkey = "qp" if packed else "q"
+    kv_quant = k_scale is not None
+    dummy_s = jnp.zeros((1, 1, 8, hkv), jnp.float32)
 
     hidden, k_new, v_new = _fused_call(
         seq_info,
@@ -1088,12 +1215,27 @@ def fused_verify_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
         qkv[wkey], o[wkey], gu[wkey], down[wkey],
         cache_k.reshape(l, b2, s, hkv * dh),
         cache_v.reshape(l, b2, s, hkv * dh),
+        k_scale.astype(jnp.float32) if kv_quant else dummy_s,
+        v_scale.astype(jnp.float32) if kv_quant else dummy_s,
         layers=l, batch=b, d=d, f=f, heads=heads, head_dim=dh, s=s,
         eps=cfg.rms_norm_eps, interpret=interpret, packed=packed, t_tok=t,
+        kv_quant=kv_quant,
     )
 
     rows_bt = jnp.repeat(jnp.arange(b), t)  # sample of each flat row
     wpos_bt = (write_pos0[:, None] + jnp.arange(t)[None, :]).reshape(-1)
+    if kv_quant:
+        from tokenpacker_tpu.ops.kv_quant import quantize_kv
+
+        kq, ksc = quantize_kv(k_new.reshape(l, b * t, hkv, dh))
+        vq, vsc = quantize_kv(v_new.reshape(l, b * t, hkv, dh))
+        return (
+            hidden.reshape(b, t, d),
+            cache_k.at[:, rows_bt, wpos_bt].set(kq),
+            cache_v.at[:, rows_bt, wpos_bt].set(vq),
+            k_scale.at[:, rows_bt, wpos_bt].set(ksc),
+            v_scale.at[:, rows_bt, wpos_bt].set(vsc),
+        )
     new_k = cache_k.at[:, rows_bt, wpos_bt].set(
         k_new.reshape(l, b * t, hkv, dh).astype(cache_k.dtype)
     )

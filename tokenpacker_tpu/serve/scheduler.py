@@ -164,11 +164,16 @@ class PagedContinuousBatcher:
         b = req.batch
         l = b["token_ids"].shape[1]
         ps = self.page_size
-        # align to lcm(page_size, 8): prefill() rounds its cache length up to
-        # the TPU sublane tile (8), so admission page math must agree with
-        # the cache shape prefill actually returns (ADVICE r3: page_size=4 +
-        # a 12-token pad produced a 16-wide cache and crashed insert_prefill)
-        align = math.lcm(ps, 8)
+        # align to lcm(page_size, cache tile): prefill() rounds its cache
+        # length up to the KV dtype's sublane tile (8 bf16 / 32 int8), so
+        # admission page math must agree with the cache shape prefill
+        # actually returns (ADVICE r3: page_size=4 + a 12-token pad produced
+        # a 16-wide cache and crashed insert_prefill)
+        from tokenpacker_tpu.generate import cache_len_tile
+        from tokenpacker_tpu.models.llama import kv_cache_dtype
+
+        align = math.lcm(ps, cache_len_tile(
+            kv_cache_dtype(self.cfg.dtype, family=self.cfg.lm.model_family)))
         l_pad = ((l + align - 1) // align) * align
         assert l_pad // ps <= self.max_pages_per_seq
         token_ids = np.zeros((1, l_pad), b["token_ids"].dtype)

@@ -71,14 +71,17 @@ def _verify_fused(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths,
     positions = lengths[:, None] + step + offs[None, :]
     start2 = jnp.full_like(lengths, prefill_len)
     wpos0 = start2 + step
-    hidden, nk, nv = fused_verify_hidden(
+    out = fused_verify_hidden(
         params["lm"], cfg.lm, emb, cache.k, cache.v,
         lengths, start2, wpos0, wpos0, positions, interpret=interpret,
+        k_scale=cache.k_scale, v_scale=cache.v_scale,
     )
+    hidden, nk, nv = out[:3]
+    nks, nvs = out[3:] if len(out) == 5 else (None, None)
     hidden = rms_norm(params["lm"]["norm"], hidden, cfg.lm.rms_norm_eps)
     logits = lm_logits(params["lm"], cfg.lm, hidden)
     # match the XLA path's returned length (cache_at.length + t)
-    return logits, KVCache(nk, nv, prefill_len + step + t)
+    return logits, KVCache(nk, nv, prefill_len + step + t, nks, nvs)
 
 
 def _verify(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths, step,
@@ -200,14 +203,17 @@ def verify_step_cb(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_lens, a
         offs = jnp.arange(t, dtype=jnp.int32)
         emb = lm_embed(params["lm"], cfg.lm, tokens)
         zeros = jnp.zeros_like(cur_lens)
-        hidden, nk, nv = fused_verify_hidden(
+        out = fused_verify_hidden(
             params["lm"], cfg.lm, emb, cache.k, cache.v,
             cur_lens, zeros, zeros, cur_lens,
             cur_lens[:, None] + offs[None, :], interpret=mode == "interpret",
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
         )
+        hidden, nk, nv = out[:3]
+        nks, nvs = out[3:] if len(out) == 5 else (None, None)
         hidden = rms_norm(params["lm"]["norm"], hidden, cfg.lm.rms_norm_eps)
         logits = lm_logits(params["lm"], cfg.lm, hidden)
-        return logits, KVCache(nk, nv, cur_lens)
+        return logits, KVCache(nk, nv, cur_lens, nks, nvs)
     s_max = cache.k.shape[2]
     n, t = tokens.shape
     offs = jnp.arange(t, dtype=jnp.int32)
