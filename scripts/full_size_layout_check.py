@@ -8,7 +8,11 @@ vocab 32000) — import it through io/hf_import.import_vlm, and require
 greedy-decode token parity vs the torch reference chain on 3 images.
 
 Run on CPU (forced):  python scripts/full_size_layout_check.py
-Writes results to stdout; the recorded run lives in PARITY.md.
+  --slice : instead of the 3 square samples, ONE patch_num-9 slice-mode
+            sample (3x3 worst-case grid + global view, `,`/`\n` separators —
+            the HD flagship path, llava_arch.py:115-154) at full 7B
+            geometry. ~1500-token prompts: budget ~an hour on the 1-core box.
+Writes results to stdout; the recorded runs live in PARITY.md.
 """
 
 import importlib.util
@@ -86,12 +90,17 @@ def main():
         lm=LMConfig(),  # defaults = 7B
         scale_factor=2,
         dtype=jnp.float32,
+        patch_num=9 if "--slice" in sys.argv else 1,
+        image_aspect_ratio="slice" if "--slice" in sys.argv else "square",
     )
     assert cfg.tokens_per_view == 144
 
     log("import_vlm (fp32) ...")
     params = import_vlm(sd, cfg, jnp.float32)
     gen = Generator(params, cfg)
+
+    if "--slice" in sys.argv:
+        return run_slice(cfg, gen, tower, projector, lm)
 
     from tests.torch_oracles import torch_reference_greedy
 
@@ -135,6 +144,59 @@ def main():
         log(f"image {seed}: {'MATCH' if match else 'MISMATCH'} torch={expected} ours={got}")
 
     print(f"\nFULL-SIZE LAYOUT ROUND-TRIP: {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+def run_slice(cfg, gen, tower, projector, lm):
+    """One full-geometry HD slice-mode sample: 3x3 worst-case grid + global
+    view (10 crops, 1440 visual tokens), vicuna sep ids 29892 (`,`) and
+    13 (`\\n`) — token-identical greedy vs the torch reference chain."""
+    from tests.torch_oracles import torch_reference_greedy_hd
+
+    from tokenpacker_tpu.generate import pick_bucket
+
+    hb = wb = 3
+    sep_id, ret_id = 29892, 13
+    n_steps = 2
+    rng = np.random.default_rng(42)
+    crops = rng.standard_normal((hb * wb + 1, 3, 336, 336)).astype(np.float32)
+    ids = np.array([1, 319, 13563, IMAGE_TOKEN_INDEX, 29871, 31], np.int64)
+
+    log(f"slice sample: torch reference greedy ({n_steps} steps, ~1500-token "
+        "full recompute)...")
+    t0 = time.time()
+    expected = torch_reference_greedy_hd(
+        tower, projector, lm, ids, torch.from_numpy(crops), hb, wb,
+        sep_id, ret_id, n_steps, MULTI_LAYERS,
+        on_step=lambda step, tok: log(f"  torch step {step}: token {tok}"),
+    )
+    log(f"  torch done in {time.time() - t0:.0f}s: {expected}")
+
+    probe = build_splice_plan(
+        [ids], [[(hb, wb)]], cfg.tokens_per_view, "slice", sep_id, ret_id, 0
+    )
+    plan = build_splice_plan(
+        [ids], [[(hb, wb)]], cfg.tokens_per_view, "slice", sep_id, ret_id, 0,
+        pad_to=pick_bucket(int(probe.lengths[0])),
+    )
+    log(f"slice sample: tokenpacker-tpu greedy (seq {int(plan.lengths[0])}, "
+        f"bucket {plan.token_ids.shape[1]})...")
+    t0 = time.time()
+    got = gen.generate(
+        {
+            "token_ids": plan.token_ids,
+            "is_image": plan.is_image,
+            "image_slot": plan.image_slot,
+            "lengths": plan.lengths,
+            "images": crops.transpose(0, 2, 3, 1),
+        },
+        max_new_tokens=n_steps,
+        temperature=0.0,
+    ).sequences[0]
+    log(f"  ours done in {time.time() - t0:.0f}s: {got}")
+    ok = got == expected
+    print(f"\nFULL-SIZE HD SLICE ROUND-TRIP: {'PASS' if ok else 'FAIL'} "
+          f"torch={expected} ours={got}")
     return 0 if ok else 1
 
 

@@ -418,8 +418,10 @@ def _kernel(
     kc_ref,  # ANY [L, B, S, HD] bf16 — or int8 when kv_quant (int8 KV cache:
     vc_ref,  # halves the per-step cache DMA bytes, the dominant traffic at
     # long S — composes the two round-3 winners, VERDICT r3 item 2)
-    ks_ref,  # ANY [L, B, S, H] f32 per-(position, head) scales (kv_quant;
-    vs_ref,  # dummy [1,1,8,H] otherwise — never touched)
+    ks_ref,  # ANY [L, B, H, S] f32 per-(position, head) scales, TRANSPOSED
+    vs_ref,  # so the DMA'd [H, S] block's minor dim is 128-aligned (a
+    # [S, H=32] f32 slice does not lower: "Slice shape along dimension 3
+    # must be aligned to tiling (128)"). Dummy [1,1,8,128] when not kv_quant.
     # outputs
     hout_ref,  # [B*T, D] bf16
     knew_ref,  # [L, B*T, HD] bf16 (kv_quant: quantize-dequantized values —
@@ -430,7 +432,7 @@ def _kernel(
     tail_buf,  # [F % ck (or 8), D] int8 — one-shot down-projection tail
     kbuf,  # [S, HD] bf16/int8 — K-cache staging (single buffer; the next
     vbuf,  # (l,b) DMA starts right after this one's last read) — V likewise
-    ksbuf,  # [cache_group, S, H] f32 — staged K scales (kv_quant)
+    ksbuf,  # [cache_group, H, S] f32 — staged K scales (kv_quant)
     vsbuf,
     wsem,
     aux_sem,  # [5] DMA sems: 0=K, 1=V, 2=down tail, 3=K scales, 4=V scales
@@ -701,7 +703,15 @@ def _kernel(
             kslot = b if batched_cache else 0
             kmat = kbuf[kslot]
             if kv_quant:
-                kmat = kmat.astype(jnp.bfloat16)  # int8 → bf16, one VPU pass
+                # expand per-(position, head) scales to lanes on the MXU
+                # (NT-form dot with Gᵀ: ks_exp[s, d] = ks[head(d), s]) and
+                # dequantize exactly like the XLA path's dequantize_kv
+                # (f32 multiply, then bf16)
+                ks_exp = jax.lax.dot_general(
+                    ksbuf[kslot], gt32, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [S, D]
+                kmat = (kmat.astype(jnp.float32) * ks_exp).astype(jnp.bfloat16)
             logits = (
                 jax.lax.dot_general(
                     kmat, qg, (((1,), (0,)), ((), ())),
@@ -709,13 +719,6 @@ def _kernel(
                 )
                 * scale
             )  # [S, TH]
-            if kv_quant:
-                # per-(position, head) K scales factor out of the head's
-                # d-contraction: one [S, H] multiply (tiled per query at T>1)
-                ks_t = ksbuf[kslot]
-                if t_tok > 1:
-                    ks_t = jnp.concatenate([ks_t] * t_tok, axis=1)
-                logits = logits * ks_t
             if cache_on:
                 start_next_cache(k_dma, l, b)  # kbuf's last read is above
             ln_new = (
@@ -745,13 +748,11 @@ def _kernel(
                 v_dma(l, b).wait()
             vmat = vbuf[kslot]
             if kv_quant:
-                # V scales fold into p (only the block diagonal of ctx_full
-                # is kept, where head(d) == the column's head)
-                vmat = vmat.astype(jnp.bfloat16)
-                vs_t = vsbuf[kslot]
-                if t_tok > 1:
-                    vs_t = jnp.concatenate([vs_t] * t_tok, axis=1)
-                p = p * vs_t
+                vs_exp = jax.lax.dot_general(
+                    vsbuf[kslot], gt32, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [S, D]
+                vmat = (vmat.astype(jnp.float32) * vs_exp).astype(jnp.bfloat16)
             ctx_full = jax.lax.dot_general(
                 p.astype(jnp.bfloat16), vmat, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -783,7 +784,11 @@ def _kernel(
             if "nologit" not in dbg:
                 kmat = kbuf[kslot]
                 if kv_quant:
-                    kmat = kmat.astype(jnp.bfloat16)
+                    ks_exp = jax.lax.dot_general(
+                        ksbuf[kslot], gt32, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [S, D] — see the qg branch
+                    kmat = (kmat.astype(jnp.float32) * ks_exp).astype(jnp.bfloat16)
                 logits = (
                     jax.lax.dot_general(
                         kmat * qb, gb, (((1,), (0,)), ((), ())),
@@ -791,10 +796,6 @@ def _kernel(
                     )
                     * scale
                 )  # [S, H]
-                if kv_quant:
-                    # per-(position, head) K scales factor out of the
-                    # d-contraction (kv_quant.py scheme)
-                    logits = logits * ksbuf[kslot]
             else:
                 logits = jnp.zeros((s, heads), jnp.float32)
             if cache_on:
@@ -827,8 +828,11 @@ def _kernel(
             if "noctx" not in dbg:
                 vmat = vbuf[kslot]
                 if kv_quant:
-                    vmat = vmat.astype(jnp.bfloat16)
-                    p = p * vsbuf[kslot]  # fold V scales into p (see qg)
+                    vs_exp = jax.lax.dot_general(
+                        vsbuf[kslot], gt32, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [S, D]
+                    vmat = (vmat.astype(jnp.float32) * vs_exp).astype(jnp.bfloat16)
                 ctx_full = jax.lax.dot_general(
                     p.astype(jnp.bfloat16), vmat, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -977,9 +981,9 @@ def _fused_call(
                        jnp.int8 if kv_quant else jnp.bfloat16),  # kbuf
             pltpu.VMEM((cache_group, s, hd),
                        jnp.int8 if kv_quant else jnp.bfloat16),  # vbuf
-            pltpu.VMEM((cache_group, s, heads) if kv_quant else (1, 8, 128),
+            pltpu.VMEM((cache_group, heads, s) if kv_quant else (1, 8, 128),
                        jnp.float32),  # ksbuf (dummy when bf16 cache)
-            pltpu.VMEM((cache_group, s, heads) if kv_quant else (1, 8, 128),
+            pltpu.VMEM((cache_group, heads, s) if kv_quant else (1, 8, 128),
                        jnp.float32),  # vsbuf
             pltpu.SemaphoreType.DMA((nslots,)),
             pltpu.SemaphoreType.DMA((5,)),
@@ -1112,7 +1116,9 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
     packed = "qp" in qkv  # u16-row-packed storage (pack_fused_weights)
     wkey = "qp" if packed else "q"
     kv_quant = k_scale is not None
-    dummy_s = jnp.zeros((1, 1, 8, hkv), jnp.float32)
+    # scales ride TRANSPOSED ([L, B, H, S]) so the kernel's [H, S] scale DMA
+    # has a 128-aligned minor dim (see _kernel's ks_ref note)
+    dummy_s = jnp.zeros((1, 1, 8, 128), jnp.float32)
 
     hidden, k_new, v_new = _fused_call(
         seq_info,
@@ -1127,8 +1133,8 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
         qkv[wkey], o[wkey], gu[wkey], down[wkey],
         cache_k.reshape(l, b2, s, hkv * dh),
         cache_v.reshape(l, b2, s, hkv * dh),
-        k_scale.astype(jnp.float32) if kv_quant else dummy_s,
-        v_scale.astype(jnp.float32) if kv_quant else dummy_s,
+        jnp.swapaxes(k_scale.astype(jnp.float32), 2, 3) if kv_quant else dummy_s,
+        jnp.swapaxes(v_scale.astype(jnp.float32), 2, 3) if kv_quant else dummy_s,
         layers=l, batch=b, d=d, f=f, heads=heads, head_dim=dh, s=s,
         eps=cfg.rms_norm_eps, interpret=interpret, packed=packed,
         kv_quant=kv_quant,
@@ -1200,7 +1206,9 @@ def fused_verify_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
     packed = "qp" in qkv
     wkey = "qp" if packed else "q"
     kv_quant = k_scale is not None
-    dummy_s = jnp.zeros((1, 1, 8, hkv), jnp.float32)
+    # scales ride TRANSPOSED ([L, B, H, S]) so the kernel's [H, S] scale DMA
+    # has a 128-aligned minor dim (see _kernel's ks_ref note)
+    dummy_s = jnp.zeros((1, 1, 8, 128), jnp.float32)
 
     hidden, k_new, v_new = _fused_call(
         seq_info,
@@ -1215,8 +1223,8 @@ def fused_verify_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
         qkv[wkey], o[wkey], gu[wkey], down[wkey],
         cache_k.reshape(l, b2, s, hkv * dh),
         cache_v.reshape(l, b2, s, hkv * dh),
-        k_scale.astype(jnp.float32) if kv_quant else dummy_s,
-        v_scale.astype(jnp.float32) if kv_quant else dummy_s,
+        jnp.swapaxes(k_scale.astype(jnp.float32), 2, 3) if kv_quant else dummy_s,
+        jnp.swapaxes(v_scale.astype(jnp.float32), 2, 3) if kv_quant else dummy_s,
         layers=l, batch=b, d=d, f=f, heads=heads, head_dim=dh, s=s,
         eps=cfg.rms_norm_eps, interpret=interpret, packed=packed, t_tok=t,
         kv_quant=kv_quant,
