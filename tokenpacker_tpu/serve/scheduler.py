@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from tokenpacker_tpu.config import TokenPackerVLMConfig
 from tokenpacker_tpu.generate import (
-    decode_step_cb,
+    decode_step_cb_donated,
     device_batch,
     insert_into_cache,
     prefill,
@@ -578,8 +578,10 @@ class ContinuousBatcher:
                     self._verify_round(active)
                     continue
 
-            # one batched decode step across all active slots
-            logits, self.cache = decode_step_cb(
+            # one batched decode step across all active slots; the cache is
+            # donated (we rebind it) — without donation each step leaves a
+            # 2x-cache transient in HBM (4 GB at the B=8/S=2048/int8 shape)
+            logits, self.cache = decode_step_cb_donated(
                 self.params,
                 self.cfg,
                 self.cache,
