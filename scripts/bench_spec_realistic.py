@@ -167,10 +167,13 @@ def measure_costs_on_chip(ks: tuple[int, ...]):
     import functools
 
     def fresh_cache():
+        # length is a SCALAR in the streaming decode convention —
+        # decode_step returns cache.length = prefill_len + step (a scalar),
+        # so a [1]-shaped length here breaks the fori_loop carry types
         return KVCache(
             jnp.zeros((lm.num_hidden_layers, 1, s_max, lm.kv_heads, lm.head_dim), jnp.bfloat16),
             jnp.zeros((lm.num_hidden_layers, 1, s_max, lm.kv_heads, lm.head_dim), jnp.bfloat16),
-            jnp.full((1,), pre, jnp.int32),
+            jnp.asarray(pre, jnp.int32),
         )
 
     lengths = jnp.full((1,), pre, jnp.int32)
@@ -198,7 +201,6 @@ def measure_costs_on_chip(ks: tuple[int, ...]):
     for k in ks:
         rounds = max(8, (s_max - pre - 2) // (k + 1) - 1)
 
-        @functools.partial(_fd_jit, static_argnames=("n",))
         def verify_loop(params, cache, fed, salt, n: int, k=k):
             fed = fed + salt * 0
 
@@ -213,6 +215,11 @@ def measure_costs_on_chip(ks: tuple[int, ...]):
 
             cache, fed = jax.lax.fori_loop(0, n, body, (cache, fed))
             return jnp.sum(fed)
+
+        # _fd_jit caches compiled fns BY NAME — the three k-closures must
+        # not collide (the k=2 executable would be reused for k=4/8)
+        verify_loop.__name__ = f"verify_loop_k{k}"
+        verify_loop = _fd_jit(verify_loop, static_argnames=("n",))
 
         fed = jnp.ones((1, k + 1), jnp.int32)
         float(verify_loop(params, fresh_cache(), fed, jnp.asarray(0), rounds))
