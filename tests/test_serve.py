@@ -438,3 +438,105 @@ def test_worker_drain(servers, tiny_worker):
         tiny_worker.draining = False
         tiny_worker.controller_addr = None
         tiny_worker.worker_addr = None
+
+
+def test_web_server_image_process_modes():
+    """_apply_process_mode reproduces the reference gradio server's
+    pre-worker image preprocessing (Pad squares with the CLIP-mean-ish
+    fill, Resize forces 336x336, bad modes error) on base64 payloads."""
+    import base64
+    import io
+
+    from PIL import Image as PILImage
+
+    from tokenpacker_tpu.data.conversation import conv_templates
+    from tokenpacker_tpu.serve.web_server import _apply_process_mode
+
+    conv = conv_templates["vicuna_v1"].copy()
+    img = PILImage.new("RGB", (200, 100), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    def decode(s):
+        return PILImage.open(io.BytesIO(base64.b64decode(s)))
+
+    assert decode(_apply_process_mode(conv, b64, "Pad")).size[0] == decode(
+        _apply_process_mode(conv, b64, "Pad")
+    ).size[1]  # square
+    assert decode(_apply_process_mode(conv, b64, "Resize")).size == (336, 336)
+    # Default/Crop clamp only (here a no-op at 200x100)
+    assert decode(_apply_process_mode(conv, b64, "Default")).size == (200, 100)
+    import pytest
+
+    with pytest.raises(Exception):
+        _apply_process_mode(conv, b64, "Bogus")
+
+
+def test_web_server_forwards_sampling_and_processed_image(servers):
+    """/chat forwards the request's top_p and the PREPROCESSED image to the
+    worker (reference: gradio sliders + Conversation.get_images)."""
+    import base64
+    import http.server
+    import io
+
+    from PIL import Image as PILImage
+
+    from tokenpacker_tpu.serve.web_server import make_handler as web_handler
+
+    seen = {}
+
+    class FakeWorker(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            seen.update(json.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(json.dumps({"text": seen["prompt"] + "ok", "error_code": 0}).encode() + b"\0")
+
+    wport = _free_port()
+    ws = ThreadingHTTPServer(("localhost", wport), FakeWorker)
+    threading.Thread(target=ws.serve_forever, daemon=True).start()
+    _post(
+        servers["controller"] + "/register_worker",
+        {
+            "worker_name": f"http://localhost:{wport}",
+            "check_heart_beat": False,
+            "worker_status": {"model_names": ["fake-llava"], "speed": 1, "queue_length": 0},
+        },
+    )
+    gport = _free_port()
+    gs = ThreadingHTTPServer(("localhost", gport), web_handler(servers["controller"]))
+    threading.Thread(target=gs.serve_forever, daemon=True).start()
+    time.sleep(0.2)
+
+    img = PILImage.new("RGB", (200, 100), (1, 2, 3))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    try:
+        req = urllib.request.Request(
+            f"http://localhost:{gport}/chat",
+            json.dumps({
+                "model": "fake-llava",
+                "history": [["user", "what is this"]],
+                "image": base64.b64encode(buf.getvalue()).decode(),
+                "image_process_mode": "Pad",
+                "temperature": 0.9,
+                "top_p": 0.42,
+                "max_new_tokens": 7,
+            }).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            r.read()
+        assert seen["top_p"] == 0.42
+        assert seen["temperature"] == 0.9
+        assert seen["max_new_tokens"] == 7
+        fwd = PILImage.open(io.BytesIO(base64.b64decode(seen["images"][0])))
+        assert fwd.size[0] == fwd.size[1]  # Pad mode squared it before the worker
+    finally:
+        gs.shutdown()
+        ws.shutdown()

@@ -37,12 +37,20 @@ PAGE = """<!doctype html>
 <div class="row">
  <select id="model"></select>
  <input type="file" id="img" accept="image/*">
- <label>T <input id="temp" type="number" step="0.1" value="0.2" style="width:4rem"></label>
- <label>max <input id="maxtok" type="number" value="256" style="width:5rem"></label>
+ <select id="pmode" title="image preprocess mode">
+  <option>Default</option><option>Crop</option><option>Resize</option><option>Pad</option>
+ </select>
+</div>
+<div class="row">
+ <label>T <input id="temp" type="number" step="0.1" min="0" max="1" value="0.2" style="width:4rem"></label>
+ <label>top-p <input id="topp" type="number" step="0.1" min="0" max="1" value="0.7" style="width:4rem"></label>
+ <label>max <input id="maxtok" type="number" min="1" max="1024" value="256" style="width:5rem"></label>
 </div>
 <div id="log"></div>
 <div class="row"><textarea id="msg"></textarea><button id="send">Send</button></div>
 <div class="row"><button data-v="upvote">&#128077;</button><button data-v="downvote">&#128078;</button>
+<button data-v="flag">&#128681;</button>
+<button id="regen">&#128260; Regenerate</button>
 <button id="clear">Clear</button></div>
 <script>
 let history=[], imageB64=null;
@@ -50,18 +58,27 @@ fetch('/list_models').then(r=>r.json()).then(d=>{
   for(const m of d.models){const o=document.createElement('option');o.textContent=m;model.append(o)}});
 img.onchange=()=>{const f=img.files[0];const r=new FileReader();
   r.onload=()=>{imageB64=r.result.split(',')[1]};r.readAsDataURL(f)};
-send.onclick=async()=>{
-  const text=msg.value.trim(); if(!text) return; msg.value='';
-  history.push(['user',text]);render('');
+async function run(){
   const resp=await fetch('/chat',{method:'POST',headers:{'Content-Type':'application/json'},
     body:JSON.stringify({model:model.value,history:history,image:imageB64,
-      temperature:parseFloat(temp.value),max_new_tokens:parseInt(maxtok.value)})});
+      image_process_mode:pmode.value,temperature:parseFloat(temp.value),
+      top_p:parseFloat(topp.value),max_new_tokens:parseInt(maxtok.value)})});
   const reader=resp.body.getReader();const dec=new TextDecoder();let buf='',out='';
   for(;;){const {done,value}=await reader.read();if(done)break;
     buf+=dec.decode(value,{stream:true});
     const parts=buf.split('\\0');buf=parts.pop();
     for(const p of parts){if(p){out=JSON.parse(p).text;render(out)}}}
   history.push(['assistant',out]);render('');
+}
+send.onclick=()=>{
+  const text=msg.value.trim(); if(!text) return; msg.value='';
+  history.push(['user',text]);render('');run();
+};
+regen.onclick=()=>{ // drop the last assistant turn and re-query (reference regenerate flow)
+  if(!history.length) return;
+  if(history[history.length-1][0]==='assistant') history.pop();
+  if(!history.length) return;
+  render('');run();
 };
 clear.onclick=()=>{history=[];imageB64=null;render('')};
 document.querySelectorAll('[data-v]').forEach(b=>b.onclick=()=>
@@ -79,6 +96,23 @@ def _post_json(url, payload, timeout=10.0):
     )
     with urllib.request.urlopen(req, timeout=timeout) as resp:
         return json.loads(resp.read() or b"{}")
+
+
+def _apply_process_mode(conv, image_b64: str, mode: str) -> str:
+    """Preprocess an uploaded base64 image through the conversation layer's
+    Pad/Resize/Crop/Default semantics + size clamp (the reference does this
+    in Conversation.get_images before the worker request —
+    gradio_web_server.py:113-147, conversation.py process_image)."""
+    import base64
+    import io
+
+    from PIL import Image as PILImage
+
+    img = PILImage.open(io.BytesIO(base64.b64decode(image_b64))).convert("RGB")
+    img = conv._resized_image(img, mode)
+    out = io.BytesIO()
+    img.save(out, format="PNG")
+    return base64.b64encode(out.getvalue()).decode()
 
 
 def _log_record(kind: str, payload: dict):
@@ -158,8 +192,9 @@ def make_handler(controller_addr: str):
             prompt = conv.get_prompt()
             stop = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
 
-            if body.get("image"):
-                md5 = hashlib.md5(body["image"].encode()).hexdigest()
+            image_b64 = body.get("image")
+            if image_b64:
+                md5 = hashlib.md5(image_b64.encode()).hexdigest()
                 _log_record("images", {"md5": md5})
 
             try:
@@ -176,12 +211,28 @@ def make_handler(controller_addr: str):
                     json.dumps({"text": "No available worker", "error_code": 2}).encode() + b"\0"
                 )
                 return
+            if image_b64:
+                # the reference's gradio server preprocesses the upload
+                # (Pad/Resize/Crop/Default + the 400/800px clamp) BEFORE the
+                # worker sees it (Conversation.get_images,
+                # gradio_web_server.py:113-147); same flow via the ported
+                # Conversation._resized_image
+                try:
+                    image_b64 = _apply_process_mode(
+                        conv, image_b64, body.get("image_process_mode", "Default")
+                    )
+                except Exception as e:  # bad upload/mode: surface, don't 500
+                    self.wfile.write(
+                        json.dumps({"text": f"image error: {e}", "error_code": 1}).encode()
+                        + b"\0"
+                    )
+                    return
             payload = {
                 "model": model,
                 "prompt": prompt,
-                "images": [body["image"]] if body.get("image") else None,
+                "images": [image_b64] if image_b64 else None,
                 "temperature": body.get("temperature", 0.2),
-                "top_p": 0.7,
+                "top_p": body.get("top_p", 0.7),
                 "max_new_tokens": body.get("max_new_tokens", 256),
                 "stop": stop,
             }
