@@ -63,7 +63,9 @@ def test_pipeline_forward_matches_scan(dp, pp, m):
 
     want = _reference_hidden(params, cfg, x, positions, key_valid)
 
-    mesh = make_pp_mesh(pp=pp, dp=dp)
+    # explicit device subset: make_pp_mesh is strict about dp*pp == n
+    # (ADVICE r3), so a smaller mesh must name its devices
+    mesh = make_pp_mesh(pp=pp, dp=dp, devices=jax.devices()[: dp * pp])
     sharded = jax.device_put(params, pp_param_shardings(params, mesh))
     got = jax.jit(
         lambda p, xx: pipeline_llama_hidden(
