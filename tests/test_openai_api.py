@@ -1,0 +1,337 @@
+"""OpenAI-compatible gateway tests: prompt rendering through the
+conversation templates, request validation, and the full three-tier HTTP
+chain (gateway → controller → worker) for /v1/models, non-streaming and
+SSE-streaming chat completions, legacy completions, usage accounting, and
+bearer auth. The gateway surface is BEYOND the reference (llava/serve has
+gradio + CLI only)."""
+
+import base64
+import io
+import json
+import socket
+import threading
+import time
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+from tokenpacker_tpu.data.conversation import conv_templates
+from tokenpacker_tpu.serve.controller import make_handler as controller_handler
+from tokenpacker_tpu.serve.controller import Controller
+from tokenpacker_tpu.serve.model_worker import make_handler as worker_handler
+from tokenpacker_tpu.serve.openai_api import (
+    APIError,
+    Gateway,
+    _data_url_to_b64,
+    _normalize_stop,
+    _parse_content,
+    make_handler,
+    render_chat_prompt,
+)
+from tests.test_serve import _free_port, _post, servers, tiny_worker  # noqa: F401
+
+
+# -- unit: content parsing ----------------------------------------------------
+
+
+def test_parse_content_forms():
+    assert _parse_content("hello") == ("hello", [])
+    assert _parse_content(None) == ("", [])
+    b64 = base64.b64encode(b"notanimage").decode()
+    text, imgs = _parse_content([
+        {"type": "text", "text": "what is"},
+        {"type": "image_url", "image_url": {"url": f"data:image/png;base64,{b64}"}},
+        {"type": "text", "text": "this"},
+    ])
+    assert text == "what is\nthis"
+    assert imgs == [b64]
+    with pytest.raises(APIError):
+        _parse_content([{"type": "video"}])
+    with pytest.raises(APIError):
+        _parse_content(42)
+
+
+def test_data_url_rules():
+    b64 = base64.b64encode(b"x").decode()
+    assert _data_url_to_b64(f"data:image/jpeg;base64,{b64}") == b64
+    assert _data_url_to_b64(b64) == b64  # bare base64 tolerated
+    with pytest.raises(APIError):  # no egress by design
+        _data_url_to_b64("https://example.com/cat.png")
+    with pytest.raises(APIError):
+        _data_url_to_b64("data:image/png,rawbytes")
+    with pytest.raises(APIError):
+        _data_url_to_b64("!!! not base64 !!!")
+
+
+def test_normalize_stop():
+    assert _normalize_stop(None, "</s>") == ["</s>"]
+    assert _normalize_stop("END", "</s>") == ["</s>", "END"]
+    assert _normalize_stop(["a", "b"], None) == ["a", "b"]
+    with pytest.raises(APIError):
+        _normalize_stop(17, None)
+
+
+# -- unit: chat rendering vs the conversation templates -----------------------
+
+
+def test_render_chat_prompt_matches_template():
+    """The rendered prompt is byte-identical to driving the llava_v1
+    template directly (same auto-selection the web UI / CLI apply)."""
+    conv = conv_templates["llava_v1"].copy()
+    conv.append_message(conv.roles[0], "hello there")
+    conv.append_message(conv.roles[1], "hi!")
+    conv.append_message(conv.roles[0], "and now?")
+    conv.append_message(conv.roles[1], None)
+    want = conv.get_prompt()
+
+    got, images, stop = render_chat_prompt("tokenpacker-7b", [
+        {"role": "user", "content": "hello there"},
+        {"role": "assistant", "content": "hi!"},
+        {"role": "user", "content": "and now?"},
+    ])
+    assert got == want
+    assert images == []
+    assert stop == conv.sep2  # SeparatorStyle.TWO
+
+
+def test_render_chat_prompt_system_override_and_images():
+    b64 = base64.b64encode(b"img").decode()
+    got, images, _ = render_chat_prompt("tokenpacker-7b", [
+        {"role": "system", "content": "You are terse."},
+        {"role": "user", "content": [
+            {"type": "text", "text": "describe"},
+            {"type": "image_url", "image_url": {"url": f"data:image/png;base64,{b64}"}},
+        ]},
+    ])
+    assert got.startswith("You are terse.")
+    assert "<image>\ndescribe" in got
+    assert images == [b64]
+
+
+def test_render_chat_prompt_validation():
+    with pytest.raises(APIError):  # no user message
+        render_chat_prompt("m", [{"role": "assistant", "content": "hi"}])
+    with pytest.raises(APIError):  # unknown role
+        render_chat_prompt("m", [{"role": "tool", "content": "x"}])
+    b64 = base64.b64encode(b"i").decode()
+    with pytest.raises(APIError):  # image in assistant turn
+        render_chat_prompt("m", [
+            {"role": "user", "content": "q"},
+            {"role": "assistant", "content": [
+                {"type": "image_url", "image_url": {"url": f"data:;base64,{b64}"}}]},
+        ])
+
+
+def test_stream_request_validation():
+    g = Gateway("http://unused")
+    with pytest.raises(APIError):
+        g.stream_request({}, chat=True)  # no model
+    with pytest.raises(APIError):
+        g.stream_request({"model": "m"}, chat=True)  # no messages
+    with pytest.raises(APIError):
+        g.stream_request({"model": "m", "prompt": "p", "n": 2}, chat=False)
+    with pytest.raises(APIError):
+        g.stream_request({"model": "m"}, chat=False)  # no prompt
+    p = g.stream_request(
+        {"model": "m", "prompt": ["one"], "max_tokens": 7, "stop": ["X"]}, chat=False)
+    assert p["prompt"] == "one" and p["max_new_tokens"] == 7 and p["stop"] == ["X"]
+    # max_completion_tokens (newer name) wins over max_tokens
+    p = g.stream_request(
+        {"model": "m", "prompt": "x", "max_tokens": 7, "max_completion_tokens": 3},
+        chat=False)
+    assert p["max_new_tokens"] == 3
+
+
+# -- integration: full 3-tier chain -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gateway_server(servers):  # noqa: F811
+    _post(
+        servers["controller"] + "/register_worker",
+        {
+            "worker_name": servers["worker"],
+            "check_heart_beat": False,
+            "worker_status": {
+                "model_names": ["tiny-tokenpacker"], "speed": 1, "queue_length": 0,
+            },
+        },
+    )
+    gport = _free_port()
+    gw = Gateway(servers["controller"])
+    gs = ThreadingHTTPServer(("localhost", gport), make_handler(gw))
+    threading.Thread(target=gs.serve_forever, daemon=True).start()
+    time.sleep(0.2)
+    yield {"base": f"http://localhost:{gport}", "gateway": gw}
+    gs.shutdown()
+
+
+def _get(url, headers=None, timeout=30):
+    req = urllib.request.Request(url, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _post_raw(url, payload, headers=None, timeout=120):
+    hdrs = {"Content-Type": "application/json"}
+    hdrs.update(headers or {})
+    req = urllib.request.Request(url, json.dumps(payload).encode(), hdrs)
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_v1_models(gateway_server):
+    status, body = _get(gateway_server["base"] + "/v1/models")
+    assert status == 200 and body["object"] == "list"
+    assert [m["id"] for m in body["data"]] == ["tiny-tokenpacker"]
+
+
+def test_chat_completion_nonstream(gateway_server):
+    with _post_raw(gateway_server["base"] + "/v1/chat/completions", {
+        "model": "tiny-tokenpacker",
+        "messages": [{"role": "user", "content": "a curious user"}],
+        "temperature": 0.0,
+        "max_tokens": 4,
+    }) as resp:
+        body = json.loads(resp.read())
+    assert body["object"] == "chat.completion"
+    assert body["id"].startswith("chatcmpl-")
+    choice = body["choices"][0]
+    assert choice["message"]["role"] == "assistant"
+    assert isinstance(choice["message"]["content"], str)
+    assert choice["finish_reason"] in ("stop", "length")
+    usage = body["usage"]
+    assert usage["completion_tokens"] >= 1
+    assert usage["total_tokens"] == usage["prompt_tokens"] + usage["completion_tokens"]
+    # the echoed conversation prompt never leaks into the content
+    assert "USER" not in choice["message"]["content"]
+
+
+def _read_sse(resp):
+    events = []
+    buf = b""
+    while True:
+        b_ = resp.read(1)
+        if not b_:
+            break
+        buf += b_
+        while b"\n\n" in buf:
+            frame, buf = buf.split(b"\n\n", 1)
+            assert frame.startswith(b"data: ")
+            payload = frame[len(b"data: "):]
+            events.append(None if payload == b"[DONE]" else json.loads(payload))
+    return events
+
+
+def test_chat_completion_stream_matches_nonstream(gateway_server):
+    req = {
+        "model": "tiny-tokenpacker",
+        "messages": [{"role": "user", "content": "a curious user"}],
+        "temperature": 0.0,
+        "max_tokens": 4,
+    }
+    with _post_raw(gateway_server["base"] + "/v1/chat/completions", req) as resp:
+        nonstream = json.loads(resp.read())
+    with _post_raw(
+        gateway_server["base"] + "/v1/chat/completions",
+        {**req, "stream": True,
+         "stream_options": {"include_usage": True}},
+    ) as resp:
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        events = _read_sse(resp)
+    assert events[-1] is None  # [DONE]
+    chunks = [e for e in events if e is not None]
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    deltas = [c for c in chunks if c["choices"]]
+    assert deltas[0]["choices"][0]["delta"].get("role") == "assistant"
+    text = "".join(c["choices"][0]["delta"].get("content", "") for c in deltas)
+    finish = deltas[-1]["choices"][0]["finish_reason"]
+    assert finish in ("stop", "length")
+    # greedy decode: streamed concat == non-streaming content
+    assert text == nonstream["choices"][0]["message"]["content"]
+    usage_chunks = [c for c in chunks if not c["choices"]]
+    assert usage_chunks and usage_chunks[0]["usage"]["completion_tokens"] >= 1
+
+
+def test_legacy_completions(gateway_server):
+    with _post_raw(gateway_server["base"] + "/v1/completions", {
+        "model": "tiny-tokenpacker",
+        "prompt": "a curious user",
+        "temperature": 0.0,
+        "max_tokens": 3,
+    }) as resp:
+        body = json.loads(resp.read())
+    assert body["object"] == "text_completion"
+    assert body["id"].startswith("cmpl-")
+    assert isinstance(body["choices"][0]["text"], str)
+
+
+def test_unknown_model_404(gateway_server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_raw(gateway_server["base"] + "/v1/chat/completions", {
+            "model": "nope",
+            "messages": [{"role": "user", "content": "hi"}],
+        })
+    assert e.value.code == 404
+    body = json.loads(e.value.read())
+    assert body["error"]["code"] == "model_not_found"
+
+
+def test_bad_json_400(gateway_server):
+    req = urllib.request.Request(
+        gateway_server["base"] + "/v1/chat/completions",
+        b"{not json", {"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+
+def test_bearer_auth(gateway_server):
+    gw = gateway_server["gateway"]
+    gw.api_key = "sk-test"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(gateway_server["base"] + "/v1/models")
+        assert e.value.code == 401
+        assert json.loads(e.value.read())["error"]["type"] == "authentication_error"
+        status, _ = _get(
+            gateway_server["base"] + "/v1/models",
+            headers={"Authorization": "Bearer sk-test"},
+        )
+        assert status == 200
+    finally:
+        gw.api_key = None
+
+
+def test_worker_final_chunk_accounting(servers):  # noqa: F811
+    """The worker's terminal chunk carries finish_reason + usage (consumed
+    by the gateway; ignored by the web UI / CLI, which read only text)."""
+    payload = {
+        "prompt": "USER : hello ASSISTANT :",
+        "temperature": 0.0,
+        "max_new_tokens": 3,
+    }
+    req = urllib.request.Request(
+        servers["worker"] + "/worker_generate_stream",
+        json.dumps(payload).encode(),
+        {"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        buf = b""
+        while True:
+            b_ = resp.read(1)
+            if not b_:
+                break
+            if b_ == b"\0":
+                chunks.append(json.loads(buf))
+                buf = b""
+            else:
+                buf += b_
+    last = chunks[-1]
+    assert last["finish_reason"] == "length"  # hit max_new_tokens
+    assert last["usage"]["completion_tokens"] == 3
+    assert last["usage"]["prompt_tokens"] >= 1
+    assert not any("finish_reason" in c for c in chunks[:-1])

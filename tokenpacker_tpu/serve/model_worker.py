@@ -164,7 +164,14 @@ class ModelWorker:
     # -- generation --------------------------------------------------------
 
     def generate_stream(self, params: dict):
-        """Yields '\\0'-terminated JSON chunks ({'text', 'error_code'})."""
+        """Yields '\\0'-terminated JSON chunks ({'text', 'error_code'}).
+
+        The FINAL chunk additionally carries 'finish_reason' ('stop' |
+        'length') and 'usage' {prompt_tokens, completion_tokens,
+        total_tokens} — consumed by the OpenAI-compatible gateway
+        (serve/openai_api.py); the reference wire format (text +
+        error_code on every chunk) is unchanged, extra keys are ignored
+        by the web UI / CLI clients."""
         prompt = params["prompt"]
         images_b64 = params.get("images", None)
         temperature = float(params.get("temperature", 1.0))
@@ -188,7 +195,8 @@ class ModelWorker:
                 for b64 in images_b64:
                     img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
                     crops, hb, wb = process_image(
-                        img, self.cfg.image_aspect_ratio, self.cfg.patch_num
+                        img, self.cfg.image_aspect_ratio, self.cfg.patch_num,
+                        image_size=self.cfg.vision.image_size,
                     )
                     crops_list.append(crops)
                     blocks.append((hb, wb))
@@ -218,7 +226,10 @@ class ModelWorker:
             images = (
                 np.concatenate(crops_list, axis=0).transpose(0, 2, 3, 1) if crops_list else None
             )
-            stop_strings = (stop_str,) if stop_str else ()
+            if stop_str is None or isinstance(stop_str, str):
+                stop_strings = (stop_str,) if stop_str else ()
+            else:  # OpenAI-style list of stop strings
+                stop_strings = tuple(s for s in stop_str if s)
             generated = ""
             GLOBAL_STATS.record("preprocess", time.perf_counter() - t_start)
             t_prefill = time.perf_counter()
@@ -233,9 +244,11 @@ class ModelWorker:
                         "images": images,
                     },
                     max_new_tokens, temperature, top_p, stop_strings, t_prefill,
+                    spliced_len,
                 )
                 return
             first = True
+            n_toks = 0
             for text in self.model.generator.generate_stream(
                 {
                     "token_ids": plan.token_ids,
@@ -253,13 +266,13 @@ class ModelWorker:
                 if first:
                     GLOBAL_STATS.record("prefill_ttft", time.perf_counter() - t_prefill)
                     t_decode = time.perf_counter()
-                    n_toks = 0
                     first = False
                 n_toks += 1
                 generated = text
                 yield json.dumps({"text": prompt + generated, "error_code": 0}).encode() + b"\0"
             if not first and n_toks > 1:
                 GLOBAL_STATS.record("decode_per_token", (time.perf_counter() - t_decode) / (n_toks - 1))
+            yield self._final_chunk(prompt + generated, spliced_len, n_toks, max_new_tokens)
         except ValueError as e:
             logger.error(f"ValueError: {e}")
             yield json.dumps(
@@ -271,8 +284,24 @@ class ModelWorker:
                 {"text": f"internal error\n(error_code: 1)", "error_code": 1}
             ).encode() + b"\0"
 
+    def _final_chunk(self, full_text: str, prompt_tokens: int,
+                     completion_tokens: int, max_new_tokens: int) -> bytes:
+        """Terminal stream chunk with OpenAI-style accounting (see
+        generate_stream docstring)."""
+        finish = "length" if completion_tokens >= max_new_tokens else "stop"
+        return json.dumps({
+            "text": full_text,
+            "error_code": 0,
+            "finish_reason": finish,
+            "usage": {
+                "prompt_tokens": prompt_tokens,
+                "completion_tokens": completion_tokens,
+                "total_tokens": prompt_tokens + completion_tokens,
+            },
+        }).encode() + b"\0"
+
     def _stream_via_batcher(self, prompt, batch, max_new_tokens, temperature,
-                            top_p, stop_strings, t_prefill):
+                            top_p, stop_strings, t_prefill, spliced_len=0):
         """Stream through the continuous-batching executor: tokens arrive via
         the slot's on_token callback while other requests decode in the same
         device step; each slot samples with its own temperature and top_p."""
@@ -292,6 +321,7 @@ class ModelWorker:
         toks: list[int] = []
         first = True
         n = 0
+        text = ""
         t_decode = time.perf_counter()
         while True:
             try:
@@ -329,6 +359,7 @@ class ModelWorker:
                 break
         if n > 1:
             GLOBAL_STATS.record("decode_per_token", (time.perf_counter() - t_decode) / (n - 1))
+        yield self._final_chunk(prompt + text, spliced_len, n, max_new_tokens)
 
     def drain(self, timeout: float = 60.0):
         """Graceful shutdown: deregister from the controller (no new
