@@ -129,8 +129,10 @@ def test_paged_batcher_matches_generator(model):
         batcher.stop()
     for got, exp in zip(results, expected):
         assert got == exp, (got, exp)
-    # all pages returned to the free list
-    assert batcher.allocator.available() == 31  # pool minus reserved page 0
+    # every page not retained by the (default-on) prefix cache returned to
+    # the free list: pool minus reserved page 0 minus cached prompt blocks
+    assert batcher.allocator.available() == 31 - len(batcher.prefix.blocks)
+    assert len(batcher.prefix.blocks) > 0  # full prompt blocks were cached
 
 
 def test_paged_batcher_fused_layout(model):
@@ -462,6 +464,33 @@ def test_batcher_chunked_prefill_matches_generator(model):
         batcher.stop()
     for got, exp in zip(results, expected):
         assert got == exp, (got, exp)
+
+
+def test_paged_chunked_prefill_matches_generator(model):
+    """Chunked admissions over the paged pool (prefill_chunk_size, prefix
+    cache off): same greedy tokens as one-at-a-time generation."""
+    from tokenpacker_tpu.serve.scheduler import PagedContinuousBatcher
+
+    cfg, params = model
+    gen = Generator(params, cfg)
+    requests = [_request(cfg, s, extra_len=s) for s in range(3)]
+    expected = [
+        gen.generate(r, max_new_tokens=5, temperature=0.0).sequences[0]
+        for r in requests
+    ]
+    batcher = PagedContinuousBatcher(
+        params, cfg, num_slots=2, num_pages=32, page_size=8,
+        max_pages_per_seq=8, prefill_chunk_size=8, prefix_cache=False,
+    )
+    batcher.start()
+    try:
+        futs = [batcher.submit(r, 5) for r in requests]
+        results = [f.result(timeout=120) for f in futs]
+    finally:
+        batcher.stop()
+    assert results == expected
+    # all pages returned (no prefix cache retaining any)
+    assert batcher.allocator.available() == 31
 
 
 def _request_padded(cfg, seed, pad_to):

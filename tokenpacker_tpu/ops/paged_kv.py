@@ -82,21 +82,40 @@ class PagedKV(NamedTuple):
 
 
 class PageAllocator:
-    """Host-side free list over the physical page pool. Page 0 is reserved
-    as the null page (unmapped logical blocks point at it)."""
+    """Host-side refcounted free list over the physical page pool. Page 0
+    is reserved as the null page (unmapped logical blocks point at it).
+
+    Refcounts exist for prefix caching (serve/prefix_cache.py): a cached
+    block is referenced both by the cache and by every sequence whose page
+    table maps it; the page returns to the free list only when the last
+    reference is released."""
 
     def __init__(self, num_pages: int):
         self.free = list(range(num_pages - 1, 0, -1))
+        self.refs: dict[int, int] = {}
 
     def alloc(self, n: int = 1) -> list[int]:
         if len(self.free) < n:
             raise RuntimeError("paged KV pool exhausted")
-        return [self.free.pop() for _ in range(n)]
+        out = [self.free.pop() for _ in range(n)]
+        for p in out:
+            self.refs[p] = 1
+        return out
+
+    def incref(self, page: int) -> None:
+        self.refs[int(page)] += 1
 
     def release(self, pages) -> None:
         for p in pages:
-            if p != 0:
-                self.free.append(int(p))
+            p = int(p)
+            if p == 0:
+                continue
+            left = self.refs.get(p, 1) - 1
+            if left <= 0:
+                self.refs.pop(p, None)
+                self.free.append(p)
+            else:
+                self.refs[p] = left
 
     def available(self) -> int:
         return len(self.free)
@@ -324,24 +343,34 @@ def paged_verify_step(params, cfg, paged: PagedKV, tokens, active):
 paged_verify_step_jit = jax.jit(paged_verify_step, static_argnames=("cfg",))
 
 
-def insert_prefill(paged: PagedKV, small_cache, seq: int, page_ids, length):
+def insert_prefill(paged: PagedKV, small_cache, seq: int, page_ids, length,
+                   first_block: int = 0):
     """Copy a batch-1 prefilled contiguous cache (k/v [L, 1, L_pad, H, D])
     into freshly allocated pages and map them in sequence `seq`'s table.
-    L_pad must be a multiple of page_size; page_ids: [L_pad/ps] physical ids.
+
+    first_block > 0 (prefix-cache suffix admission): only rows
+    [first_block·ps, first_block·ps + len(page_ids)·ps) of the small cache
+    are copied, into table blocks [first_block, ...); the caller maps the
+    shared prefix blocks separately (map_blocks). L_pad must cover the
+    copied range and be a multiple of page_size.
     """
     ps = paged.page_size
     l_pad = small_cache.k.shape[2]
-    n_pages = l_pad // ps
-    assert n_pages * ps == l_pad, "prefill pad must be a multiple of page_size"
+    n_pages = len(page_ids)
+    start = first_block * ps
+    assert l_pad % ps == 0, "prefill pad must be a multiple of page_size"
+    assert start + n_pages * ps <= l_pad, "page ids exceed the prefilled range"
     ids = jnp.asarray(page_ids, jnp.int32)
     layers = paged.k_pages.shape[0]
     kp = paged.k_pages.at[:, ids].set(
-        small_cache.k[:, 0].reshape(layers, n_pages, ps, *paged.k_pages.shape[3:])
+        small_cache.k[:, 0, start:start + n_pages * ps].reshape(
+            layers, n_pages, ps, *paged.k_pages.shape[3:])
     )
     vp = paged.v_pages.at[:, ids].set(
-        small_cache.v[:, 0].reshape(layers, n_pages, ps, *paged.v_pages.shape[3:])
+        small_cache.v[:, 0, start:start + n_pages * ps].reshape(
+            layers, n_pages, ps, *paged.v_pages.shape[3:])
     )
-    table = paged.page_table.at[seq, :n_pages].set(ids)
+    table = paged.page_table.at[seq, first_block:first_block + n_pages].set(ids)
     lens = paged.lengths.at[seq].set(length)
     out = paged._replace(k_pages=kp, v_pages=vp, page_table=table, lengths=lens)
     if paged.k_scales is not None:
@@ -350,13 +379,61 @@ def insert_prefill(paged: PagedKV, small_cache, seq: int, page_ids, length):
         h = paged.k_scales.shape[3]
         out = out._replace(
             k_scales=paged.k_scales.at[:, ids].set(
-                small_cache.k_scale[:, 0].reshape(layers, n_pages, ps, h)
+                small_cache.k_scale[:, 0, start:start + n_pages * ps].reshape(
+                    layers, n_pages, ps, h)
             ),
             v_scales=paged.v_scales.at[:, ids].set(
-                small_cache.v_scale[:, 0].reshape(layers, n_pages, ps, h)
+                small_cache.v_scale[:, 0, start:start + n_pages * ps].reshape(
+                    layers, n_pages, ps, h)
             ),
         )
     return out
+
+
+def map_blocks(paged: PagedKV, seq: int, start_block: int, page_ids) -> PagedKV:
+    """Map a run of physical pages into a sequence's table starting at
+    logical block `start_block` (prefix-cache sharing: the same physical
+    page may appear in several sequences' tables — reads are position-gated
+    and writes only ever target blocks past the shared prefix)."""
+    if len(page_ids) == 0:
+        return paged
+    return paged._replace(
+        page_table=paged.page_table.at[
+            seq, start_block:start_block + len(page_ids)
+        ].set(jnp.asarray(page_ids, jnp.int32))
+    )
+
+
+@jax.jit
+def _gather_prefix_rows(pages, ids):
+    """[L, P, ps, …] pages + [m] ids → [L, m·ps, …] contiguous rows."""
+    layers = pages.shape[0]
+    return pages[:, ids].reshape(layers, ids.shape[0] * pages.shape[2], *pages.shape[3:])
+
+
+def gather_prefix(paged: PagedKV, page_ids, l_pad: int):
+    """Materialize `page_ids`' cached content into a batch-1 dense KVCache
+    of width l_pad (rows [0, m·ps) filled, the rest zeros) so a suffix-only
+    prefill (generate.prefill_chunk at offset m·ps) can attend to the
+    shared prefix. Returns a models.llama.KVCache with length 0 (the
+    chunked-prefill convention: the chunk call sets its own offset)."""
+    from tokenpacker_tpu.models.llama import KVCache
+
+    ids = jnp.asarray(page_ids, jnp.int32)
+    m = len(page_ids)
+    ps = paged.page_size
+
+    def dense(pages):
+        rows = _gather_prefix_rows(pages, ids)
+        out = jnp.zeros((pages.shape[0], l_pad, *pages.shape[3:]), pages.dtype)
+        return out.at[:, : m * ps].set(rows)[:, None]
+
+    scales = (None, None)
+    if paged.k_scales is not None:
+        scales = (dense(paged.k_scales), dense(paged.v_scales))
+    return KVCache(
+        dense(paged.k_pages), dense(paged.v_pages), jnp.asarray(0, jnp.int32), *scales
+    )
 
 
 def map_page(paged: PagedKV, seq: int, logical_block: int, page_id: int):

@@ -100,6 +100,7 @@ class ModelWorker:
                     page_size=64,
                     max_pages_per_seq=max((scheduler_max_len + 63) // 64, 1),
                     speculative_k=speculative_k,
+                    prefill_chunk_size=scheduler_prefill_chunk,
                 )
             else:
                 self.batcher = ContinuousBatcher(
@@ -153,13 +154,17 @@ class ModelWorker:
     def get_status(self) -> dict:
         from tokenpacker_tpu.utils.profiling import GLOBAL_STATS
 
-        return {
+        out = {
             "model_names": [self.model_name],
             "speed": 1,
             "queue_length": self.queue_length,
             "call_ct": self.call_ct,
             "phase_timings": GLOBAL_STATS.summary(),
         }
+        prefix = getattr(self.batcher, "prefix", None)
+        if prefix is not None:
+            out.update(prefix.stats())
+        return out
 
     # -- generation --------------------------------------------------------
 

@@ -20,6 +20,7 @@ Streaming: pass `on_token=callable(token_id)`.
 from __future__ import annotations
 
 import math
+import os
 import queue
 import threading
 from concurrent.futures import Future
@@ -83,13 +84,26 @@ class PagedContinuousBatcher:
         max_pages_per_seq: int = 16,
         temperature: float = 0.0,
         speculative_k: int = 0,
+        prefix_cache: bool | None = None,
+        prefill_chunk_size: int | None = None,
     ):
         """speculative_k: prompt-lookup speculation over the paged pool —
         verify rounds (ops/paged_kv.paged_verify_step) score k+1 tokens per
         sequence through the page tables (attention takes the gather path;
         plain/backoff rounds keep the Pallas paged kernel). Page growth runs
         with a k-token lookahead. Same greedy-parity + adaptive-backoff
-        semantics as ContinuousBatcher."""
+        semantics as ContinuousBatcher.
+
+        prefix_cache: automatic prefix caching (serve/prefix_cache.py) —
+        full prompt pages are content-addressed and shared across requests;
+        a repeat prefix skips its share of prefill (and the vision encode
+        when every image token is inside the cached prefix). Default ON
+        (TOKENPACKER_PREFIX_CACHE=0 opts out).
+
+        prefill_chunk_size: chunked admissions like the dense batcher's —
+        one prompt chunk per loop iteration interleaved with active slots'
+        decode steps. Composes with the prefix cache: only the un-cached
+        suffix is chunked (chunking starts at the matched-prefix offset)."""
         from tokenpacker_tpu.ops.paged_kv import PagedKV, PageAllocator
 
         self.params = params
@@ -118,6 +132,18 @@ class PagedContinuousBatcher:
         self._spec_accept_ema = 1.0
         self._spec_backoff = 0
         self._spec_fail_streak = 0
+        self.prefill_chunk_size = prefill_chunk_size
+        self._pending = None  # in-progress chunked admission state
+        if prefix_cache is None:
+            prefix_cache = os.environ.get("TOKENPACKER_PREFIX_CACHE", "1") not in (
+                "0", "off",
+            )
+        if prefix_cache:
+            from tokenpacker_tpu.serve.prefix_cache import PrefixCache
+
+            self.prefix: PrefixCache | None = PrefixCache(page_size)
+        else:
+            self.prefix = None
 
     def start(self):
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -158,10 +184,27 @@ class PagedContinuousBatcher:
                 req.future.set_exception(RuntimeError(f"batcher loop died: {e!r}"))
             raise
 
-    def _admit(self, slot: int, req: _Request):
-        from tokenpacker_tpu.ops.paged_kv import insert_prefill
+    def _alloc(self, n: int) -> list[int]:
+        """Pool alloc, evicting LRU prefix-cache blocks under pressure."""
+        if self.prefix is not None and self.allocator.available() < n:
+            self.prefix.evict_until_available(self.allocator, n)
+        return self.allocator.alloc(n)
 
-        b = req.batch
+    def _padded_plan(self, b, l_pad: int):
+        """Pad a batch-1 splice plan's per-token arrays out to l_pad."""
+        l = b["token_ids"].shape[1]
+
+        def padded(name, fill=0):
+            arr = np.full((1, l_pad), fill, np.asarray(b[name]).dtype)
+            arr[:, :l] = b[name]
+            return jnp.asarray(arr)
+
+        return padded("token_ids"), padded("is_image", False), padded("image_slot")
+
+    def _plan_admission(self, b):
+        """Shared admission planning: page-aligned pad + prefix-cache match.
+        Returns (l_pad, true_len, m, shared, hashes) — m cached blocks whose
+        pages can be mapped instead of prefilled."""
         l = b["token_ids"].shape[1]
         ps = self.page_size
         # align to lcm(page_size, cache tile): prefill() rounds its cache
@@ -176,34 +219,205 @@ class PagedContinuousBatcher:
             kv_cache_dtype(self.cfg.dtype, family=self.cfg.lm.model_family)))
         l_pad = ((l + align - 1) // align) * align
         assert l_pad // ps <= self.max_pages_per_seq
-        token_ids = np.zeros((1, l_pad), b["token_ids"].dtype)
-        token_ids[:, :l] = b["token_ids"]
+        true_len = int(np.asarray(b["lengths"])[0])
 
-        def padded(name, fill=0):
-            arr = np.full((1, l_pad), fill, np.asarray(b[name]).dtype)
-            arr[:, :l] = b[name]
-            return jnp.asarray(arr)
+        m, shared, hashes = 0, [], []
+        if self.prefix is not None:
+            from tokenpacker_tpu.serve.prefix_cache import block_hashes, image_digest
 
+            im_h = np.asarray(b["is_image"])[0, :true_len]
+            digest = (image_digest(b["images"])
+                      if b.get("images") is not None and im_h.any() else b"")
+            # at least one prompt token is always recomputed (admission
+            # needs last-token logits), hence the (true_len - 1) // ps cap
+            hashes = block_hashes(
+                np.asarray(b["token_ids"])[0, :true_len], im_h,
+                np.asarray(b["image_slot"])[0, :true_len], digest, ps,
+                limit=(true_len - 1) // ps,
+            )
+            m, shared = self.prefix.match(hashes)
+        return l_pad, true_len, m, shared, hashes
+
+    def _suffix_visual(self, b, start: int, true_len: int):
+        """Projector output for an admission whose positions before `start`
+        are already cached: the ViT+projector encode is skipped entirely
+        when no image token falls in [start, true_len)."""
+        from tokenpacker_tpu.models.vlm import encode_images
+
+        needs_vision = b.get("images") is not None and bool(
+            np.any(np.asarray(b["is_image"])[0, start:true_len])
+        )
+        if needs_vision:
+            return encode_images(
+                self.params, self.cfg, jnp.asarray(b["images"], self.cfg.dtype)
+            )
+        if self.prefix is not None and b.get("images") is not None:
+            self.prefix.vision_skipped += 1
+        return jnp.zeros(
+            (1, self.cfg.tokens_per_view, self.cfg.lm.hidden_size), self.cfg.dtype
+        )
+
+    def _finish_admission(self, slot: int, req: _Request, small_cache, logits,
+                          l_pad: int, true_len: int, m: int,
+                          shared: list[int], hashes: list[bytes]):
+        """Common admission tail: sample the first token, move the dense
+        prefilled rows [m·ps, l_pad) into fresh pages, map the m shared
+        prefix pages, register full prompt blocks with the prefix cache."""
+        from tokenpacker_tpu.ops.paged_kv import insert_prefill, map_blocks
+
+        self._rng, sub = jax.random.split(self._rng)
+        tok = int(np.asarray(sample_tokens(logits, req.temperature, req.top_p, sub))[0])
+        fresh = self._alloc(l_pad // self.page_size - m)
+        self.paged = insert_prefill(
+            self.paged, small_cache, slot, fresh, true_len, first_block=m
+        )
+        self.paged = map_blocks(self.paged, slot, 0, shared)
+        self.slot_pages[slot] = list(shared) + fresh
+        if self.prefix is not None:
+            self.prefix.register(
+                hashes, (list(shared) + fresh)[: len(hashes)], self.allocator
+            )
+            self.prefix.tokens_reused += m * self.page_size
+        self.slots[slot] = req
+        self._init_ctx(req, true_len)
+        self.next_tokens[slot] = tok
+        self._emit(slot, tok)
+
+    def _admit(self, slot: int, req: _Request):
+        b = req.batch
+        l_pad, true_len, m, shared, hashes = self._plan_admission(b)
+        if m > 0:
+            self._admit_with_prefix(slot, req, l_pad, true_len, m, shared, hashes)
+            return
+
+        token_ids, is_image, image_slot = self._padded_plan(b, l_pad)
         dev_batch = {
-            "token_ids": jnp.asarray(token_ids),
-            "is_image": padded("is_image", False),
-            "image_slot": padded("image_slot"),
+            "token_ids": token_ids,
+            "is_image": is_image,
+            "image_slot": image_slot,
             "lengths": jnp.asarray(b["lengths"], jnp.int32),
             "images": jnp.asarray(b["images"], self.cfg.dtype)
             if b.get("images") is not None
             else None,
         }
         logits, small_cache = prefill(self.params, self.cfg, dev_batch, l_pad)
-        self._rng, sub = jax.random.split(self._rng)
-        tok = int(np.asarray(sample_tokens(logits, req.temperature, req.top_p, sub))[0])
-        length = int(np.asarray(dev_batch["lengths"])[0])
-        pages = self.allocator.alloc(l_pad // ps)
-        self.paged = insert_prefill(self.paged, small_cache, slot, pages, length)
-        self.slot_pages[slot] = pages
-        self.slots[slot] = req
-        self._init_ctx(req, length)
-        self.next_tokens[slot] = tok
-        self._emit(slot, tok)
+        self._finish_admission(
+            slot, req, small_cache, logits, l_pad, true_len, 0, [], hashes
+        )
+
+    def _admit_with_prefix(self, slot: int, req: _Request, l_pad: int,
+                           true_len: int, m: int, shared: list[int],
+                           hashes: list[bytes]):
+        """Suffix-only admission on a prefix-cache hit: map the m cached
+        blocks into the slot's table, gather them into a dense batch-1
+        cache, prefill ONLY positions [m·ps, l_pad) via generate.
+        prefill_chunk, and insert the suffix blocks as slot-owned pages.
+        When no image token falls in the suffix the ViT+projector encode is
+        skipped entirely (the image embeddings live in the cached KV)."""
+        from tokenpacker_tpu.models.lm_api import lm_logits
+        from tokenpacker_tpu.ops.paged_kv import gather_prefix
+
+        b = req.batch
+        start = m * self.page_size
+        # the slot's claim on the shared pages — taken BEFORE any alloc so
+        # pool-pressure eviction cannot free them mid-admission
+        for pid in shared:
+            self.allocator.incref(pid)
+
+        token_ids, is_image, image_slot = self._padded_plan(b, l_pad)
+        visual = self._suffix_visual(b, start, true_len)
+        small = gather_prefix(self.paged, shared, l_pad)
+        hidden, small = prefill_chunk(
+            self.params, self.cfg, small, visual,
+            token_ids[:, start:], is_image[:, start:], image_slot[:, start:],
+            jnp.asarray(start, jnp.int32), l_pad - start,
+        )
+        logits = lm_logits(
+            self.params["lm"], self.cfg.lm, hidden[:, true_len - 1 - start]
+        )
+        self._finish_admission(
+            slot, req, small, logits, l_pad, true_len, m, shared, hashes
+        )
+
+    # -- chunked admission (prefill interleaved with decode steps) ----------
+
+    def _start_pending(self, slot: int, req: _Request):
+        """Begin a chunked paged admission: plan + prefix match + vision
+        encode + prefix gather now; the prompt chunks run one per loop
+        iteration (_step_pending) so active slots keep decoding."""
+        from tokenpacker_tpu.models.llama import KVCache, kv_cache_dtype
+        from tokenpacker_tpu.ops.paged_kv import gather_prefix
+
+        b = req.batch
+        l_pad, true_len, m, shared, hashes = self._plan_admission(b)
+        # the slot's claim on the shared pages — taken BEFORE any alloc so
+        # pool-pressure eviction cannot free them mid-admission
+        for pid in shared:
+            self.allocator.incref(pid)
+        start0 = m * self.page_size
+        token_ids, is_image, image_slot = self._padded_plan(b, l_pad)
+        visual = self._suffix_visual(b, start0, true_len)
+        if m > 0:
+            small = gather_prefix(self.paged, shared, l_pad)
+        else:
+            small = KVCache.create(
+                self.cfg.lm, 1, l_pad,
+                kv_cache_dtype(self.cfg.dtype, family=self.cfg.lm.model_family),
+            )
+        self._pending = {
+            "req": req, "slot": slot, "cache": small, "visual": visual,
+            "offset": start0, "start0": start0, "true_len": true_len,
+            "l_pad": l_pad, "m": m, "shared": shared, "hashes": hashes,
+            "token_ids": token_ids, "is_image": is_image,
+            "image_slot": image_slot,
+        }
+
+    def _step_pending(self):
+        from tokenpacker_tpu.models.lm_api import lm_logits
+
+        p = self._pending
+        l_pad, start0 = p["l_pad"], p["start0"]
+        # fixed chunk length for a stable jit signature, clamped so the
+        # window NEVER re-enters the cached prefix [0, start0): those rows
+        # would need the (possibly skipped) vision encode to recompute
+        cs = min(self.prefill_chunk_size, l_pad - start0)
+        start = max(start0, min(p["offset"], l_pad - cs))
+        hidden, p["cache"] = prefill_chunk(
+            self.params, self.cfg, p["cache"], p["visual"],
+            jax.lax.dynamic_slice_in_dim(p["token_ids"], start, cs, 1),
+            jax.lax.dynamic_slice_in_dim(p["is_image"], start, cs, 1),
+            jax.lax.dynamic_slice_in_dim(p["image_slot"], start, cs, 1),
+            jnp.asarray(start, jnp.int32), cs,
+        )
+        p["offset"] = start + cs
+        if p["offset"] >= p["true_len"]:
+            logits = lm_logits(
+                self.params["lm"], self.cfg.lm, hidden[:, p["true_len"] - 1 - start]
+            )
+            self._pending = None
+            self._finish_admission(
+                p["slot"], p["req"], p["cache"], logits, l_pad,
+                p["true_len"], p["m"], p["shared"], p["hashes"],
+            )
+
+    def _step_pending_safe(self):
+        p = self._pending
+        try:
+            self._step_pending()
+        except BaseException as e:  # noqa: BLE001
+            self._pending = None
+            if p is not None and not p["req"].future.done():
+                p["req"].future.set_exception(RuntimeError(f"batcher loop died: {e!r}"))
+            raise
+
+    def _start_pending_safe(self, slot: int, req: _Request):
+        """Crash net for the planning/encode phase (mirrors _admit_safe)."""
+        try:
+            self._start_pending(slot, req)
+        except BaseException as e:  # noqa: BLE001
+            if not req.future.done():
+                req.future.set_exception(RuntimeError(f"batcher loop died: {e!r}"))
+            raise
 
     def _emit(self, slot: int, tok: int):
         req = self.slots[slot]
@@ -245,7 +459,7 @@ class PagedContinuousBatcher:
             target = (int(lens[slot]) + self.speculative_k) // self.page_size
             target = min(target, self.max_pages_per_seq - 1)
             while len(self.slot_pages[slot]) <= target:
-                (pid,) = self.allocator.alloc(1)
+                (pid,) = self._alloc(1)
                 block = len(self.slot_pages[slot])
                 self.slot_pages[slot].append(pid)
                 self.paged = map_page(self.paged, slot, block, pid)
@@ -253,19 +467,38 @@ class PagedContinuousBatcher:
     def _loop(self):
         from tokenpacker_tpu.ops.paged_kv import paged_decode_step_jit
 
+        chunked = self.prefill_chunk_size is not None
         while not self._stop.is_set():
-            for slot in range(self.num_slots):
-                if self.slots[slot] is None:
-                    try:
-                        req = self.queue.get_nowait()
-                    except queue.Empty:
-                        break
-                    self._admit_safe(slot, req)
+            if chunked:
+                if self._pending is None:
+                    for slot in range(self.num_slots):
+                        if self.slots[slot] is None:
+                            try:
+                                req = self.queue.get_nowait()
+                            except queue.Empty:
+                                break
+                            self._start_pending_safe(slot, req)
+                            break
+                if self._pending is not None:
+                    self._step_pending_safe()
+            else:
+                for slot in range(self.num_slots):
+                    if self.slots[slot] is None:
+                        try:
+                            req = self.queue.get_nowait()
+                        except queue.Empty:
+                            break
+                        self._admit_safe(slot, req)
             active = np.array([r is not None for r in self.slots])
             if not active.any():
+                if chunked and self._pending is not None:
+                    continue  # keep chunking the admission
                 try:
                     req = self.queue.get(timeout=0.05)
                 except queue.Empty:
+                    continue
+                if chunked:
+                    self._start_pending_safe(0, req)
                     continue
                 self._admit_safe(0, req)
                 active = np.array([r is not None for r in self.slots])
@@ -403,6 +636,7 @@ class ContinuousBatcher:
 
     _run = PagedContinuousBatcher._run  # same crash net
     _admit_safe = PagedContinuousBatcher._admit_safe
+    _start_pending_safe = PagedContinuousBatcher._start_pending_safe
 
     # -- internals ---------------------------------------------------------
 
@@ -536,7 +770,7 @@ class ContinuousBatcher:
                                 req = self.queue.get_nowait()
                             except queue.Empty:
                                 break
-                            self._start_pending(slot, req)
+                            self._start_pending_safe(slot, req)
                             break
                 if self._pending is not None:
                     self._step_pending_safe()
@@ -557,7 +791,7 @@ class ContinuousBatcher:
                 except queue.Empty:
                     continue
                 if chunked:
-                    self._start_pending(0, req)
+                    self._start_pending_safe(0, req)
                     continue
                 self._admit_safe(0, req)
                 active = np.array([r is not None for r in self.slots])
