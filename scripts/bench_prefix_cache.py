@@ -69,6 +69,32 @@ def ttft(batcher, req, max_new=2) -> float:
     return first[0] * 1e3
 
 
+def turn2_request(cfg, image_seed: int, s: int, pad_to: int, a0_len: int):
+    """A second chat turn: turn-1's FULL prompt (system + HD image + q0) +
+    turn-1's answer (a0_len tokens, chosen so the new question starts on a
+    page boundary) + a new question. The whole turn-1 conversation — image
+    included — is then a page-aligned cached prefix, so a warm admission
+    skips the 10-crop vision encode AND all but the last-block prefill."""
+    q0 = np.arange(150, 160)
+    a0 = np.arange(300, 300 + a0_len)
+    q1 = np.arange(400 + s, 416 + s)
+    ids = np.concatenate(
+        [[1], np.arange(100, 135), [IMAGE_TOKEN_INDEX], q0, a0, q1]
+    ).astype(np.int64)
+    plan = build_splice_plan([ids], [[(3, 3)]], cfg.tokens_per_view, "slice",
+                             29892, 13, 0, pad_to=pad_to)
+    images = jax.random.normal(
+        jax.random.PRNGKey(image_seed), (10, 336, 336, 3), jnp.bfloat16
+    )
+    return {
+        "token_ids": plan.token_ids,
+        "is_image": plan.is_image,
+        "image_slot": plan.image_slot,
+        "lengths": plan.lengths,
+        "images": images,
+    }
+
+
 def main():
     from tokenpacker_tpu.serve.scheduler import PagedContinuousBatcher
     from tokenpacker_tpu.utils.compile_cache import enable_compilation_cache
@@ -80,43 +106,63 @@ def main():
 
     params = quant_params(cfg, jnp.bfloat16, "int8")
 
-    # 64-token questions (a realistic templated VQA turn): long enough that
-    # the page-aligned cached prefix covers ALL image tokens, so warm
-    # admissions skip the 10-crop vision encode entirely (a 10-token
-    # question leaves the image's last ~23 tokens in the recomputed suffix)
-    q = lambda s: np.arange(150 + s, 214 + s)
+    q0 = np.arange(150, 160)
     probe = build_splice_plan(
-        [np.concatenate([[1], np.arange(100, 135), [IMAGE_TOKEN_INDEX], q(0)]).astype(np.int64)],
+        [np.concatenate([[1], np.arange(100, 135), [IMAGE_TOKEN_INDEX], q0]).astype(np.int64)],
         [[(3, 3)]], cfg.tokens_per_view, "slice", 29892, 13, 0,
     )
-    pad_to = pick_bucket(int(probe.lengths[0]))
-    print(f"HD prompt: {int(probe.lengths[0])} tokens (bucket {pad_to})", flush=True)
+    len1 = int(probe.lengths[0])
+    # turn-1 answer length that lands the new question ON a page boundary:
+    # the block mixing image tail + a0 is then identical across turn-2s
+    a0_len = (64 - len1 % 64) % 64 or 64
+    pad_to = pick_bucket(len1 + a0_len + 32)  # room for turn 2
+    print(f"HD turn-1 prompt: {len1} tokens, a0 {a0_len} (bucket {pad_to})",
+          flush=True)
 
     # pool sizing for ONE v5e chip beside 7 GB of int8 weights: one active
-    # HD sequence (26 pages) + its cached prompt blocks (23) + slack — a
-    # 60-page pool is ~1.9 GB of bf16 KV (128 pages OOMed)
+    # HD sequence + its cached prompt blocks + slack (bf16 KV ≈ 0.5 MB per
+    # position; 128 pages of 64 OOMed)
     batcher = PagedContinuousBatcher(
-        params, cfg, num_slots=1, num_pages=60, page_size=64,
-        max_pages_per_seq=(pad_to + 128) // 64, prefix_cache=True,
+        params, cfg, num_slots=1, num_pages=2 * ((pad_to + 128) // 64) + 8,
+        page_size=64, max_pages_per_seq=(pad_to + 128) // 64, prefix_cache=True,
     )
     batcher.start()
     try:
-        # warmup (compiles prefill + decode at this bucket)
-        ttft(batcher, hd_request(cfg, 0, q(0), pad_to))
-        cold = ttft(batcher, hd_request(cfg, 1, q(0), pad_to))
-        # warm warmup (compiles gather + suffix-chunk shapes)
-        ttft(batcher, hd_request(cfg, 1, q(1), pad_to))
-        warms = [ttft(batcher, hd_request(cfg, 1, q(2 + i), pad_to)) for i in range(3)]
+        # turn 1 with image A (compiles prefill/decode at this bucket) and
+        # with image B (whose blocks the warm turn-2s below will reuse)
+        ttft(batcher, hd_request(cfg, 0, q0, pad_to))
+        ttft(batcher, hd_request(cfg, 1, q0, pad_to))
+        # warm warmups: the FIRST runs at one block less (its own block-23
+        # registration is what the rest match), so a second warmup is
+        # needed to compile the measured-shape (m=24) fused admission
+        ttft(batcher, turn2_request(cfg, 1, 1, pad_to, a0_len))
+        ttft(batcher, turn2_request(cfg, 1, 99, pad_to, a0_len))
+        skipped_before = batcher.prefix.vision_skipped
+        warms = [
+            ttft(batcher, turn2_request(cfg, 1, 2 + i, pad_to, a0_len))
+            for i in range(3)
+        ]
+        # cold turn-2 A/B controls LAST (fresh images → guaranteed misses;
+        # their pool pressure may evict image B's blocks, so they must not
+        # precede the warm runs): full encode + prefill, identical shape
+        colds = [
+            ttft(batcher, turn2_request(cfg, 2 + i, 0, pad_to, a0_len))
+            for i in range(3)
+        ]
         stats = batcher.prefix.stats()
     finally:
         batcher.stop()
 
     warm = sorted(warms)[len(warms) // 2]
+    cold = sorted(colds)[len(colds) // 2]
     print(json.dumps({
-        "ttft_cold_ms": round(cold, 1),
-        "ttft_warm_prefix_ms": round(warm, 1),
+        "ttft_cold_turn2_ms": round(cold, 1),
+        "ttft_warm_turn2_ms": round(warm, 1),
+        "cold_runs_ms": [round(c, 1) for c in colds],
         "warm_runs_ms": [round(w, 1) for w in warms],
         "speedup": round(cold / warm, 2),
+        "vision_skipped_in_measured_warms": stats[
+            "prefix_vision_encodes_skipped"] - skipped_before,
         **stats,
     }), flush=True)
 

@@ -255,6 +255,30 @@ def test_prefix_cache_with_speculation(model):
     assert batcher.prefix.hits == 1
 
 
+def test_prefix_cache_int8_pool(model, monkeypatch):
+    """int8 KV pool × prefix cache: cached pages carry quantized K/V plus
+    their scale pages through gather_prefix/prefix_admit; a warm admission
+    reproduces the cold admission's greedy tokens exactly (and both match
+    the Generator under the same cache dtype)."""
+    monkeypatch.setenv("TOKENPACKER_KV_CACHE", "int8")
+    monkeypatch.setenv("TOKENPACKER_FUSED_DECODE", "0")
+    cfg, params = model
+    req = _request(cfg)
+    expected = Generator(params, cfg).generate(
+        req, max_new_tokens=4, temperature=0.0
+    ).sequences[0]
+    batcher = _make_batcher(params, cfg)
+    batcher.start()
+    try:
+        assert batcher.paged.k_pages.dtype.name == "int8"
+        cold = batcher.submit(req, 4).result(timeout=120)
+        warm = batcher.submit(req, 4).result(timeout=120)
+    finally:
+        batcher.stop()
+    assert cold == warm == expected
+    assert batcher.prefix.hits == 1
+
+
 def test_chunked_paged_admission_with_prefix(model):
     """Chunked paged admissions (prefill_chunk_size) compose with prefix
     caching: the cold admission chunks the whole prompt, the warm one

@@ -385,6 +385,43 @@ def test_paged_attention_kernel_matches_gather(model, monkeypatch):
     np.testing.assert_allclose(got[:2], ref[:2], rtol=2e-5, atol=2e-5)
 
 
+def test_paged_attention_kernel_matches_gather_int8(model, monkeypatch):
+    """int8 pools through the Pallas paged kernel: the per-(position, head)
+    scale pages fold into the logit/probability matrices in-kernel (K/V are
+    never dequantized) — logits match the XLA gather+dequant path."""
+    import jax.numpy as jnp
+
+    from tokenpacker_tpu.ops.kv_quant import quantize_kv
+    from tokenpacker_tpu.ops.paged_kv import PagedKV, paged_decode_step
+
+    cfg, params = model
+    lm = cfg.lm
+    ps, num_pages, mp = 8, 10, 4
+    rng = np.random.default_rng(12)
+    shape = (lm.num_hidden_layers, num_pages, ps, lm.kv_heads, lm.head_dim)
+    kq, ks = quantize_kv(jnp.asarray(rng.standard_normal(shape), jnp.float32))
+    vq, vs = quantize_kv(jnp.asarray(rng.standard_normal(shape), jnp.float32))
+    table = np.zeros((3, mp), np.int32)
+    table[0, :3] = [1, 2, 3]   # len 19: page 3 partially filled
+    table[1, :2] = [4, 5]      # len 10
+    table[2, :1] = [6]         # inactive slot, stale row
+    lengths = np.array([19, 10, 3], np.int32)
+    active = jnp.asarray(np.array([True, True, False]))
+    tokens = jnp.asarray(np.array([42, 99, 7], np.int32))
+
+    def run(impl):
+        monkeypatch.setenv("TOKENPACKER_PAGED_ATTN", impl)
+        paged = PagedKV(kq, vq, jnp.asarray(table), jnp.asarray(lengths), ks, vs)
+        logits, _ = paged_decode_step(params, cfg, paged, tokens, active)
+        return np.asarray(logits)
+
+    ref = run("xla")
+    got = run("pallas")
+    # the gather path rounds dequantized K/V to the model dtype before the
+    # dots; the kernel keeps f32 scales on the logit side — small reorder
+    np.testing.assert_allclose(got[:2], ref[:2], rtol=2e-3, atol=2e-3)
+
+
 def test_batcher_crash_fails_futures(model, monkeypatch):
     """Crash net: if the batcher loop dies, in-flight futures get the
     exception (clients unblock immediately) and new submits are rejected."""

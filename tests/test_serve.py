@@ -227,6 +227,63 @@ def test_worker_stream_via_continuous_batcher(tiny_worker):
         batcher.stop()
 
 
+def test_worker_paged_prefix_cache_across_turns(tiny_worker):
+    """Multi-turn chat through the worker HTTP surface with --scheduler
+    paged: turn 2 resends turn 1's transcript as its prompt prefix and hits
+    the prefix cache; the reuse counters surface in /worker_get_status."""
+    from tokenpacker_tpu.serve.scheduler import PagedContinuousBatcher
+
+    cfg = tiny_worker.cfg
+    params = tiny_worker.model.generator.params
+    batcher = PagedContinuousBatcher(
+        params, cfg, tiny_worker.tokenizer, num_slots=2, num_pages=64,
+        page_size=4, max_pages_per_seq=32, prefix_cache=True,
+    )
+    batcher.start()
+    tiny_worker.batcher = batcher
+    wport = _free_port()
+    ws = ThreadingHTTPServer(("localhost", wport), worker_handler(tiny_worker))
+    threading.Thread(target=ws.serve_forever, daemon=True).start()
+    time.sleep(0.2)
+    try:
+        def stream_one(prompt):
+            req = urllib.request.Request(
+                f"http://localhost:{wport}/worker_generate_stream",
+                json.dumps({"prompt": prompt, "temperature": 0.0,
+                            "max_new_tokens": 4}).encode(),
+                {"Content-Type": "application/json"},
+            )
+            chunks = []
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                buf = b""
+                while True:
+                    b = resp.read(1)
+                    if not b:
+                        break
+                    if b == b"\0":
+                        chunks.append(json.loads(buf))
+                        buf = b""
+                    else:
+                        buf += b
+            return chunks
+
+        turn1 = ("A chat between a curious user and an artificial "
+                 "intelligence assistant")
+        r1 = stream_one(turn1)
+        assert r1[-1]["error_code"] == 0
+        # turn 2's prompt = turn 1's full transcript + a follow-up
+        turn2 = r1[-1]["text"] + " a curious user assistant"
+        r2 = stream_one(turn2)
+        assert r2[-1]["error_code"] == 0
+        status = _post(f"http://localhost:{wport}/worker_get_status", {})
+        assert status["prefix_cache_hits"] >= 1
+        assert status["prefix_tokens_reused"] > 0
+    finally:
+        tiny_worker.batcher = None
+        ws.shutdown()
+        batcher.stop()
+
+
 def test_worker_stream_speculative_parity(servers, tiny_worker):
     """--speculative-k over the live worker HTTP surface: the final streamed
     text matches the plain (non-speculative) stream for the same greedy

@@ -19,6 +19,7 @@ Layout:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -152,13 +153,17 @@ def _paged_layer(p, cfg: LMConfig, x, cos, sin, bias, kp, vp, page_table, cur_le
         kp = kp.at[write_page, off].set(k[:, 0].astype(kp.dtype))
         vp = vp.at[write_page, off].set(v[:, 0].astype(vp.dtype))
 
-    if _use_paged_kernel() and not int8_pages:
+    if _use_paged_kernel():
         # vLLM-style Pallas paged attention: pages read in place via the
-        # scalar-prefetched table — no [N, MP*ps, H, D] gather tensor
+        # scalar-prefetched table — no [N, MP*ps, H, D] gather tensor.
+        # int8 pools pass their scale pages; the kernel folds them into the
+        # logit/probability matrices (never dequantizing K/V).
         from tokenpacker_tpu.ops.paged_attention import paged_attention
 
         attn = paged_attention(
             q[:, 0], kp, vp, page_table, cur_lens + 1,
+            k_scales=ks if int8_pages else None,
+            v_scales=vs if int8_pages else None,
             groups=cfg.num_attention_heads // cfg.kv_heads,
             interpret=jax.default_backend() != "tpu",
         )[:, None]
@@ -441,3 +446,63 @@ def map_page(paged: PagedKV, seq: int, logical_block: int, page_id: int):
     return paged._replace(
         page_table=paged.page_table.at[seq, logical_block].set(page_id)
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "first_block", "chunk_len"),
+    donate_argnums=(0,),
+)
+def prefix_admit(paged: PagedKV, params, cfg, shared_ids, fresh_ids, visual,
+                 token_chunk, is_image_chunk, image_slot_chunk, seq, true_len,
+                 first_block: int, chunk_len: int):
+    """One-dispatch warm admission (prefix-cache hit): gather the shared
+    pages into a dense prefix, prefill ONLY the suffix chunk against it,
+    scatter the suffix K/V into the fresh pages, map the full table row and
+    set the length — the whole device side of a prefix-hit admission as a
+    single jitted program. The eager sequence (gather + chunk + 4-6 page
+    inserts + table map) costs ~15 dispatches; over a high-latency link
+    that overhead dominates warm-admission TTFT. The pool is donated (the
+    output aliases its storage).
+
+    Returns (last-token logits [1, V], new PagedKV). cfg is the VLM config;
+    seq/true_len are traced scalars so slots don't retrace."""
+    from tokenpacker_tpu.generate import prefill_chunk
+    from tokenpacker_tpu.models.lm_api import lm_logits
+
+    ps = paged.page_size
+    start = first_block * ps
+    l_pad = start + chunk_len
+    small = gather_prefix(paged, shared_ids, l_pad)
+    hidden, small = prefill_chunk(
+        params, cfg, small, visual, token_chunk, is_image_chunk,
+        image_slot_chunk, start, chunk_len,
+    )
+    idx = jnp.clip(true_len - 1 - start, 0, chunk_len - 1)
+    last = jax.lax.dynamic_index_in_dim(hidden, idx, axis=1)  # [1, 1, D]
+    logits = lm_logits(params["lm"], cfg.lm, last[:, 0])
+
+    n_fresh = fresh_ids.shape[0]
+    layers = paged.k_pages.shape[0]
+
+    def put(pages, rows):
+        seg = rows[:, 0, start:start + n_fresh * ps].reshape(
+            layers, n_fresh, ps, *pages.shape[3:])
+        return pages.at[:, fresh_ids].set(seg)
+
+    table = paged.page_table.at[seq, :first_block].set(shared_ids)
+    table = table.at[
+        jnp.full((n_fresh,), seq), first_block + jnp.arange(n_fresh)
+    ].set(fresh_ids)
+    out = paged._replace(
+        k_pages=put(paged.k_pages, small.k),
+        v_pages=put(paged.v_pages, small.v),
+        page_table=table,
+        lengths=paged.lengths.at[seq].set(true_len),
+    )
+    if paged.k_scales is not None:
+        out = out._replace(
+            k_scales=put(paged.k_scales, small.k_scale),
+            v_scales=put(paged.v_scales, small.v_scale),
+        )
+    return logits, out

@@ -257,31 +257,38 @@ class PagedContinuousBatcher:
             (1, self.cfg.tokens_per_view, self.cfg.lm.hidden_size), self.cfg.dtype
         )
 
-    def _finish_admission(self, slot: int, req: _Request, small_cache, logits,
-                          l_pad: int, true_len: int, m: int,
-                          shared: list[int], hashes: list[bytes]):
-        """Common admission tail: sample the first token, move the dense
-        prefilled rows [m·ps, l_pad) into fresh pages, map the m shared
-        prefix pages, register full prompt blocks with the prefix cache."""
-        from tokenpacker_tpu.ops.paged_kv import insert_prefill, map_blocks
-
+    def _finish_bookkeeping(self, slot: int, req: _Request, logits,
+                            true_len: int, all_pages: list[int], m: int,
+                            hashes: list[bytes]):
+        """Host-side admission tail: sample the first token, record the
+        slot's pages, register full prompt blocks with the prefix cache."""
         self._rng, sub = jax.random.split(self._rng)
         tok = int(np.asarray(sample_tokens(logits, req.temperature, req.top_p, sub))[0])
-        fresh = self._alloc(l_pad // self.page_size - m)
-        self.paged = insert_prefill(
-            self.paged, small_cache, slot, fresh, true_len, first_block=m
-        )
-        self.paged = map_blocks(self.paged, slot, 0, shared)
-        self.slot_pages[slot] = list(shared) + fresh
+        self.slot_pages[slot] = all_pages
         if self.prefix is not None:
-            self.prefix.register(
-                hashes, (list(shared) + fresh)[: len(hashes)], self.allocator
-            )
+            self.prefix.register(hashes, all_pages[: len(hashes)], self.allocator)
             self.prefix.tokens_reused += m * self.page_size
         self.slots[slot] = req
         self._init_ctx(req, true_len)
         self.next_tokens[slot] = tok
         self._emit(slot, tok)
+
+    def _finish_admission(self, slot: int, req: _Request, small_cache, logits,
+                          l_pad: int, true_len: int, m: int,
+                          shared: list[int], hashes: list[bytes]):
+        """Common admission tail: move the dense prefilled rows [m·ps,
+        l_pad) into fresh pages, map the m shared prefix pages, then the
+        host bookkeeping."""
+        from tokenpacker_tpu.ops.paged_kv import insert_prefill, map_blocks
+
+        fresh = self._alloc(l_pad // self.page_size - m)
+        self.paged = insert_prefill(
+            self.paged, small_cache, slot, fresh, true_len, first_block=m
+        )
+        self.paged = map_blocks(self.paged, slot, 0, shared)
+        self._finish_bookkeeping(
+            slot, req, logits, true_len, list(shared) + fresh, m, hashes
+        )
 
     def _admit(self, slot: int, req: _Request):
         b = req.batch
@@ -308,14 +315,13 @@ class PagedContinuousBatcher:
     def _admit_with_prefix(self, slot: int, req: _Request, l_pad: int,
                            true_len: int, m: int, shared: list[int],
                            hashes: list[bytes]):
-        """Suffix-only admission on a prefix-cache hit: map the m cached
-        blocks into the slot's table, gather them into a dense batch-1
-        cache, prefill ONLY positions [m·ps, l_pad) via generate.
-        prefill_chunk, and insert the suffix blocks as slot-owned pages.
-        When no image token falls in the suffix the ViT+projector encode is
-        skipped entirely (the image embeddings live in the cached KV)."""
-        from tokenpacker_tpu.models.lm_api import lm_logits
-        from tokenpacker_tpu.ops.paged_kv import gather_prefix
+        """Suffix-only admission on a prefix-cache hit, as ONE device
+        dispatch (ops/paged_kv.prefix_admit): map the m cached blocks,
+        gather them into a dense prefix, prefill ONLY positions [m·ps,
+        l_pad), and write the suffix blocks as slot-owned pages. When no
+        image token falls in the suffix the ViT+projector encode is skipped
+        entirely (the image embeddings live in the cached KV)."""
+        from tokenpacker_tpu.ops.paged_kv import prefix_admit
 
         b = req.batch
         start = m * self.page_size
@@ -323,20 +329,19 @@ class PagedContinuousBatcher:
         # pool-pressure eviction cannot free them mid-admission
         for pid in shared:
             self.allocator.incref(pid)
+        fresh = self._alloc(l_pad // self.page_size - m)
 
         token_ids, is_image, image_slot = self._padded_plan(b, l_pad)
         visual = self._suffix_visual(b, start, true_len)
-        small = gather_prefix(self.paged, shared, l_pad)
-        hidden, small = prefill_chunk(
-            self.params, self.cfg, small, visual,
-            token_ids[:, start:], is_image[:, start:], image_slot[:, start:],
-            jnp.asarray(start, jnp.int32), l_pad - start,
+        logits, self.paged = prefix_admit(
+            self.paged, self.params, self.cfg,
+            jnp.asarray(shared, jnp.int32), jnp.asarray(fresh, jnp.int32),
+            visual, token_ids[:, start:], is_image[:, start:],
+            image_slot[:, start:], jnp.asarray(slot, jnp.int32),
+            jnp.asarray(true_len, jnp.int32), m, l_pad - start,
         )
-        logits = lm_logits(
-            self.params["lm"], self.cfg.lm, hidden[:, true_len - 1 - start]
-        )
-        self._finish_admission(
-            slot, req, small, logits, l_pad, true_len, m, shared, hashes
+        self._finish_bookkeeping(
+            slot, req, logits, true_len, list(shared) + fresh, m, hashes
         )
 
     # -- chunked admission (prefill interleaved with decode steps) ----------
