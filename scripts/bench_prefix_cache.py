@@ -95,16 +95,17 @@ def turn2_request(cfg, image_seed: int, s: int, pad_to: int, a0_len: int):
     }
 
 
-def main():
+def measure(n_samples: int = 3, params=None):
+    """Measure (cold, warm) turn-2 admission TTFTs. Importable (bench.py's
+    prefix_cache section). Returns the result dict."""
     from tokenpacker_tpu.serve.scheduler import PagedContinuousBatcher
-    from tokenpacker_tpu.utils.compile_cache import enable_compilation_cache
 
-    enable_compilation_cache()
     cfg = TokenPackerVLMConfig(patch_num=9, image_aspect_ratio="slice")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bench_hd import quant_params
 
-    params = quant_params(cfg, jnp.bfloat16, "int8")
+    if params is None:
+        params = quant_params(cfg, jnp.bfloat16, "int8")
 
     q0 = np.arange(150, 160)
     probe = build_splice_plan(
@@ -140,14 +141,14 @@ def main():
         skipped_before = batcher.prefix.vision_skipped
         warms = [
             ttft(batcher, turn2_request(cfg, 1, 2 + i, pad_to, a0_len))
-            for i in range(3)
+            for i in range(n_samples)
         ]
         # cold turn-2 A/B controls LAST (fresh images → guaranteed misses;
         # their pool pressure may evict image B's blocks, so they must not
         # precede the warm runs): full encode + prefill, identical shape
         colds = [
             ttft(batcher, turn2_request(cfg, 2 + i, 0, pad_to, a0_len))
-            for i in range(3)
+            for i in range(n_samples)
         ]
         stats = batcher.prefix.stats()
     finally:
@@ -155,7 +156,7 @@ def main():
 
     warm = sorted(warms)[len(warms) // 2]
     cold = sorted(colds)[len(colds) // 2]
-    print(json.dumps({
+    out = {
         "ttft_cold_turn2_ms": round(cold, 1),
         "ttft_warm_turn2_ms": round(warm, 1),
         "cold_runs_ms": [round(c, 1) for c in colds],
@@ -164,7 +165,16 @@ def main():
         "vision_skipped_in_measured_warms": stats[
             "prefix_vision_encodes_skipped"] - skipped_before,
         **stats,
-    }), flush=True)
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    from tokenpacker_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    measure()
 
 
 if __name__ == "__main__":
