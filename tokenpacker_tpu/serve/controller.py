@@ -26,6 +26,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from tokenpacker_tpu.constants import CONTROLLER_HEART_BEAT_EXPIRATION
+from tokenpacker_tpu.serve import metrics as mtr
 from tokenpacker_tpu.utils.logging_utils import build_logger
 
 logger = build_logger("controller", "controller.log")
@@ -130,6 +131,7 @@ class Controller:
                 return False
             info.queue_length = queue_length
             info.last_heart_beat = time.time()
+        mtr.CONTROLLER_HEARTBEATS.inc()
         return True
 
     def _expiry_loop(self):
@@ -145,12 +147,15 @@ class Controller:
                     to_delete.append(name)
             for name in to_delete:
                 del self.worker_info[name]
+        if to_delete:
+            mtr.CONTROLLER_EXPIRED.inc(len(to_delete))
         for name in to_delete:
             logger.info(f"Remove stale worker: {name}")
 
     # -- dispatch ----------------------------------------------------------
 
     def get_worker_address(self, model_name: str) -> str:
+        mtr.CONTROLLER_DISPATCHES.inc(model=model_name)
         if self.dispatch_method == DispatchMethod.LOTTERY:
             with self.lock:
                 names, speeds = [], []
@@ -220,6 +225,15 @@ def make_handler(controller: Controller):
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path.rstrip("/") == "/metrics":
+                with controller.lock:
+                    mtr.CONTROLLER_WORKERS.set(len(controller.worker_info))
+                mtr.send_metrics_response(self)
+            else:
+                self.send_response(404)
+                self.end_headers()
 
         def do_POST(self):
             body = self._read_json()

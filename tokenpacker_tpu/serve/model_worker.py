@@ -28,6 +28,7 @@ import numpy as np
 
 from tokenpacker_tpu.constants import DEFAULT_IMAGE_TOKEN, WORKER_HEART_BEAT_INTERVAL
 from tokenpacker_tpu.data.mm_tokenize import tokenizer_image_token
+from tokenpacker_tpu.serve import metrics as mtr
 from tokenpacker_tpu.generate import pick_bucket
 from tokenpacker_tpu.image.processing import process_image
 from tokenpacker_tpu.models.splice import build_splice_plan
@@ -237,6 +238,7 @@ class ModelWorker:
                 stop_strings = tuple(s for s in stop_str if s)
             generated = ""
             GLOBAL_STATS.record("preprocess", time.perf_counter() - t_start)
+            mtr.WORKER_PREPROCESS.observe(time.perf_counter() - t_start)
             t_prefill = time.perf_counter()
             if getattr(self, "batcher", None) is not None:
                 yield from self._stream_via_batcher(
@@ -270,21 +272,26 @@ class ModelWorker:
             ):
                 if first:
                     GLOBAL_STATS.record("prefill_ttft", time.perf_counter() - t_prefill)
+                    mtr.WORKER_TTFT.observe(time.perf_counter() - t_prefill)
                     t_decode = time.perf_counter()
                     first = False
                 n_toks += 1
                 generated = text
                 yield json.dumps({"text": prompt + generated, "error_code": 0}).encode() + b"\0"
             if not first and n_toks > 1:
-                GLOBAL_STATS.record("decode_per_token", (time.perf_counter() - t_decode) / (n_toks - 1))
+                per_tok = (time.perf_counter() - t_decode) / (n_toks - 1)
+                GLOBAL_STATS.record("decode_per_token", per_tok)
+                mtr.WORKER_DECODE_TOKEN.observe(per_tok)
             yield self._final_chunk(prompt + generated, spliced_len, n_toks, max_new_tokens)
         except ValueError as e:
             logger.error(f"ValueError: {e}")
+            mtr.WORKER_ERRORS.inc()
             yield json.dumps(
                 {"text": f"{e}\n(error_code: 1)", "error_code": 1}
             ).encode() + b"\0"
         except Exception as e:
             logger.error(f"Unknown error: {e}")
+            mtr.WORKER_ERRORS.inc()
             yield json.dumps(
                 {"text": f"internal error\n(error_code: 1)", "error_code": 1}
             ).encode() + b"\0"
@@ -294,6 +301,8 @@ class ModelWorker:
         """Terminal stream chunk with OpenAI-style accounting (see
         generate_stream docstring)."""
         finish = "length" if completion_tokens >= max_new_tokens else "stop"
+        mtr.WORKER_PROMPT_TOKENS.inc(prompt_tokens)
+        mtr.WORKER_GENERATED_TOKENS.inc(completion_tokens)
         return json.dumps({
             "text": full_text,
             "error_code": 0,
@@ -347,6 +356,7 @@ class ModelWorker:
                 break
             if first:
                 GLOBAL_STATS.record("prefill_ttft", time.perf_counter() - t_prefill)
+                mtr.WORKER_TTFT.observe(time.perf_counter() - t_prefill)
                 t_decode = time.perf_counter()
                 first = False
             n += 1
@@ -363,7 +373,9 @@ class ModelWorker:
             if stopped:
                 break
         if n > 1:
-            GLOBAL_STATS.record("decode_per_token", (time.perf_counter() - t_decode) / (n - 1))
+            per_tok = (time.perf_counter() - t_decode) / (n - 1)
+            GLOBAL_STATS.record("decode_per_token", per_tok)
+            mtr.WORKER_DECODE_TOKEN.observe(per_tok)
         yield self._final_chunk(prompt + text, spliced_len, n, max_new_tokens)
 
     def drain(self, timeout: float = 60.0):
@@ -398,8 +410,10 @@ class ModelWorker:
                 {"text": "worker is shutting down", "error_code": 1}
             ).encode() + b"\0"
             return
+        mtr.WORKER_REQUESTS.inc()
         with self._ql_lock:
             self.queue_length += 1
+            mtr.WORKER_QUEUE.set(self.queue_length)
         self.semaphore.acquire()
         try:
             self.call_ct += 1
@@ -408,6 +422,7 @@ class ModelWorker:
             self.semaphore.release()
             with self._ql_lock:
                 self.queue_length -= 1
+                mtr.WORKER_QUEUE.set(self.queue_length)
 
 
 def make_handler(worker: ModelWorker):
@@ -418,6 +433,19 @@ def make_handler(worker: ModelWorker):
         def _read_json(self) -> dict:
             n = int(self.headers.get("Content-Length", 0))
             return json.loads(self.rfile.read(n) or b"{}")
+
+        def do_GET(self):
+            if self.path.rstrip("/") == "/metrics":
+                # refresh point-in-time gauges from live worker state
+                mtr.WORKER_QUEUE.set(worker.queue_length)
+                prefix = getattr(worker.batcher, "prefix", None)
+                if prefix is not None:
+                    for k, v in prefix.stats().items():
+                        mtr.WORKER_PREFIX.set(v, stat=k.removeprefix("prefix_"))
+                mtr.send_metrics_response(self)
+            else:
+                self.send_response(404)
+                self.end_headers()
 
         def do_POST(self):
             body = self._read_json()

@@ -348,6 +348,12 @@ def make_handler(gateway: Gateway):
             return header == f"Bearer {gateway.api_key}"
 
         def do_GET(self):
+            if self.path.rstrip("/") == "/metrics":
+                # scrape endpoint (no bearer auth, like a health check —
+                # Prometheus scrapers don't carry the OpenAI key)
+                from tokenpacker_tpu.serve import metrics as mtr
+
+                return mtr.send_metrics_response(self)
             if not self._auth_ok():
                 return self._send_json(APIError(
                     "invalid API key", 401, "authentication_error").body(), 401)
@@ -375,6 +381,9 @@ def make_handler(gateway: Gateway):
             route = self.path.rstrip("/")
             if route not in ("/v1/chat/completions", "/v1/completions"):
                 return self._send_json(APIError("not found", 404).body(), 404)
+            from tokenpacker_tpu.serve import metrics as mtr
+
+            mtr.GATEWAY_REQUESTS.inc(route=route)
             chat = route == "/v1/chat/completions"
             try:
                 n = int(self.headers.get("Content-Length", 0))
