@@ -216,8 +216,13 @@ def _fused_decode_mode(params, cfg: TokenPackerVLMConfig, cache) -> str | None:
         # TOKENPACKER_FUSED_DECODE=debug (scripts/bench_fused_decode.py).
         return None
     from tokenpacker_tpu.ops.fused_decode import fused_eligible
+    from tokenpacker_tpu.serve.multi_lora import has_slot_lora
 
     if not fused_eligible(params.get("lm", {}), cfg.lm):
+        return None
+    if has_slot_lora(params.get("lm", {})):
+        # multi-LoRA serving: the kernel streams base weights only — the
+        # per-slot adapter term exists only on the XLA path (ops/layers)
         return None
     # cache-dtype/length gates. bf16 caches: the kernel wins up to S=1024
     # (S=512: 87.4 vs 84.6 B=1 and 416 vs 317 agg B=8; S=1024: 73.9 vs

@@ -89,6 +89,17 @@ def linear(params, x):
             y = y + (x @ k["lora_a"].astype(x.dtype)) @ k["lora_b"].astype(x.dtype)
     else:
         y = x @ k
+    a = params.get("slot_lora_a")
+    if a is not None:
+        # multi-LoRA serving term (serve/multi_lora.py): all n adapters'
+        # rank-r products computed (tiny vs the base matmul) and combined
+        # by each batch row's one-hot selection — an all-zero row selects
+        # the base model exactly.
+        b = params["slot_lora_b"]
+        sel = params["slot_lora_sel"].astype(x.dtype)
+        xa = jnp.einsum("b...d,ndr->b...nr", x, a.astype(x.dtype))
+        ctx = jnp.einsum("b...nr,nro->b...no", xa, b.astype(x.dtype))
+        y = y + jnp.einsum("b...no,bn->b...o", ctx, sel)
     if params.get("bias") is not None:
         y = y + params["bias"]
     return y

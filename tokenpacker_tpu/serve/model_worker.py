@@ -62,6 +62,7 @@ class ModelWorker:
         scheduler_max_len: int = 1024,
         scheduler_prefill_chunk: int | None = 256,  # chunked admission
         speculative_k: int = 0,  # prompt-lookup speculative decoding (greedy)
+        lora_adapters: dict | None = None,  # {name: path} multi-LoRA serving
     ):
         from tokenpacker_tpu.api import load_pretrained_model
         from tokenpacker_tpu.data.mm_tokenize import get_model_name_from_path
@@ -82,6 +83,20 @@ class ModelWorker:
             self.model.generator.warmup(n_crops=n_crops, speculative=speculative_k)
         self.semaphore = threading.Semaphore(limit_model_concurrency)
         self.speculative_k = speculative_k
+        self.adapters = {}
+        if lora_adapters:
+            # multi-LoRA serving (serve/multi_lora.py): adapters load
+            # unmerged and are selected per request (by name, or by
+            # requesting the adapter as the model). Batcher-only feature.
+            if scheduler == "none":
+                raise ValueError(
+                    "--lora adapters need a continuous/paged scheduler"
+                )
+            from tokenpacker_tpu.serve.multi_lora import load_adapter
+
+            for name, path in lora_adapters.items():
+                logger.info(f"Loading LoRA adapter {name} from {path}")
+                self.adapters[name] = load_adapter(path, self.cfg)
         self.batcher = None
         if scheduler != "none":
             # continuous batching: up to scheduler_slots requests decode in
@@ -102,6 +117,7 @@ class ModelWorker:
                     max_pages_per_seq=max((scheduler_max_len + 63) // 64, 1),
                     speculative_k=speculative_k,
                     prefill_chunk_size=scheduler_prefill_chunk,
+                    adapters=self.adapters or None,
                 )
             else:
                 self.batcher = ContinuousBatcher(
@@ -109,6 +125,7 @@ class ModelWorker:
                     num_slots=scheduler_slots, max_seq_len=scheduler_max_len,
                     prefill_chunk_size=scheduler_prefill_chunk,
                     speculative_k=speculative_k,
+                    adapters=self.adapters or None,
                 )
             self.batcher.start()
             logger.info(f"{scheduler} batching executor: {scheduler_slots} slots")
@@ -156,7 +173,10 @@ class ModelWorker:
         from tokenpacker_tpu.utils.profiling import GLOBAL_STATS
 
         out = {
-            "model_names": [self.model_name],
+            # adapters are addressable as models so the controller routes
+            # by adapter name too (multi-LoRA serving)
+            "model_names": [self.model_name]
+            + sorted(getattr(self, "adapters", {})),
             "speed": 1,
             "queue_length": self.queue_length,
             "call_ct": self.call_ct,
@@ -184,6 +204,11 @@ class ModelWorker:
         top_p = float(params.get("top_p", 1.0))
         max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
         stop_str = params.get("stop", None)
+        # multi-LoRA: explicit "adapter" field, or requesting an adapter
+        # name as the model (the worker advertises adapters as models)
+        adapter = params.get("adapter")
+        if adapter is None and params.get("model") in getattr(self, "adapters", {}):
+            adapter = params["model"]
 
         from tokenpacker_tpu.utils.profiling import GLOBAL_STATS
 
@@ -240,6 +265,11 @@ class ModelWorker:
             GLOBAL_STATS.record("preprocess", time.perf_counter() - t_start)
             mtr.WORKER_PREPROCESS.observe(time.perf_counter() - t_start)
             t_prefill = time.perf_counter()
+            if adapter is not None and (
+                getattr(self, "batcher", None) is None
+                or adapter not in getattr(self, "adapters", {})
+            ):
+                raise ValueError(f"unknown LoRA adapter: {adapter}")
             if getattr(self, "batcher", None) is not None:
                 yield from self._stream_via_batcher(
                     prompt,
@@ -251,7 +281,7 @@ class ModelWorker:
                         "images": images,
                     },
                     max_new_tokens, temperature, top_p, stop_strings, t_prefill,
-                    spliced_len,
+                    spliced_len, adapter=adapter,
                 )
                 return
             first = True
@@ -315,7 +345,8 @@ class ModelWorker:
         }).encode() + b"\0"
 
     def _stream_via_batcher(self, prompt, batch, max_new_tokens, temperature,
-                            top_p, stop_strings, t_prefill, spliced_len=0):
+                            top_p, stop_strings, t_prefill, spliced_len=0,
+                            adapter=None):
         """Stream through the continuous-batching executor: tokens arrive via
         the slot's on_token callback while other requests decode in the same
         device step; each slot samples with its own temperature and top_p."""
@@ -329,6 +360,7 @@ class ModelWorker:
             temperature=temperature if temperature > 0 else 0.0,
             top_p=top_p if 0.0 < top_p < 1.0 else None,
             on_token=q.put,
+            adapter=adapter,
         )
         fut.add_done_callback(lambda f: q.put(None))
         eos = self.cfg.lm.eos_token_id
@@ -490,6 +522,12 @@ def main(argv=None):
     parser.add_argument("--scheduler-max-len", type=int, default=1024)
     parser.add_argument("--scheduler-prefill-chunk", type=int, default=256,
                         help="0 disables chunked admission (whole-prompt prefill)")
+    parser.add_argument("--lora", action="append", default=[], metavar="NAME=PATH",
+                        help="load a LoRA adapter for multi-LoRA serving "
+                             "(repeatable). Requests select it via the "
+                             "'adapter' field or by using NAME as the model; "
+                             "the worker also advertises NAME to the "
+                             "controller. Needs --scheduler continuous|paged")
     parser.add_argument("--speculative-k", type=int, default=0,
                         help="prompt-lookup speculative decoding draft length "
                              "for greedy requests (direct streaming path and "
@@ -535,6 +573,7 @@ def main(argv=None):
         scheduler_max_len=args.scheduler_max_len,
         scheduler_prefill_chunk=args.scheduler_prefill_chunk or None,
         speculative_k=args.speculative_k,
+        lora_adapters=dict(s.split("=", 1) for s in args.lora) or None,
     )
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
 

@@ -1,0 +1,297 @@
+"""Multi-LoRA serving: many adapters over one shared base, selected
+per request (beyond the reference, which can only MERGE one LoRA into the
+base at load time — llava/model/builder.py:46-79).
+
+S-LoRA-style formulation tuned for TPU/XLA static shapes:
+
+- All adapters load UNMERGED into stacked tensors `a_all [L, n, in, r]`,
+  `b_all [L, n, r, out]` per target linear (r padded to the max across
+  adapters; the PEFT `alpha/r` scaling is folded into `b` at load).
+- Each batcher slot carries a one-hot selection row `sel [slots, n]`
+  (all-zeros = no adapter). The LoRA term is three small einsums appended
+  inside `ops/layers.linear`:
+      y += ((x @ a_all) @ b_all) · sel
+  computed for ALL n adapters and selected by the one-hot — n is small
+  (the active adapter set), the rank-r FLOPs are negligible next to the
+  base GEMV, and this avoids per-slot weight gathers entirely. Admission
+  updates ONE host row of `sel`, not a [slots, in, r] device stack.
+- The stacks ride the layer scan: every injected leaf keeps the leading
+  [L] axis (`sel` is broadcast to [L, slots, n]) so `llama_apply`'s scan
+  slices them per layer alongside the base kernels.
+- Works over dense bf16 AND quantized bases (the term is added after the
+  base matmul regardless of kernel encoding), and over the fused
+  qkv/gateup int8 layouts via concatenated-A / block-diagonal-B forms.
+- Non-LoRA trainables (the projector delta every LLaVA LoRA checkpoint
+  carries) apply per REQUEST at prefill: vision+projector run once per
+  admission, so the adapter's projector params are substituted for that
+  call only.
+- The fused whole-stack decode kernel knows nothing about adapters:
+  `generate._fused_decode_mode` gates OFF when slot-LoRA leaves are
+  present, so multi-LoRA serving rides the XLA decode path.
+
+The adapter SET is fixed at worker startup (n is a compiled dimension);
+per-request choice within the set is free. Pick modest ranks for serving:
+every decode step re-reads all n adapters' weights (~n·2·r·Σ(in+out)
+bytes), which at r≤16 and n≤4 costs a few percent of a 7B int8 step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+TARGETS = (
+    ("attn", "q"), ("attn", "k"), ("attn", "v"), ("attn", "o"),
+    ("mlp", "gate"), ("mlp", "up"), ("mlp", "down"),
+)
+
+# torch-side projection names (reference find_all_linear_names targets,
+# train.py:168-181) → our (group, leaf) paths
+_TORCH_NAMES = {
+    "self_attn.q_proj": ("attn", "q"),
+    "self_attn.k_proj": ("attn", "k"),
+    "self_attn.v_proj": ("attn", "v"),
+    "self_attn.o_proj": ("attn", "o"),
+    "mlp.gate_proj": ("mlp", "gate"),
+    "mlp.up_proj": ("mlp", "up"),
+    "mlp.down_proj": ("mlp", "down"),
+}
+
+
+def target_dims(lm_cfg) -> dict:
+    d, f = lm_cfg.hidden_size, lm_cfg.intermediate_size
+    hq = lm_cfg.num_attention_heads * lm_cfg.head_dim
+    hkv = lm_cfg.kv_heads * lm_cfg.head_dim
+    return {
+        ("attn", "q"): (d, hq), ("attn", "k"): (d, hkv),
+        ("attn", "v"): (d, hkv), ("attn", "o"): (hq, d),
+        ("mlp", "gate"): (d, f), ("mlp", "up"): (d, f),
+        ("mlp", "down"): (f, d),
+    }
+
+
+class Adapter:
+    """One LoRA adapter, unmerged: per-target [L, in, r] / [L, r, out]
+    numpy arrays (scaling folded into b) + optional projector params."""
+
+    def __init__(self, lora: dict, r: int, projector=None):
+        self.lora = lora  # {(grp, leaf): (a, b)} — may omit targets
+        self.r = r
+        self.projector = projector
+
+
+def load_adapter(path: str, cfg, dtype=jnp.bfloat16) -> Adapter:
+    """Read a PEFT LoRA checkpoint directory (adapter_config.json +
+    adapter_model.bin + optional non_lora_trainables.bin) WITHOUT merging.
+
+    Same key conventions as api._load_lora_merged (reference
+    builder.py:46-79): torch lora_A.weight is [r, in] and lora_B.weight is
+    [out, r]; our kernels are [in, out], so a = Aᵀ and b = scaling·Bᵀ.
+    """
+    import torch
+
+    from tokenpacker_tpu.io.hf_import import import_tokenpacker, strip_prefix
+
+    with open(os.path.join(path, "adapter_config.json")) as f:
+        acfg = json.load(f)
+    r = int(acfg["r"])
+    scaling = acfg["lora_alpha"] / acfg["r"]
+    sd = torch.load(
+        os.path.join(path, "adapter_model.bin"), map_location="cpu",
+        weights_only=True,
+    )
+    lm_cfg = cfg.lm
+    n_layers = lm_cfg.num_hidden_layers
+    per_layer: dict[tuple, dict[int, tuple]] = {t: {} for t in TARGETS}
+    for k in sd:
+        if not k.endswith("lora_A.weight"):
+            continue
+        name = k.replace("base_model.model.", "").removesuffix(".lora_A.weight")
+        # name: model.layers.{i}.self_attn.q_proj
+        parts = name.split(".")
+        if len(parts) < 4 or parts[0] != "model" or parts[1] != "layers":
+            continue  # non-LM adapter targets are not servable per-slot
+        layer = int(parts[2])
+        tgt = _TORCH_NAMES.get(".".join(parts[3:]))
+        if tgt is None:
+            continue
+        a = sd[k].float().numpy().T  # [in, r]
+        b = sd[k.replace("lora_A", "lora_B")].float().numpy().T * scaling
+        per_layer[tgt][layer] = (a, b)
+
+    dims = target_dims(lm_cfg)
+    lora = {}
+    for tgt, by_layer in per_layer.items():
+        if not by_layer:
+            continue
+        din, dout = dims[tgt]
+        a = np.zeros((n_layers, din, r), np.float32)
+        b = np.zeros((n_layers, r, dout), np.float32)
+        for i, (ai, bi) in by_layer.items():
+            a[i], b[i] = ai, bi
+        lora[tgt] = (a, b)
+
+    projector = None
+    nlt_file = os.path.join(path, "non_lora_trainables.bin")
+    if os.path.exists(nlt_file):
+        nlt = torch.load(nlt_file, map_location="cpu", weights_only=True)
+        nlt = {k.replace("base_model.model.", ""): v for k, v in nlt.items()}
+        proj_sd = strip_prefix(nlt, "model.mm_projector.")
+        if proj_sd:
+            projector = import_tokenpacker(proj_sd, cfg.projector, dtype)
+    return Adapter(lora, r, projector)
+
+
+def has_slot_lora(lm_params: dict) -> bool:
+    """True when the params tree carries slot-LoRA leaves (multi-LoRA
+    serving is active) — used to gate off the fused decode kernel."""
+    layers = lm_params.get("layers")
+    if not isinstance(layers, dict):
+        return False
+    for grp in ("attn", "mlp"):
+        sub = layers.get(grp)
+        if isinstance(sub, dict):
+            for d in sub.values():
+                if isinstance(d, dict) and "slot_lora_a" in d:
+                    return True
+    return False
+
+
+class SlotLora:
+    """Per-slot adapter selection state + params-overlay builder for the
+    continuous batchers."""
+
+    def __init__(self, params, cfg, adapters: dict[str, Adapter],
+                 num_slots: int, dtype=jnp.bfloat16):
+        if cfg.lm.model_family != "llama":
+            raise ValueError("multi-LoRA serving supports llama-family LMs")
+        if not adapters:
+            raise ValueError("adapters must be a non-empty {name: Adapter}")
+        layers = params["lm"]["layers"]
+        fused_qkv = "qkv" in layers["attn"]
+        fused_gateup = "gateup" in layers["mlp"]
+        self.names = sorted(adapters)
+        self.num_slots = num_slots
+        self.r = max(a.r for a in adapters.values())
+        self.n_layers = cfg.lm.num_hidden_layers
+        self.projectors = {
+            name: adapters[name].projector for name in self.names
+            if adapters[name].projector is not None
+        }
+        dims = target_dims(cfg.lm)
+        n = len(self.names)
+
+        def padded(ad: Adapter, tgt):
+            din, dout = dims[tgt]
+            a = np.zeros((self.n_layers, din, self.r), np.float32)
+            b = np.zeros((self.n_layers, self.r, dout), np.float32)
+            if tgt in ad.lora:
+                ai, bi = ad.lora[tgt]
+                a[:, :, : ai.shape[-1]] = ai
+                b[:, : bi.shape[-2]] = bi
+            return a, b
+
+        # build stacked [L, n, in, r] / [L, n, r, out] per PARAMS-layout
+        # target (fused layouts get concatenated-A / block-diagonal-B)
+        stacks: dict[tuple, tuple] = {}
+
+        def stack(tgts, out_path):
+            r = self.r
+            a_parts, b_parts = [], []
+            for name in self.names:
+                ads = [padded(adapters[name], t) for t in tgts]
+                a_cat = np.concatenate([a for a, _ in ads], axis=-1)
+                outs = [b.shape[-1] for _, b in ads]
+                b_blk = np.zeros(
+                    (self.n_layers, r * len(tgts), sum(outs)), np.float32
+                )
+                off = 0
+                for j, (_, b) in enumerate(ads):
+                    b_blk[:, j * r : (j + 1) * r, off : off + outs[j]] = b
+                    off += outs[j]
+                a_parts.append(a_cat)
+                b_parts.append(b_blk)
+            stacks[out_path] = (
+                jnp.asarray(np.stack(a_parts, axis=1), dtype),
+                jnp.asarray(np.stack(b_parts, axis=1), dtype),
+            )
+
+        if fused_qkv:
+            stack([("attn", "q"), ("attn", "k"), ("attn", "v")], ("attn", "qkv"))
+        else:
+            stack([("attn", "q")], ("attn", "q"))
+            stack([("attn", "k")], ("attn", "k"))
+            stack([("attn", "v")], ("attn", "v"))
+        stack([("attn", "o")], ("attn", "o"))
+        if fused_gateup:
+            stack([("mlp", "gate"), ("mlp", "up")], ("mlp", "gateup"))
+        else:
+            stack([("mlp", "gate")], ("mlp", "gate"))
+            stack([("mlp", "up")], ("mlp", "up"))
+        stack([("mlp", "down")], ("mlp", "down"))
+        self.stacks = stacks
+
+        self._sel = np.zeros((num_slots, n), np.float32)  # host truth
+        self._sel_dev = None  # [L, slots, n], rebuilt lazily after set_slot
+
+    def adapter_index(self, name: str | None) -> int | None:
+        if name is None:
+            return None
+        try:
+            return self.names.index(name)
+        except ValueError:
+            raise KeyError(
+                f"unknown adapter {name!r}; loaded: {self.names}"
+            ) from None
+
+    def set_slot(self, slot: int, name: str | None):
+        """Point a slot at an adapter (None = base model). O(1) host work;
+        the tiny [L, slots, n] selector re-ships on the next overlay()."""
+        self._sel[slot] = 0.0
+        idx = self.adapter_index(name)
+        if idx is not None:
+            self._sel[slot, idx] = 1.0
+        self._sel_dev = None
+
+    def _sel_device(self):
+        if self._sel_dev is None:
+            self._sel_dev = jnp.asarray(
+                np.broadcast_to(
+                    self._sel, (self.n_layers, *self._sel.shape)
+                ).copy()
+            )
+        return self._sel_dev
+
+    def _inject(self, base_params, sel):
+        lm = dict(base_params["lm"])
+        layers = dict(lm["layers"])
+        for (grp, leaf), (a, b) in self.stacks.items():
+            sub = dict(layers[grp])
+            d = dict(sub[leaf])
+            d["slot_lora_a"] = a
+            d["slot_lora_b"] = b
+            d["slot_lora_sel"] = sel
+            sub[leaf] = d
+            layers[grp] = sub
+        lm["layers"] = layers
+        return {**base_params, "lm": lm}
+
+    def overlay(self, base_params):
+        """Decode-time params: stacks + the current [L, slots, n] selector."""
+        return self._inject(base_params, self._sel_device())
+
+    def prefill_params(self, base_params, name: str | None):
+        """Admission-time params for ONE request (batch 1): a [L, 1, n]
+        selector row, plus the adapter's projector override when it
+        carries non-LoRA trainables."""
+        idx = self.adapter_index(name)
+        sel = np.zeros((self.n_layers, 1, len(self.names)), np.float32)
+        if idx is not None:
+            sel[:, 0, idx] = 1.0
+        out = self._inject(base_params, jnp.asarray(sel))
+        if name is not None and name in self.projectors:
+            out = {**out, "projector": self.projectors[name]}
+        return out

@@ -46,7 +46,8 @@ def image_digest(images) -> bytes:
 
 
 def block_hashes(token_ids, is_image, image_slot, img_digest: bytes,
-                 page_size: int, limit: int | None = None) -> list[bytes]:
+                 page_size: int, limit: int | None = None,
+                 seed: bytes = b"") -> list[bytes]:
     """Chained content hashes for a prompt's full pages.
 
     token_ids/is_image/image_slot: [l] host arrays (true prompt length, no
@@ -54,7 +55,8 @@ def block_hashes(token_ids, is_image, image_slot, img_digest: bytes,
     dict lookup per level equivalent to trie matching. Blocks containing
     image positions mix in the image digest, so identical text over
     different pixels never matches (and via the chain, neither does any
-    later block).
+    later block). `seed` namespaces the whole chain — used to isolate KV
+    computed under different LoRA adapters (serve/multi_lora.py).
     """
     token_ids = np.asarray(token_ids)
     is_image = np.asarray(is_image)
@@ -62,7 +64,7 @@ def block_hashes(token_ids, is_image, image_slot, img_digest: bytes,
     n = len(token_ids) // page_size
     if limit is not None:
         n = min(n, limit)
-    h = hashlib.sha1()
+    h = hashlib.sha1(seed)
     out = []
     for j in range(n):
         s = slice(j * page_size, (j + 1) * page_size)

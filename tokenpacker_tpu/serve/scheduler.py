@@ -58,6 +58,7 @@ class _Request:
     top_p: float | None
     future: Future
     on_token: object = None
+    adapter: str | None = None  # multi-LoRA serving (serve/multi_lora.py)
     produced: int = 0
     tokens: list = field(default_factory=list)
     ctx: list = field(default_factory=list)  # prompt+generated ids for
@@ -86,6 +87,7 @@ class PagedContinuousBatcher:
         speculative_k: int = 0,
         prefix_cache: bool | None = None,
         prefill_chunk_size: int | None = None,
+        adapters: dict | None = None,
     ):
         """speculative_k: prompt-lookup speculation over the paged pool —
         verify rounds (ops/paged_kv.paged_verify_step) score k+1 tokens per
@@ -144,6 +146,37 @@ class PagedContinuousBatcher:
             self.prefix: PrefixCache | None = PrefixCache(page_size)
         else:
             self.prefix = None
+        self._init_slot_lora(adapters)
+
+    # -- multi-LoRA serving (serve/multi_lora.py) ---------------------------
+
+    def _init_slot_lora(self, adapters: dict | None):
+        """adapters: {name: multi_lora.Adapter} — when set, every request
+        may pick one (submit(..., adapter=name)); decode runs with the
+        slot-selection overlay params and the fused decode kernel gates
+        itself off (XLA path carries the per-slot term)."""
+        self.base_params = self.params
+        self.slot_lora = None
+        if adapters:
+            from tokenpacker_tpu.serve.multi_lora import SlotLora
+
+            self.slot_lora = SlotLora(
+                self.base_params, self.cfg, adapters, self.num_slots,
+                dtype=self.cfg.dtype,
+            )
+            self.params = self.slot_lora.overlay(self.base_params)
+
+    def _admission_params(self, req: _Request):
+        """Prefill-time params for one request: batch-1 selector row plus
+        the adapter's projector override (non-LoRA trainables)."""
+        if self.slot_lora is None:
+            return self.params
+        return self.slot_lora.prefill_params(self.base_params, req.adapter)
+
+    def _bind_slot_adapter(self, slot: int, req: _Request):
+        if self.slot_lora is not None:
+            self.slot_lora.set_slot(slot, req.adapter)
+            self.params = self.slot_lora.overlay(self.base_params)
 
     def start(self):
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -201,10 +234,12 @@ class PagedContinuousBatcher:
 
         return padded("token_ids"), padded("is_image", False), padded("image_slot")
 
-    def _plan_admission(self, b):
+    def _plan_admission(self, b, adapter: str | None = None):
         """Shared admission planning: page-aligned pad + prefix-cache match.
         Returns (l_pad, true_len, m, shared, hashes) — m cached blocks whose
-        pages can be mapped instead of prefilled."""
+        pages can be mapped instead of prefilled. `adapter` seeds the block
+        hashes: KV depends on the serving adapter, so identical prompts
+        under different adapters must never share pages."""
         l = b["token_ids"].shape[1]
         ps = self.page_size
         # align to lcm(page_size, cache tile): prefill() rounds its cache
@@ -234,14 +269,16 @@ class PagedContinuousBatcher:
                 np.asarray(b["token_ids"])[0, :true_len], im_h,
                 np.asarray(b["image_slot"])[0, :true_len], digest, ps,
                 limit=(true_len - 1) // ps,
+                seed=adapter.encode() if adapter else b"",
             )
             m, shared = self.prefix.match(hashes)
         return l_pad, true_len, m, shared, hashes
 
-    def _suffix_visual(self, b, start: int, true_len: int):
+    def _suffix_visual(self, b, start: int, true_len: int, params=None):
         """Projector output for an admission whose positions before `start`
         are already cached: the ViT+projector encode is skipped entirely
-        when no image token falls in [start, true_len)."""
+        when no image token falls in [start, true_len). `params` carries a
+        per-request adapter overlay (projector override) when set."""
         from tokenpacker_tpu.models.vlm import encode_images
 
         needs_vision = b.get("images") is not None and bool(
@@ -249,7 +286,8 @@ class PagedContinuousBatcher:
         )
         if needs_vision:
             return encode_images(
-                self.params, self.cfg, jnp.asarray(b["images"], self.cfg.dtype)
+                params if params is not None else self.params,
+                self.cfg, jnp.asarray(b["images"], self.cfg.dtype)
             )
         if self.prefix is not None and b.get("images") is not None:
             self.prefix.vision_skipped += 1
@@ -264,6 +302,7 @@ class PagedContinuousBatcher:
         slot's pages, register full prompt blocks with the prefix cache."""
         self._rng, sub = jax.random.split(self._rng)
         tok = int(np.asarray(sample_tokens(logits, req.temperature, req.top_p, sub))[0])
+        self._bind_slot_adapter(slot, req)
         self.slot_pages[slot] = all_pages
         if self.prefix is not None:
             self.prefix.register(hashes, all_pages[: len(hashes)], self.allocator)
@@ -292,7 +331,7 @@ class PagedContinuousBatcher:
 
     def _admit(self, slot: int, req: _Request):
         b = req.batch
-        l_pad, true_len, m, shared, hashes = self._plan_admission(b)
+        l_pad, true_len, m, shared, hashes = self._plan_admission(b, req.adapter)
         if m > 0:
             self._admit_with_prefix(slot, req, l_pad, true_len, m, shared, hashes)
             return
@@ -307,7 +346,9 @@ class PagedContinuousBatcher:
             if b.get("images") is not None
             else None,
         }
-        logits, small_cache = prefill(self.params, self.cfg, dev_batch, l_pad)
+        logits, small_cache = prefill(
+            self._admission_params(req), self.cfg, dev_batch, l_pad
+        )
         self._finish_admission(
             slot, req, small_cache, logits, l_pad, true_len, 0, [], hashes
         )
@@ -332,9 +373,10 @@ class PagedContinuousBatcher:
         fresh = self._alloc(l_pad // self.page_size - m)
 
         token_ids, is_image, image_slot = self._padded_plan(b, l_pad)
-        visual = self._suffix_visual(b, start, true_len)
+        pp = self._admission_params(req)
+        visual = self._suffix_visual(b, start, true_len, pp)
         logits, self.paged = prefix_admit(
-            self.paged, self.params, self.cfg,
+            self.paged, pp, self.cfg,
             jnp.asarray(shared, jnp.int32), jnp.asarray(fresh, jnp.int32),
             visual, token_ids[:, start:], is_image[:, start:],
             image_slot[:, start:], jnp.asarray(slot, jnp.int32),
@@ -354,14 +396,15 @@ class PagedContinuousBatcher:
         from tokenpacker_tpu.ops.paged_kv import gather_prefix
 
         b = req.batch
-        l_pad, true_len, m, shared, hashes = self._plan_admission(b)
+        l_pad, true_len, m, shared, hashes = self._plan_admission(b, req.adapter)
         # the slot's claim on the shared pages — taken BEFORE any alloc so
         # pool-pressure eviction cannot free them mid-admission
         for pid in shared:
             self.allocator.incref(pid)
         start0 = m * self.page_size
         token_ids, is_image, image_slot = self._padded_plan(b, l_pad)
-        visual = self._suffix_visual(b, start0, true_len)
+        pp = self._admission_params(req)
+        visual = self._suffix_visual(b, start0, true_len, pp)
         if m > 0:
             small = gather_prefix(self.paged, shared, l_pad)
         else:
@@ -374,7 +417,7 @@ class PagedContinuousBatcher:
             "offset": start0, "start0": start0, "true_len": true_len,
             "l_pad": l_pad, "m": m, "shared": shared, "hashes": hashes,
             "token_ids": token_ids, "is_image": is_image,
-            "image_slot": image_slot,
+            "image_slot": image_slot, "params": pp,
         }
 
     def _step_pending(self):
@@ -388,7 +431,7 @@ class PagedContinuousBatcher:
         cs = min(self.prefill_chunk_size, l_pad - start0)
         start = max(start0, min(p["offset"], l_pad - cs))
         hidden, p["cache"] = prefill_chunk(
-            self.params, self.cfg, p["cache"], p["visual"],
+            p["params"], self.cfg, p["cache"], p["visual"],
             jax.lax.dynamic_slice_in_dim(p["token_ids"], start, cs, 1),
             jax.lax.dynamic_slice_in_dim(p["is_image"], start, cs, 1),
             jax.lax.dynamic_slice_in_dim(p["image_slot"], start, cs, 1),
@@ -397,7 +440,7 @@ class PagedContinuousBatcher:
         p["offset"] = start + cs
         if p["offset"] >= p["true_len"]:
             logits = lm_logits(
-                self.params["lm"], self.cfg.lm, hidden[:, p["true_len"] - 1 - start]
+                p["params"]["lm"], self.cfg.lm, hidden[:, p["true_len"] - 1 - start]
             )
             self._pending = None
             self._finish_admission(
@@ -566,6 +609,7 @@ class ContinuousBatcher:
         temperature: float = 0.0,
         prefill_chunk_size: int | None = None,
         speculative_k: int = 0,
+        adapters: dict | None = None,
     ):
         """prefill_chunk_size: when set, admissions run CHUNKED prefill —
         one chunk of the new prompt per loop iteration, interleaved with the
@@ -609,15 +653,28 @@ class ContinuousBatcher:
         self.slots: list[_Request | None] = [None] * num_slots
         self.next_tokens = np.zeros((num_slots,), np.int32)
         self._rng = jax.random.PRNGKey(0)
+        self._init_slot_lora(adapters)
 
     # -- public api --------------------------------------------------------
 
     def submit(self, batch: dict, max_new_tokens: int = 128, temperature: float | None = None,
-               on_token=None, top_p: float | None = None) -> Future:
+               on_token=None, top_p: float | None = None,
+               adapter: str | None = None) -> Future:
         fut: Future = Future()
         if self.dead is not None:
             fut.set_exception(RuntimeError(f"batcher loop died: {self.dead!r}"))
             return fut
+        if adapter is not None:
+            if getattr(self, "slot_lora", None) is None:
+                fut.set_exception(
+                    KeyError(f"no LoRA adapters loaded (requested {adapter!r})")
+                )
+                return fut
+            try:
+                self.slot_lora.adapter_index(adapter)
+            except KeyError as e:
+                fut.set_exception(e)
+                return fut
         self.queue.put(
             _Request(
                 batch=batch,
@@ -626,6 +683,7 @@ class ContinuousBatcher:
                 top_p=top_p,
                 future=fut,
                 on_token=on_token,
+                adapter=adapter,
             )
         )
         return fut
@@ -642,6 +700,9 @@ class ContinuousBatcher:
     _run = PagedContinuousBatcher._run  # same crash net
     _admit_safe = PagedContinuousBatcher._admit_safe
     _start_pending_safe = PagedContinuousBatcher._start_pending_safe
+    _init_slot_lora = PagedContinuousBatcher._init_slot_lora
+    _admission_params = PagedContinuousBatcher._admission_params
+    _bind_slot_adapter = PagedContinuousBatcher._bind_slot_adapter
 
     # -- internals ---------------------------------------------------------
 
@@ -651,10 +712,13 @@ class ContinuousBatcher:
         l = b["token_ids"].shape[1]
         assert l <= self.max_seq_len, "prompt exceeds scheduler max_seq_len"
         dev_batch = device_batch(b, self.cfg.dtype)
-        logits, small_cache = prefill(self.params, self.cfg, dev_batch, l)
+        logits, small_cache = prefill(
+            self._admission_params(req), self.cfg, dev_batch, l
+        )
         self._rng, sub = jax.random.split(self._rng)
         tok = int(np.asarray(sample_tokens(logits, req.temperature, req.top_p, sub))[0])
         length = int(np.asarray(dev_batch["lengths"])[0])
+        self._bind_slot_adapter(slot, req)
         # compact the prefilled rows: positions [0, length) are valid; pad
         # rows within [length, l) get overwritten as the slot decodes
         self.cache = insert_into_cache(self.cache, small_cache, slot, length)
@@ -696,8 +760,9 @@ class ContinuousBatcher:
         b = req.batch
         l = b["token_ids"].shape[1]
         assert l <= self.max_seq_len, "prompt exceeds scheduler max_seq_len"
+        pp = self._admission_params(req)
         visual = (
-            encode_images(self.params, self.cfg,
+            encode_images(pp, self.cfg,
                           jnp.asarray(b["images"], self.cfg.dtype))
             if b.get("images") is not None
             else jnp.zeros((1, self.cfg.tokens_per_view, self.cfg.lm.hidden_size),
@@ -712,7 +777,7 @@ class ContinuousBatcher:
         self._pending = {
             "req": req, "slot": slot, "cache": small, "visual": visual,
             "offset": 0, "true_len": int(np.asarray(b["lengths"])[0]),
-            "hidden": None,
+            "hidden": None, "params": pp,
             "token_ids": jnp.asarray(b["token_ids"]),
             "is_image": jnp.asarray(b["is_image"]),
             "image_slot": jnp.asarray(b["image_slot"]),
@@ -731,7 +796,7 @@ class ContinuousBatcher:
         # K/V; pad rows past true_len are overwritten by decode writes)
         start = max(0, min(off, p["token_ids"].shape[1] - cs))
         hidden, p["cache"] = prefill_chunk(
-            self.params, self.cfg, p["cache"], p["visual"],
+            p["params"], self.cfg, p["cache"], p["visual"],
             jax.lax.dynamic_slice_in_dim(p["token_ids"], start, cs, 1),
             jax.lax.dynamic_slice_in_dim(p["is_image"], start, cs, 1),
             jax.lax.dynamic_slice_in_dim(p["image_slot"], start, cs, 1),
@@ -743,9 +808,10 @@ class ContinuousBatcher:
             # position, copy the prefilled rows into the slot
             req, slot = p["req"], p["slot"]
             idx = p["true_len"] - 1 - start
-            logits = lm_logits(self.params["lm"], self.cfg.lm, hidden[:, idx])
+            logits = lm_logits(p["params"]["lm"], self.cfg.lm, hidden[:, idx])
             self._rng, sub = jax.random.split(self._rng)
             tok = int(np.asarray(sample_tokens(logits, req.temperature, req.top_p, sub))[0])
+            self._bind_slot_adapter(slot, req)
             self.cache = insert_into_cache(self.cache, p["cache"], slot, p["true_len"])
             self.slots[slot] = req
             self._init_ctx(req, p["true_len"])
