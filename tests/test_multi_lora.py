@@ -307,3 +307,44 @@ def test_load_adapter_peft_checkpoint(tmp_path, setup):
     # untouched layers are zero → no delta
     assert not a[1:].any() and not b[1:].any()
     assert ad.projector is None
+
+
+def test_roundtrip_from_training_export(tmp_path, setup):
+    """A LoRA trained and saved by OUR trainer (reference PEFT layout,
+    train/lora.export_lora_state_dict) loads straight into multi-LoRA
+    serving with the alpha/r scaling folded correctly."""
+    torch = pytest.importorskip("torch")
+    import json
+
+    from tokenpacker_tpu.serve.multi_lora import load_adapter
+    from tokenpacker_tpu.train.lora import (
+        LoraConfig,
+        export_lora_state_dict,
+        init_lora,
+    )
+
+    cfg, params, _ = setup
+    lcfg = LoraConfig(r=2, alpha=6)
+    lora = init_lora(jax.random.PRNGKey(7), params, lcfg)
+    # init_lora zeroes b — randomize so the round-trip is non-trivial
+    lora = jax.tree.map(
+        lambda x: jax.random.normal(jax.random.PRNGKey(int(x.size) % 97),
+                                    x.shape, x.dtype) * 0.1,
+        lora,
+    )
+    sd = export_lora_state_dict(jax.device_get(lora), lcfg)
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+               tmp_path / "adapter_model.bin")
+    (tmp_path / "adapter_config.json").write_text(
+        json.dumps({"r": lcfg.r, "lora_alpha": lcfg.alpha, "peft_type": "LORA"})
+    )
+    ad = load_adapter(str(tmp_path), cfg)
+    assert set(ad.lora) == set(target_dims(cfg.lm))
+    src = lora["lm"]["layers"]["attn"]["q"]["kernel"]
+    a, b = ad.lora[("attn", "q")]
+    np.testing.assert_allclose(a, np.asarray(src["a"], np.float32),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        b, np.asarray(src["b"], np.float32) * (lcfg.alpha / lcfg.r),
+        rtol=1e-5, atol=1e-6,
+    )

@@ -278,13 +278,18 @@ def make_handler(controller: Controller):
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
                 self.end_headers()
-                with urllib.request.urlopen(req, timeout=100) as resp:
-                    while True:
-                        data = resp.read(4096)
-                        if not data:
-                            break
-                        self.wfile.write(data)
-                        self.wfile.flush()
+                try:
+                    with urllib.request.urlopen(req, timeout=100) as resp:
+                        while True:
+                            data = resp.read(4096)
+                            if not data:
+                                break
+                            self.wfile.write(data)
+                            self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client gone: dropping the upstream connection
+                    # propagates the disconnect to the worker, which
+                    # cancels the slot
             else:
                 self._send_json({"error": "unknown route"}, 404)
 

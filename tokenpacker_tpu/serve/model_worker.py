@@ -369,41 +369,50 @@ class ModelWorker:
         n = 0
         text = ""
         t_decode = time.perf_counter()
-        while True:
-            try:
-                tok = q.get(timeout=600)
-            except _queue.Empty:
-                yield json.dumps(
-                    {"text": "scheduler timeout\n(error_code: 1)", "error_code": 1}
-                ).encode() + b"\0"
-                return
-            if tok is None:
-                err = fut.exception() if fut.done() else None
-                if err is not None:
-                    logger.error(f"batcher error: {err}")
+        try:
+            while True:
+                try:
+                    tok = q.get(timeout=600)
+                except _queue.Empty:
+                    self.batcher.cancel(fut)
                     yield json.dumps(
-                        {"text": f"{err}\n(error_code: 1)", "error_code": 1}
+                        {"text": "scheduler timeout\n(error_code: 1)", "error_code": 1}
                     ).encode() + b"\0"
                     return
-                break
-            if first:
-                GLOBAL_STATS.record("prefill_ttft", time.perf_counter() - t_prefill)
-                mtr.WORKER_TTFT.observe(time.perf_counter() - t_prefill)
-                t_decode = time.perf_counter()
-                first = False
-            n += 1
-            if tok == eos:
-                continue
-            toks.append(int(tok))
-            text = self.tokenizer.decode(toks, skip_special_tokens=True)
-            stopped = False
-            for s in stop_strings:
-                if s and s in text:
-                    text = text.split(s)[0]
-                    stopped = True
-            yield json.dumps({"text": prompt + text, "error_code": 0}).encode() + b"\0"
-            if stopped:
-                break
+                if tok is None:
+                    err = fut.exception() if fut.done() else None
+                    if err is not None:
+                        logger.error(f"batcher error: {err}")
+                        yield json.dumps(
+                            {"text": f"{err}\n(error_code: 1)", "error_code": 1}
+                        ).encode() + b"\0"
+                        return
+                    break
+                if first:
+                    GLOBAL_STATS.record("prefill_ttft", time.perf_counter() - t_prefill)
+                    mtr.WORKER_TTFT.observe(time.perf_counter() - t_prefill)
+                    t_decode = time.perf_counter()
+                    first = False
+                n += 1
+                if tok == eos:
+                    continue
+                toks.append(int(tok))
+                text = self.tokenizer.decode(toks, skip_special_tokens=True)
+                stopped = False
+                for s in stop_strings:
+                    if s and s in text:
+                        text = text.split(s)[0]
+                        stopped = True
+                yield json.dumps({"text": prompt + text, "error_code": 0}).encode() + b"\0"
+                if stopped:
+                    # free the slot NOW — the client has its answer; without
+                    # this the batcher decodes on to max_new_tokens
+                    self.batcher.cancel(fut)
+                    break
+        except GeneratorExit:
+            # client disconnected mid-stream: stop burning decode steps
+            self.batcher.cancel(fut)
+            raise
         if n > 1:
             per_tok = (time.perf_counter() - t_decode) / (n - 1)
             GLOBAL_STATS.record("decode_per_token", per_tok)
@@ -493,9 +502,18 @@ def make_handler(worker: ModelWorker):
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
                 self.end_headers()
-                for chunk in worker.generate_stream_gate(body):
-                    self.wfile.write(chunk)
-                    self.wfile.flush()
+                gen = worker.generate_stream_gate(body)
+                try:
+                    for chunk in gen:
+                        self.wfile.write(chunk)
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client disconnected mid-stream
+                finally:
+                    # closing the generator raises GeneratorExit inside it,
+                    # which cancels the batcher slot (no tokens decode for
+                    # a client that walked away)
+                    gen.close()
             else:
                 self.send_response(404)
                 self.end_headers()

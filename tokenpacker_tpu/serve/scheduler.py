@@ -59,6 +59,8 @@ class _Request:
     future: Future
     on_token: object = None
     adapter: str | None = None  # multi-LoRA serving (serve/multi_lora.py)
+    cancelled: bool = False  # set from any thread; honored before the next
+    # decode step (client disconnect / stop-string satisfied)
     produced: int = 0
     tokens: list = field(default_factory=list)
     ctx: list = field(default_factory=list)  # prompt+generated ids for
@@ -330,6 +332,10 @@ class PagedContinuousBatcher:
         )
 
     def _admit(self, slot: int, req: _Request):
+        if req.cancelled:
+            if not req.future.done():
+                req.future.set_result([])
+            return
         b = req.batch
         l_pad, true_len, m, shared, hashes = self._plan_admission(b, req.adapter)
         if m > 0:
@@ -395,6 +401,10 @@ class PagedContinuousBatcher:
         from tokenpacker_tpu.models.llama import KVCache, kv_cache_dtype
         from tokenpacker_tpu.ops.paged_kv import gather_prefix
 
+        if req.cancelled:
+            if not req.future.done():
+                req.future.set_result([])
+            return
         b = req.batch
         l_pad, true_len, m, shared, hashes = self._plan_admission(b, req.adapter)
         # the slot's claim on the shared pages — taken BEFORE any alloc so
@@ -484,15 +494,38 @@ class PagedContinuousBatcher:
         )
         if tok == eos or req.produced >= req.max_new_tokens or out_of_room:
             req.future.set_result(req.tokens)
-            self.slots[slot] = None
-            # Unmap before releasing: the freed pages may be re-allocated to a
-            # growing sequence, and a stale table row would let this slot's
-            # masked-but-still-issued decode writes corrupt them.
-            self.paged = self.paged._replace(
-                page_table=self.paged.page_table.at[slot].set(0)
-            )
-            self.allocator.release(self.slot_pages[slot])
-            self.slot_pages[slot] = []
+            self._release_slot(slot)
+
+    def _release_slot(self, slot: int):
+        self.slots[slot] = None
+        # Unmap before releasing: the freed pages may be re-allocated to a
+        # growing sequence, and a stale table row would let this slot's
+        # masked-but-still-issued decode writes corrupt them.
+        self.paged = self.paged._replace(
+            page_table=self.paged.page_table.at[slot].set(0)
+        )
+        self.allocator.release(self.slot_pages[slot])
+        self.slot_pages[slot] = []
+
+    def _reap_cancelled(self):
+        """Free every cancelled request before the next device step: the
+        future resolves with the tokens produced so far and the slot (and
+        its pages / prefix-cache claims) returns to the pool. The reference
+        has no cancellation at all — an abandoned stream decodes to
+        max_new_tokens on the device."""
+        for slot, req in enumerate(self.slots):
+            if req is not None and req.cancelled:
+                if not req.future.done():
+                    req.future.set_result(req.tokens)
+                self._release_slot(slot)
+        p = self._pending
+        if p is not None and p["req"].cancelled:
+            self._pending = None
+            if not p["req"].future.done():
+                p["req"].future.set_result([])
+            shared = p.get("shared")
+            if shared:  # paged chunked admission holds prefix-page claims
+                self.allocator.release(list(shared))
 
     def _grow_pages(self):
         """Map fresh pages for any slot whose next writes cross into unmapped
@@ -517,6 +550,7 @@ class PagedContinuousBatcher:
 
         chunked = self.prefill_chunk_size is not None
         while not self._stop.is_set():
+            self._reap_cancelled()
             if chunked:
                 if self._pending is None:
                     for slot in range(self.num_slots):
@@ -675,18 +709,29 @@ class ContinuousBatcher:
             except KeyError as e:
                 fut.set_exception(e)
                 return fut
-        self.queue.put(
-            _Request(
-                batch=batch,
-                max_new_tokens=max_new_tokens,
-                temperature=self.temperature if temperature is None else temperature,
-                top_p=top_p,
-                future=fut,
-                on_token=on_token,
-                adapter=adapter,
-            )
+        req = _Request(
+            batch=batch,
+            max_new_tokens=max_new_tokens,
+            temperature=self.temperature if temperature is None else temperature,
+            top_p=top_p,
+            future=fut,
+            on_token=on_token,
+            adapter=adapter,
         )
+        fut._tp_request = req  # handle for cancel()
+        self.queue.put(req)
         return fut
+
+    def cancel(self, fut: Future) -> bool:
+        """Stop generating for a submitted request (client disconnect, stop
+        string satisfied client-side). Takes effect before the next decode
+        step; the future resolves with the tokens produced so far. Safe
+        from any thread; returns False for foreign futures."""
+        req = getattr(fut, "_tp_request", None)
+        if req is None:
+            return False
+        req.cancelled = True
+        return True
 
     def start(self):
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -703,11 +748,19 @@ class ContinuousBatcher:
     _init_slot_lora = PagedContinuousBatcher._init_slot_lora
     _admission_params = PagedContinuousBatcher._admission_params
     _bind_slot_adapter = PagedContinuousBatcher._bind_slot_adapter
+    _reap_cancelled = PagedContinuousBatcher._reap_cancelled
+
+    def _release_slot(self, slot: int):
+        self.slots[slot] = None  # the dense cache slot is simply reusable
 
     # -- internals ---------------------------------------------------------
 
     def _admit(self, slot: int, req: _Request):
         """Prefill batch-1, sample the first token, copy KV into the slot."""
+        if req.cancelled:
+            if not req.future.done():
+                req.future.set_result([])
+            return
         b = req.batch
         l = b["token_ids"].shape[1]
         assert l <= self.max_seq_len, "prompt exceeds scheduler max_seq_len"
@@ -757,6 +810,10 @@ class ContinuousBatcher:
 
         from tokenpacker_tpu.models.vlm import encode_images
 
+        if req.cancelled:
+            if not req.future.done():
+                req.future.set_result([])
+            return
         b = req.batch
         l = b["token_ids"].shape[1]
         assert l <= self.max_seq_len, "prompt exceeds scheduler max_seq_len"
@@ -832,6 +889,7 @@ class ContinuousBatcher:
     def _loop(self):
         chunked = self.prefill_chunk_size is not None
         while not self._stop.is_set():
+            self._reap_cancelled()
             # admit queued requests into free slots
             if chunked:
                 if self._pending is None:
@@ -998,6 +1056,7 @@ class ContinuousBatcher:
 
 
 PagedContinuousBatcher.submit = ContinuousBatcher.submit
+PagedContinuousBatcher.cancel = ContinuousBatcher.cancel
 # speculation plumbing shared with the dense batcher (only the cache-length
 # bookkeeping differs — each class has its own _verify_round)
 PagedContinuousBatcher._init_ctx = ContinuousBatcher._init_ctx
