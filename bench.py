@@ -141,6 +141,7 @@ def main():
     _section("spec_realistic", bench_7b_spec_realistic)
     _section("hd_decode_s2048", bench_7b_hd_decode_s2048)
     _section("prefix_cache", bench_prefix_cache)
+    _section("int8kv_bigbatch", bench_7b_int8kv_bigbatch)
 
 
 def bench_prefix_cache():
@@ -483,6 +484,44 @@ def bench_7b_int8kv_decode():
         out[key] = round(n_steps * b / dt, 1)
         _DETAILS.update(out)
         _flush()
+    return out
+
+
+def bench_7b_int8kv_bigbatch():
+    """Max single-chip aggregate serving throughput: the fused int8-KV
+    decode at B=16/32 (S=512). Measured 2026-08-19: B=16 692.2 agg tok/s
+    (23.11 ms/step; XLA int8-KV 412.8 → 1.68x, identical greedy token
+    sums) and B=32 866.7 (36.92 ms/step) — XLA OOMs at B=32, so
+    fused+donated-cache is the ONLY single-chip path there. Reuses
+    scripts/bench_fused_decode.bench verbatim so the persistent compile
+    cache covers the ~1000 s kernel compiles; runs LAST under the budget
+    gate."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_fused_decode",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "bench_fused_decode.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    prev = os.environ.get("TOKENPACKER_KV_CACHE")
+    os.environ["TOKENPACKER_KV_CACHE"] = "int8"
+    out = {}
+    try:
+        for b, key in ((16, "decode_agg_tokens_per_sec_7b_int8kv_b16"),
+                       (32, "decode_agg_tokens_per_sec_7b_int8kv_b32")):
+            tps, _ms = mod.bench(b)
+            out[key] = round(tps, 1)
+            _DETAILS.update(out)
+            _flush()
+            if not _budget_left():
+                break
+    finally:
+        if prev is None:
+            os.environ.pop("TOKENPACKER_KV_CACHE", None)
+        else:
+            os.environ["TOKENPACKER_KV_CACHE"] = prev
     return out
 
 

@@ -89,6 +89,10 @@ def bench(batch: int, s_max: int = None, n_steps: int = 64, fill: int = None):
 
 
 def main():
+    # persist compiles: the B>=16 fused programs take ~1000 s to build
+    from tokenpacker_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     batches = [int(a) for a in sys.argv[1:]] or [1, 8]
     mode = os.environ.get("TOKENPACKER_FUSED_DECODE", "1")
     os.environ["TOKENPACKER_FUSED_DECODE"] = mode
