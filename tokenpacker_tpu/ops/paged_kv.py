@@ -104,16 +104,25 @@ class PageAllocator:
         return out
 
     def incref(self, page: int) -> None:
-        self.refs[int(page)] += 1
+        p = int(page)
+        if p not in self.refs:
+            raise RuntimeError(f"incref of untracked page {p}")
+        self.refs[p] += 1
 
     def release(self, pages) -> None:
         for p in pages:
             p = int(p)
             if p == 0:
                 continue
-            left = self.refs.get(p, 1) - 1
+            # fail fast on double release: silently re-appending an
+            # untracked page to the free list would hand the same physical
+            # page to two sequences and corrupt shared KV (ADVICE r4)
+            if p not in self.refs:
+                raise RuntimeError(
+                    f"release of untracked page {p} (double free?)")
+            left = self.refs[p] - 1
             if left <= 0:
-                self.refs.pop(p, None)
+                del self.refs[p]
                 self.free.append(p)
             else:
                 self.refs[p] = left

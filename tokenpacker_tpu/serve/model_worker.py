@@ -327,10 +327,15 @@ class ModelWorker:
             ).encode() + b"\0"
 
     def _final_chunk(self, full_text: str, prompt_tokens: int,
-                     completion_tokens: int, max_new_tokens: int) -> bytes:
+                     completion_tokens: int, max_new_tokens: int,
+                     finish: str | None = None) -> bytes:
         """Terminal stream chunk with OpenAI-style accounting (see
-        generate_stream docstring)."""
-        finish = "length" if completion_tokens >= max_new_tokens else "stop"
+        generate_stream docstring). `finish` is the actual stream-end cause
+        when the caller knows it (eos/stop-string → "stop", cap →
+        "length"); when None it is inferred from the cap — only correct for
+        paths whose token counter excludes EOS."""
+        if finish is None:
+            finish = "length" if completion_tokens >= max_new_tokens else "stop"
         mtr.WORKER_PROMPT_TOKENS.inc(prompt_tokens)
         mtr.WORKER_GENERATED_TOKENS.inc(completion_tokens)
         return json.dumps({
@@ -366,7 +371,8 @@ class ModelWorker:
         eos = self.cfg.lm.eos_token_id
         toks: list[int] = []
         first = True
-        n = 0
+        n = 0  # non-EOS emitted tokens only (OpenAI completion_tokens)
+        finish = None  # why the stream actually ended (ADVICE r4)
         text = ""
         t_decode = time.perf_counter()
         try:
@@ -393,9 +399,12 @@ class ModelWorker:
                     mtr.WORKER_TTFT.observe(time.perf_counter() - t_prefill)
                     t_decode = time.perf_counter()
                     first = False
-                n += 1
                 if tok == eos:
+                    # even an EOS landing exactly at max_new_tokens is a
+                    # natural stop, not a cap hit — and it is not billed
+                    finish = "stop"
                     continue
+                n += 1
                 toks.append(int(tok))
                 text = self.tokenizer.decode(toks, skip_special_tokens=True)
                 stopped = False
@@ -407,6 +416,7 @@ class ModelWorker:
                 if stopped:
                     # free the slot NOW — the client has its answer; without
                     # this the batcher decodes on to max_new_tokens
+                    finish = "stop"
                     self.batcher.cancel(fut)
                     break
         except GeneratorExit:
@@ -417,7 +427,10 @@ class ModelWorker:
             per_tok = (time.perf_counter() - t_decode) / (n - 1)
             GLOBAL_STATS.record("decode_per_token", per_tok)
             mtr.WORKER_DECODE_TOKEN.observe(per_tok)
-        yield self._final_chunk(prompt + text, spliced_len, n, max_new_tokens)
+        if finish is None:
+            finish = "length" if n >= max_new_tokens else "stop"
+        yield self._final_chunk(prompt + text, spliced_len, n, max_new_tokens,
+                                finish=finish)
 
     def drain(self, timeout: float = 60.0):
         """Graceful shutdown: deregister from the controller (no new

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import base64
+import hmac
 import itertools
 import json
 import os
@@ -345,7 +346,9 @@ def make_handler(gateway: Gateway):
             if not gateway.api_key:
                 return True
             header = self.headers.get("Authorization", "")
-            return header == f"Bearer {gateway.api_key}"
+            # constant-time compare: plain == leaks key bytes through
+            # response timing on an exposed gateway (ADVICE r4)
+            return hmac.compare_digest(header, f"Bearer {gateway.api_key}")
 
         def do_GET(self):
             if self.path.rstrip("/") == "/metrics":
@@ -391,6 +394,26 @@ def make_handler(gateway: Gateway):
             except Exception:
                 return self._send_json(
                     APIError("request body is not valid JSON").body(), 400)
+            streaming = False  # True once SSE headers are on the wire
+
+            def _sse(payload: bytes):
+                self.wfile.write(f"{len(payload):x}\r\n".encode())
+                self.wfile.write(payload + b"\r\n")
+                self.wfile.flush()
+
+            def _stream_error(body: dict):
+                """Mid-stream failure: the status line is long gone, so the
+                error must travel INSIDE the open chunked body as an SSE
+                event (OpenAI's convention), followed by the chunked
+                terminator; the connection is closed rather than poisoned
+                with a raw 'HTTP/1.1 500' inside the body (ADVICE r4)."""
+                try:
+                    _sse(b"data: " + json.dumps(body).encode() + b"\n\n")
+                    _sse(b"")  # chunked terminator — framing stays valid
+                except Exception:
+                    pass  # client already gone
+                self.close_connection = True
+
             try:
                 events = gateway.run(body, chat)
                 if not bool(body.get("stream", False)):
@@ -404,11 +427,7 @@ def make_handler(gateway: Gateway):
                 self.send_header("Cache-Control", "no-cache")
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
-
-                def _sse(payload: bytes):
-                    self.wfile.write(f"{len(payload):x}\r\n".encode())
-                    self.wfile.write(payload + b"\r\n")
-                    self.wfile.flush()
+                streaming = True
 
                 for ev in itertools.chain([first_ev], events):
                     if ev is None:
@@ -418,17 +437,20 @@ def make_handler(gateway: Gateway):
                 _sse(b"")  # chunked terminator
             except APIError as e:
                 logger.error(f"API error: {e}")
-                try:
+                if streaming:
+                    _stream_error(e.body())
+                else:
                     self._send_json(e.body(), e.status)
-                except Exception:
-                    pass  # headers already sent mid-stream
             except Exception as e:
                 logger.error(f"gateway error: {e}")
-                try:
-                    self._send_json(APIError(
-                        f"internal error: {e}", 500, "server_error").body(), 500)
-                except Exception:
-                    pass
+                err = APIError(f"internal error: {e}", 500, "server_error")
+                if streaming:
+                    _stream_error(err.body())
+                else:
+                    try:
+                        self._send_json(err.body(), 500)
+                    except Exception:
+                        pass  # client already gone
 
     return Handler
 

@@ -255,6 +255,18 @@ class PagedContinuousBatcher:
         align = math.lcm(ps, cache_len_tile(
             kv_cache_dtype(self.cfg.dtype, family=self.cfg.lm.model_family)))
         l_pad = ((l + align - 1) // align) * align
+        # bound the compile-cache cardinality (ADVICE r4): prefill and
+        # prefix_admit mark l_pad/chunk_len static, so every distinct padded
+        # length compiles a fresh program (minutes each over the tunnel).
+        # Snap to the generate.pick_bucket sizes whenever that fits the
+        # per-sequence page budget and at most doubles the footprint — the
+        # extra pages are plain padding (attention is length-masked, spare
+        # pages return at release); tiny configs (tests, short caps) skip.
+        from tokenpacker_tpu.generate import pick_bucket
+
+        bucketed = ((pick_bucket(l_pad) + align - 1) // align) * align
+        if bucketed // ps <= self.max_pages_per_seq and bucketed <= 2 * l_pad:
+            l_pad = max(l_pad, bucketed)
         assert l_pad // ps <= self.max_pages_per_seq
         true_len = int(np.asarray(b["lengths"])[0])
 
