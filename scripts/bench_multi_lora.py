@@ -1,12 +1,16 @@
 """On-chip cost of multi-LoRA serving: batched decode with the slot-LoRA
-overlay (XLA path — the fused kernel gates off under adapters) vs the
-plain XLA path and the fused baseline.
+overlay through BOTH dispatches — the XLA path and (round 5) the fused
+whole-stack kernel with in-kernel adapter composition — against their
+no-adapter baselines, with argmax-chain token-sum parity per params set.
 
-The overlay's per-step cost is reading all n adapters' weights
-(~n·2·r·Σ(in+out) bytes) plus three small einsums per linear; this
-script measures it at serving-realistic ranks.
+The adapter cost per step is reading all n adapters' weights (the fused
+kernel stages 128-padded slabs: ~Σ_t NRp_t·(in_t+out_t) bytes/layer) plus
+the masked low-rank dots; this script measures it at serving-realistic
+ranks.
 
 Usage: python scripts/bench_multi_lora.py [n_adapters=2] [r=16] [batch=8]
+Env: ONLY=lora runs just the adapter rows (reuse cached base compiles);
+     TOKENPACKER_KV_CACHE=int8 composes with the int8 KV cache.
 """
 
 import os
@@ -86,18 +90,36 @@ def main():
 
     toks = jnp.ones((batch,), jnp.int32)
     active = jnp.ones((batch,), bool)
-    for name, p in (("xla base", params), ("xla + slot-lora", overlay)):
-        os.environ["TOKENPACKER_FUSED_DECODE"] = "0"
+    sums = {}
+    configs = (
+        ("xla base", params, "0"),
+        ("xla + slot-lora", overlay, "0"),
+        ("fused base", params, "1"),
+        ("fused + slot-lora", overlay, "1"),  # round 5: in-kernel adapters
+    )
+    only = os.environ.get("ONLY")  # e.g. ONLY=lora to skip the base rows
+    for name, p, fused in configs:
+        if only and only not in name:
+            continue
+        os.environ["TOKENPACKER_FUSED_DECODE"] = fused
         loop = make_loop()
         t0 = time.perf_counter()
         s = float(loop(p, fresh_cache(), toks, active, jnp.asarray(0))[0])
         print(f"  {name}: compile+first {time.perf_counter()-t0:.1f}s (sum={s})")
+        sums[name] = s
         cache = jax.block_until_ready(fresh_cache())
         t0 = time.perf_counter()
         float(loop(p, cache, toks, active, jnp.asarray(1))[0])
         dt = time.perf_counter() - t0
         print(f"  {name}: {n_steps*batch/dt:.1f} agg tok/s ({dt/n_steps*1e3:.2f} ms/step)",
               flush=True)
+    # greedy parity: the argmax-chained token sums must agree per params set
+    for a, b in (("xla base", "fused base"),
+                 ("xla + slot-lora", "fused + slot-lora")):
+        if a in sums and b in sums:
+            tag = "OK" if sums[a] == sums[b] else "MISMATCH"
+            print(f"  token-sum parity [{a}] vs [{b}]: {tag} "
+                  f"({sums[a]} vs {sums[b]})", flush=True)
 
 
 if __name__ == "__main__":

@@ -262,20 +262,199 @@ def test_paged_batcher_with_adapters_and_prefix_isolation(setup):
     assert got_base == want_base and got_base2 == want_base
 
 
-def test_fused_gate_off_with_slot_lora(setup, monkeypatch):
-    """The fused decode kernel must not dispatch over slot-LoRA params."""
+# -- fused-decode kernel composition (round 5, VERDICT r4 #1) ----------------
+
+
+def _fused_rig():
+    """Fused-eligible tiny geometry (head_dim 128, int8 fused layout) —
+    the serving shape family the fused whole-stack kernel dispatches on."""
+    from types import SimpleNamespace
+
+    from tests.test_fused_decode import build_params, tiny_cfg
+
+    lm_cfg = tiny_cfg(layers=2)
+    cfg = SimpleNamespace(lm=lm_cfg, dtype=jnp.bfloat16)
+    params = {"lm": build_params(lm_cfg, seed=3)}
+    ads = {
+        "ad_a": _mk_adapter(jax.random.PRNGKey(5), cfg, scale=0.3),
+        "ad_b": _mk_adapter(jax.random.PRNGKey(6), cfg, r=2, scale=0.3,
+                            targets=[("attn", "q"), ("mlp", "down")]),
+    }
+    return cfg, params, ads
+
+
+def _fd_decode(lm_params, lm_cfg, cache, emb, lengths, pre, slot_lora=None):
+    from tokenpacker_tpu.ops.fused_decode import fused_decode_hidden
+
+    wpos = jnp.full(lengths.shape, pre, jnp.int32)
+    return fused_decode_hidden(
+        lm_params, lm_cfg, emb, cache.k, cache.v,
+        lengths, wpos, wpos, wpos, positions=lengths, interpret=True,
+        slot_lora=slot_lora,
+    )
+
+
+def test_fd_gate_dispatches_with_bundle(setup, monkeypatch):
+    """Dispatch rules: slot-LoRA params WITH the fd bundle run the kernel;
+    without the bundle — or under TOKENPACKER_FD_LORA=0 — they fall back."""
     from tokenpacker_tpu.generate import _fused_decode_mode
     from tokenpacker_tpu.models.llama import KVCache
-    from tokenpacker_tpu.ops.quantize import quantize_tree
 
-    cfg, params, adapters = setup
+    cfg, params, ads = _fused_rig()
     monkeypatch.setenv("TOKENPACKER_FUSED_DECODE", "interpret")
-    qparams = {**params, "lm": quantize_tree(params["lm"])}
     cache = KVCache.create(cfg.lm, 1, 64, dtype=jnp.bfloat16)
-    if _fused_decode_mode(qparams, cfg, cache) is None:
-        pytest.skip("tiny geometry not fused-eligible on this backend")
-    sl = SlotLora(qparams, cfg, adapters, num_slots=1)
-    assert _fused_decode_mode(sl.overlay(qparams), cfg, cache) is None
+    assert _fused_decode_mode(params, cfg, cache) == "interpret"
+    sl = SlotLora(params, cfg, ads, num_slots=1)
+    overlay = sl.overlay(params)
+    assert overlay["lm"].get("fd_slot_lora") is not None
+    assert _fused_decode_mode(overlay, cfg, cache) == "interpret"
+    monkeypatch.setenv("TOKENPACKER_FD_LORA", "0")
+    assert _fused_decode_mode(overlay, cfg, cache) is None
+    monkeypatch.delenv("TOKENPACKER_FD_LORA")
+    # slot-LoRA leaves WITHOUT the kernel bundle (e.g. an unfused base
+    # layout) must keep the round-4 gate-off behavior
+    stripped = {**overlay, "lm": {
+        k: v for k, v in overlay["lm"].items() if k != "fd_slot_lora"
+    }}
+    assert _fused_decode_mode(stripped, cfg, cache) is None
+
+
+def test_fd_lora_zero_selection_exact(monkeypatch):
+    """All-zero selection through the kernel == the plain fused kernel,
+    EXACTLY (masked adapter columns contribute true f32 zeros)."""
+    from tests.test_fused_decode import prefill as fd_prefill
+
+    cfg, params, ads = _fused_rig()
+    sl = SlotLora(params, cfg, ads, num_slots=2)
+    overlay = sl.overlay(params)  # both slots base
+    b, s, pre = 2, 64, 16
+    lengths = jnp.asarray([10, 16], jnp.int32)
+    cache = fd_prefill(params["lm"], cfg.lm, b, s, pre, lengths)
+    emb = (0.1 * jax.random.normal(
+        jax.random.PRNGKey(9), (b, cfg.lm.hidden_size))).astype(jnp.bfloat16)
+
+    h0, k0, v0 = _fd_decode(params["lm"], cfg.lm, cache, emb, lengths, pre)
+    h1, k1, v1 = _fd_decode(
+        overlay["lm"], cfg.lm, cache, emb, lengths, pre,
+        slot_lora=overlay["lm"]["fd_slot_lora"],
+    )
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+def test_fd_lora_matches_xla_slot_lora(monkeypatch):
+    """Mixed-slot decode (slot 0 = ad_a full-target, slot 1 = ad_b partial)
+    through the fused kernel matches the XLA slot-LoRA path within the
+    kernel's usual accumulation tolerance, and differs from the base."""
+    from tests.test_fused_decode import prefill as fd_prefill, xla_decode
+
+    cfg, params, ads = _fused_rig()
+    sl = SlotLora(params, cfg, ads, num_slots=2)
+    sl.set_slot(0, "ad_a")
+    sl.set_slot(1, "ad_b")
+    overlay = sl.overlay(params)
+    b, s, pre = 2, 64, 16
+    lengths = jnp.asarray([10, 16], jnp.int32)
+    cache = fd_prefill(params["lm"], cfg.lm, b, s, pre, lengths)
+    emb = (0.1 * jax.random.normal(
+        jax.random.PRNGKey(11), (b, 1, cfg.lm.hidden_size))).astype(jnp.bfloat16)
+
+    from tokenpacker_tpu.ops.layers import rms_norm
+
+    hx, _ = xla_decode(overlay["lm"], cfg.lm, cache, emb, lengths, 0, pre, s)
+    hf_pre, _, _ = _fd_decode(
+        overlay["lm"], cfg.lm, cache, emb[:, 0], lengths, pre,
+        slot_lora=overlay["lm"]["fd_slot_lora"],
+    )
+    hf = rms_norm(params["lm"]["norm"], hf_pre)  # llama_apply output is normed
+    ax, af = np.asarray(hx, np.float32), np.asarray(hf, np.float32)
+    assert np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9) < 0.02
+    hb, _, _ = _fd_decode(params["lm"], cfg.lm, cache, emb[:, 0], lengths, pre)
+    assert np.max(np.abs(np.asarray(hf_pre, np.float32)
+                         - np.asarray(hb, np.float32))) > 1e-3
+
+
+def test_fd_lora_batcher_greedy_parity(monkeypatch):
+    """ContinuousBatcher end-to-end: adapter-routed greedy streams are
+    token-identical through the fused kernel (interpret dispatch) and the
+    XLA slot-LoRA path — the serving-level guarantee that lifting the
+    round-4 gate must preserve."""
+    from tokenpacker_tpu.config import TokenPackerVLMConfig
+    from tokenpacker_tpu.serve.scheduler import ContinuousBatcher
+
+    rig_cfg, params, ads = _fused_rig()
+    cfg = TokenPackerVLMConfig(lm=rig_cfg.lm, dtype=jnp.bfloat16)
+    prompt = list(range(2, 10))
+    ids = np.asarray(prompt, np.int64)[None]
+    batch = {
+        "token_ids": ids,
+        "is_image": np.zeros_like(ids, bool),
+        "image_slot": np.zeros_like(ids, np.int32),
+        "lengths": np.array([ids.shape[1]]),
+        "images": None,
+    }
+
+    def run(env):
+        monkeypatch.setenv("TOKENPACKER_FUSED_DECODE", env)
+        b = ContinuousBatcher(
+            params, cfg, Tok(), num_slots=2, max_seq_len=32, adapters=ads
+        )
+        b.start()
+        try:
+            fa = b.submit(dict(batch), max_new_tokens=5, temperature=0.0,
+                          adapter="ad_a")
+            fb = b.submit(dict(batch), max_new_tokens=5, temperature=0.0)
+            return fa.result(timeout=600), fb.result(timeout=600)
+        finally:
+            b.stop()
+            monkeypatch.delenv("TOKENPACKER_FUSED_DECODE")
+
+    got_fused = run("interpret")
+    got_xla = run("0")
+    assert got_fused == got_xla
+
+
+def test_fd_lora_verify_path(monkeypatch):
+    """fused_verify_hidden (T>1 speculative verify) composes with the
+    bundle: live adapters match the XLA slot-LoRA verify oracle."""
+    from tests.test_fused_decode import NEG as FD_NEG
+    from tests.test_fused_decode import prefill as fd_prefill
+    from tokenpacker_tpu.models.llama import llama_apply
+    from tokenpacker_tpu.ops.fused_decode import fused_verify_hidden
+
+    cfg, params, ads = _fused_rig()
+    sl = SlotLora(params, cfg, ads, num_slots=2)
+    sl.set_slot(0, "ad_a")
+    overlay = sl.overlay(params)
+    b, t, s, pre = 2, 3, 64, 16
+    lengths = jnp.asarray([10, 16], jnp.int32)
+    cache = fd_prefill(params["lm"], cfg.lm, b, s, pre, lengths)
+    emb = (0.1 * jax.random.normal(
+        jax.random.PRNGKey(13), (b, t, cfg.lm.hidden_size))).astype(jnp.bfloat16)
+    offs = jnp.arange(t, dtype=jnp.int32)
+    positions = lengths[:, None] + offs[None, :]
+    wpos0 = jnp.full((b,), pre, jnp.int32)
+
+    from tokenpacker_tpu.ops.layers import rms_norm
+
+    hf_pre, _, _ = fused_verify_hidden(
+        overlay["lm"], cfg.lm, emb, cache.k, cache.v,
+        lengths, wpos0, wpos0, wpos0, positions, interpret=True,
+        slot_lora=overlay["lm"]["fd_slot_lora"],
+    )
+    hf = rms_norm(params["lm"]["norm"], hf_pre)  # llama_apply output is normed
+    # XLA oracle: speculative._verify attention semantics at step 0
+    key_idx = jnp.arange(s)[None, None, :]
+    prompt_ok = key_idx < lengths[:, None, None]
+    dec_ok = (key_idx >= pre) & (key_idx <= pre + offs[None, :, None])
+    bias = jnp.where((prompt_ok | dec_ok)[:, None], 0.0, FD_NEG).astype(jnp.float32)
+    cache_at = cache._replace(length=pre)
+    hx, _ = llama_apply(overlay["lm"], cfg.lm, emb, positions, bias, cache_at)
+    ax, af = np.asarray(hx, np.float32), np.asarray(hf, np.float32)
+    # 3% like test_fused_verify's dispatch check: the 0.3-scale adapter's
+    # bf16 reorder compounds along the in-chunk causal token chain
+    assert np.max(np.abs(ax - af)) / (np.max(np.abs(ax)) + 1e-9) < 0.03
 
 
 def test_load_adapter_peft_checkpoint(tmp_path, setup):

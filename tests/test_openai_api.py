@@ -254,6 +254,43 @@ def test_chat_completion_stream_matches_nonstream(gateway_server):
     assert usage_chunks and usage_chunks[0]["usage"]["completion_tokens"] >= 1
 
 
+def test_stream_error_midstream_stays_sse():
+    """A worker error AFTER the SSE headers are on the wire must arrive as
+    an in-band SSE error event over valid chunked framing — not as a raw
+    'HTTP/1.1 500' status line written into the open body (ADVICE r4)."""
+
+    class FakeGateway:
+        api_key = None
+
+        def run(self, body, chat):
+            def gen():
+                yield {"object": "chat.completion.chunk", "choices": [
+                    {"index": 0, "delta": {"content": "hi"}}]}
+                raise APIError("worker exploded mid-stream", 500, "server_error")
+
+            return gen()
+
+    port = _free_port()
+    server = ThreadingHTTPServer(("localhost", port), make_handler(FakeGateway()))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with _post_raw(
+            f"http://localhost:{port}/v1/chat/completions",
+            {"model": "m", "messages": [], "stream": True},
+        ) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "text/event-stream"
+            raw = resp.read()  # valid chunked framing or http.client raises
+    finally:
+        server.shutdown()
+    frames = [f for f in raw.split(b"\n\n") if f]
+    assert all(f.startswith(b"data: ") for f in frames)
+    events = [json.loads(f[len(b"data: "):]) for f in frames]
+    assert events[0]["choices"][0]["delta"]["content"] == "hi"
+    assert events[-1]["error"]["type"] == "server_error"
+    assert "mid-stream" in events[-1]["error"]["message"]
+
+
 def test_legacy_completions(gateway_server):
     with _post_raw(gateway_server["base"] + "/v1/completions", {
         "model": "tiny-tokenpacker",

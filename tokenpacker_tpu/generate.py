@@ -221,9 +221,13 @@ def _fused_decode_mode(params, cfg: TokenPackerVLMConfig, cache) -> str | None:
     if not fused_eligible(params.get("lm", {}), cfg.lm):
         return None
     if has_slot_lora(params.get("lm", {})):
-        # multi-LoRA serving: the kernel streams base weights only — the
-        # per-slot adapter term exists only on the XLA path (ops/layers)
-        return None
+        # multi-LoRA serving (round 5): the kernel composes the per-slot
+        # adapter term in-kernel when SlotLora shipped its fd bundle
+        # (ops/fused_decode.build_fd_lora); without it — or with
+        # TOKENPACKER_FD_LORA=0 — fall back to the XLA path (ops/layers)
+        if (os.environ.get("TOKENPACKER_FD_LORA", "1") in ("0", "off")
+                or params["lm"].get("fd_slot_lora") is None):
+            return None
     # cache-dtype/length gates. bf16 caches: the kernel wins up to S=1024
     # (S=512: 87.4 vs 84.6 B=1 and 416 vs 317 agg B=8; S=1024: 73.9 vs
     # 72.1 — identical argmax-chained token sums) but S=2048 measured a
@@ -260,6 +264,7 @@ def _decode_step_fused(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths
         lengths, jnp.full_like(lengths, prefill_len), wpos, wpos,
         positions=lengths + step, interpret=interpret,
         k_scale=cache.k_scale, v_scale=cache.v_scale,
+        slot_lora=params["lm"].get("fd_slot_lora"),
     )
     hidden, nk, nv = out[:3]
     nks, nvs = out[3:] if len(out) == 5 else (None, None)
@@ -284,6 +289,7 @@ def _decode_step_cb_fused(params, cfg: TokenPackerVLMConfig, cache, tokens,
         cur_lens, zeros, zeros, cur_lens, positions=cur_lens,
         interpret=interpret,
         k_scale=cache.k_scale, v_scale=cache.v_scale,
+        slot_lora=params["lm"].get("fd_slot_lora"),
     )
     hidden, nk, nv = out[:3]
     nks, nvs = out[3:] if len(out) == 5 else (None, None)

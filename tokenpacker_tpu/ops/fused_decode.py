@@ -422,6 +422,14 @@ def _kernel(
     vs_ref,  # so the DMA'd [H, S] block's minor dim is 128-aligned (a
     # [S, H=32] f32 slice does not lower: "Slice shape along dimension 3
     # must be aligned to tiling (128)"). Dummy [1,1,8,128] when not kv_quant.
+    selm_ref,  # VMEM [rows, Wm] f32 — padded slot-LoRA column mask (see
+    # build_fd_lora); dummy [1, 128] when lora is off
+    la_d_ref,  # ANY [L, D, Wq+Wo+Wg] bf16 — d-input LoRA A (qkv | o | gu)
+    la_f_ref,  # ANY [L, F, Wd] bf16 — down's LoRA A
+    lb_qkv_ref,  # ANY [L, segs·Wq, ·] bf16 — LoRA B, column segments as rows
+    lb_o_ref,  # ANY [L, Wo, D]
+    lb_gu_ref,  # ANY [L, 2·splits·Wg, bw]
+    lb_down_ref,  # ANY [L, Wd, D]
     # outputs
     hout_ref,  # [B*T, D] bf16
     knew_ref,  # [L, B*T, HD] bf16 (kv_quant: quantize-dequantized values —
@@ -434,8 +442,15 @@ def _kernel(
     vbuf,  # (l,b) DMA starts right after this one's last read) — V likewise
     ksbuf,  # [cache_group, H, S] f32 — staged K scales (kv_quant)
     vsbuf,
+    labuf_d,  # [D, Wq+Wo+Wg] bf16 — staged d-input LoRA A (one-shot/layer)
+    labuf_f,  # [F, Wd] bf16
+    lbq_buf,  # [segs·Wq, ·] bf16 — staged LoRA B matrices
+    lbo_buf,  # [Wo, D]
+    lbg_buf,  # [2·splits·Wg, bw]
+    lbd_buf,  # [Wd, D]
     wsem,
-    aux_sem,  # [5] DMA sems: 0=K, 1=V, 2=down tail, 3=K scales, 4=V scales
+    aux_sem,  # [11] DMA sems: 0=K, 1=V, 2=down tail, 3=K scales, 4=V scales,
+    # 5..10 = the six slot-LoRA staging buffers above
     *,
     layers: int,
     batch: int,
@@ -449,6 +464,7 @@ def _kernel(
     interp: bool = False,
     t_tok: int = 1,
     kv_quant: bool = False,
+    lora: bool = False,
 ):
     ck_d, ck_f, n_qkv_segs = _layer_chunkplan(d, f)
     rows = batch * t_tok  # GEMV/RoPE row count; attention is per SAMPLE
@@ -607,15 +623,66 @@ def _kernel(
 
     dbg = os.environ.get("TOKENPACKER_FD_DEBUG", "")  # chain-only A/B probe
 
+    # --- slot-LoRA composition (multi-LoRA serving, VERDICT r4 #1) ---
+    # Six per-layer one-shot staging copies (dedicated buffers + sems —
+    # simple buffers beside the ring are fine; a second RING is not). Each
+    # layer's copies are started by the PREVIOUS layer right after its last
+    # read of that buffer (prologue starts layer 0's), so the small slabs
+    # stream behind the base weights. The correction per target is the XLA
+    # path's term with adapters flattened:
+    #   u = x @ A_flat  → masked by the slot-selection columns → @ B_flat
+    # (ops/layers.linear's per-adapter einsum + one-hot select is the same
+    # f32 sum — the masked columns contribute exact zeros).
+    if lora:
+        wq = lb_qkv_ref.shape[1] // n_qkv_segs
+        wo = lb_o_ref.shape[1]
+        wg = lb_gu_ref.shape[1] // (2 * len(mlp_splits))
+        wd = lb_down_ref.shape[1]
+
+        def _l_dma(ref, buf, si):
+            return lambda l: pltpu.make_async_copy(ref.at[l], buf, aux_sem.at[si])
+
+        lora_dmas = [
+            _l_dma(la_d_ref, labuf_d, 5), _l_dma(la_f_ref, labuf_f, 6),
+            _l_dma(lb_qkv_ref, lbq_buf, 7), _l_dma(lb_o_ref, lbo_buf, 8),
+            _l_dma(lb_gu_ref, lbg_buf, 9), _l_dma(lb_down_ref, lbd_buf, 10),
+        ]
+
+        def lora_next(i, l):
+            nl = jnp.minimum(l + 1, layers - 1)
+
+            @pl.when(l + 1 < layers)
+            def _():
+                lora_dmas[i](nl).start()
+
+        def lora_u(x, coff, w):
+            return jax.lax.dot_general(
+                x, labuf_d[:, coff : coff + w], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def lora_term(u, moff, w, bbuf, roff, cw):
+            um = (u * selm_ref[:, moff : moff + w]).astype(jnp.bfloat16)
+            return jax.lax.dot_general(
+                um, bbuf[roff : roff + w, :cw], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
     def layer_body(l, h):
         qkv_segs, o_seg, gu_segs, down_segs = segs_for(l)
 
         ln1 = ln1_ref[pl.ds(l, 1), :].astype(jnp.bfloat16)
         x1 = _rms(h, ln1, eps)
+        if lora:
+            lora_dmas[0](l).wait()  # labuf_d: first read (last is u_gu below)
+            u_qkv = lora_u(x1, 0, wq)
+            lora_dmas[2](l).wait()
         if n_qkv_segs == 1:
             qkv_acc = qkv_segs[0].gemv(x1, starters(o_seg))
             sc = qkv_s_ref[pl.ds(l, 1), :]
             qkv_acc = qkv_acc * sc
+            if lora:
+                qkv_acc = qkv_acc + lora_term(u_qkv, 0, wq, lbq_buf, 0, 3 * d)
             q = jax.lax.slice(qkv_acc, (0, 0), (rows, d))
             k = jax.lax.slice(qkv_acc, (0, d), (rows, 2 * d))
             v = jax.lax.slice(qkv_acc, (0, 2 * d), (rows, 3 * d))
@@ -627,8 +694,12 @@ def _kernel(
                 )
                 a = seg.gemv(x1, nxt)
                 a = a * qkv_s_ref[pl.ds(l, 1), i * d : (i + 1) * d]
+                if lora:
+                    a = a + lora_term(u_qkv, 0, wq, lbq_buf, i * wq, d)
                 accs.append(a)
             q, k, v = accs
+        if lora:
+            lora_next(2, l)  # lbq_buf read above
 
         # RoPE on a [B*H, Dh] view; rotate-half = MXU dot with a permutation
         rot32 = rot_ref[...].astype(jnp.float32)
@@ -864,10 +935,20 @@ def _kernel(
 
         ao = o_seg.gemv(attn, starters(gu_segs[0][0]))
         o_sc = o_s_ref[pl.ds(l, 1), :]
-        h = h + (ao * o_sc).astype(jnp.bfloat16)
+        ao = ao * o_sc
+        if lora:
+            u_o = lora_u(attn, wq, wo)
+            lora_dmas[3](l).wait()
+            ao = ao + lora_term(u_o, wq, wo, lbo_buf, 0, d)
+            lora_next(3, l)
+        h = h + ao.astype(jnp.bfloat16)
 
         ln2 = ln2_ref[pl.ds(l, 1), :].astype(jnp.bfloat16)
         x2 = _rms(h, ln2, eps)
+        if lora:
+            u_gu = lora_u(x2, wq + wo, wg)
+            lora_next(0, l)  # labuf_d's last read
+            lora_dmas[4](l).wait()
         # flat MLP segment order (== ring order): gate_0, up_0, gate_1, ...
         # then the down k-segments; each gemv hooks the NEXT flat segment
         mlp_flat = [seg for pair in gu_segs for seg in pair] + down_segs
@@ -878,9 +959,27 @@ def _kernel(
             gate = gate * gu_s_ref[pl.ds(l, 1), co : co + nc]
             up = u_seg.gemv(x2, starters(mlp_flat[2 * i + 2]))
             up = up * gu_s_ref[pl.ds(l, 1), f + co : f + co + nc]
+            if lora:
+                gate = gate + lora_term(u_gu, wq + wo, wg, lbg_buf, 2 * i * wg, nc)
+                up = up + lora_term(u_gu, wq + wo, wg, lbg_buf, (2 * i + 1) * wg, nc)
             # silu in f32 (jax.nn.silu on bf16 plants f32->bf16 broadcasts
             # that fail mosaic verification at some widths — CLAUDE.md)
             x_mlps.append((jax.nn.silu(gate) * up).astype(jnp.bfloat16))
+        if lora:
+            lora_next(4, l)  # lbg_buf read above
+            lora_dmas[1](l).wait()
+            u_dn = None
+            for i, (co, nc) in enumerate(mlp_splits):
+                part = jax.lax.dot_general(
+                    x_mlps[i], labuf_f[co : co + nc, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                u_dn = part if u_dn is None else u_dn + part
+            lora_next(1, l)
+            lora_dmas[5](l).wait()
+            v_dn = lora_term(u_dn, wq + wo + wg, wd, lbd_buf, 0, d)
+            lora_next(5, l)
 
         guard = l + 1 < layers
         down_sc = down_s_ref[pl.ds(l, 1), :]
@@ -893,7 +992,10 @@ def _kernel(
                 nxt = starters(nqs, guard)
             c = d_seg.gemv(x_mlps[i], nxt)
             mo = c if mo is None else mo + c
-        h = h + (mo * down_sc).astype(jnp.bfloat16)
+        mo = mo * down_sc
+        if lora:
+            mo = mo + v_dn
+        h = h + mo.astype(jnp.bfloat16)
 
         knew_ref[pl.ds(l, 1), :, :] = kr[None]
         vnew_ref[pl.ds(l, 1), :, :] = v[None]
@@ -907,21 +1009,24 @@ def _kernel(
     if "noattn" not in dbg and "nocache" not in dbg:
         k_dma(0, 0).start()
         v_dma(0, 0).start()
+    if lora:
+        for _dma in lora_dmas:
+            _dma(0).start()
     h = jax.lax.fori_loop(0, layers, layer_body, h_ref[...])
     hout_ref[...] = h
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layers", "batch", "d", "f", "heads", "head_dim", "s", "eps", "interpret", "packed", "t_tok", "kv_quant"),
+    static_argnames=("layers", "batch", "d", "f", "heads", "head_dim", "s", "eps", "interpret", "packed", "t_tok", "kv_quant", "lora"),
 )
 def _fused_call(
     seq_info, h0, cos_e, sin_e, rot, gmat, gmat_t, e_mat, grep, grept, cmask,
     ln1, ln2,
     qkv_s, o_s, gu_s, down_s, qkv_q, o_q, gu_q, down_q, k_cache, v_cache,
-    k_scales, v_scales,
+    k_scales, v_scales, selm, la_d, la_f, lb_qkv, lb_o, lb_gu, lb_down,
     *, layers, batch, d, f, heads, head_dim, s, eps, interpret, packed=False,
-    t_tok=1, kv_quant=False,
+    t_tok=1, kv_quant=False, lora=False,
 ):
     ck_d, ck_f, _ = _layer_chunkplan(d, f)
     ck_max = max(ck_d, ck_f)  # == ck_d == ck_f (uniform full-row ring)
@@ -943,6 +1048,13 @@ def _fused_call(
     # (≈34 MB) where bf16 (67 MB) does not
     cache_bytes_per_b = 2 * s * (hd * (1 if kv_quant else 2)
                                  + (heads * 4 if kv_quant else 0))
+    # slot-LoRA staging buffers count against the scoped-vmem stack too
+    lora_buf_shapes = [
+        la_d.shape[1:], la_f.shape[1:], lb_qkv.shape[1:],
+        lb_o.shape[1:], lb_gu.shape[1:], lb_down.shape[1:],
+    ]
+    if lora:
+        fixed += sum(2 * int(np.prod(sh)) for sh in lora_buf_shapes)
     cache_group = batch
     if (_os.environ.get("TOKENPACKER_FD_CACHE") == "perb"
             or fixed + batch * cache_bytes_per_b > 56 << 20):
@@ -951,7 +1063,7 @@ def _fused_call(
         _kernel,
         layers=layers, batch=batch, d=d, f=f, heads=heads,
         head_dim=head_dim, s=s, eps=eps, packed=packed, interp=interpret,
-        t_tok=t_tok, kv_quant=kv_quant,
+        t_tok=t_tok, kv_quant=kv_quant, lora=lora,
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = lambda: pl.BlockSpec(memory_space=pl.ANY)
@@ -962,6 +1074,7 @@ def _fused_call(
             vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
             vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
             any_(), any_(), any_(), any_(), any_(), any_(), any_(), any_(),
+            vmem(), any_(), any_(), any_(), any_(), any_(), any_(),
         ],
         out_specs=[vmem(), vmem(), vmem()],
         out_shape=[
@@ -985,15 +1098,16 @@ def _fused_call(
                        jnp.float32),  # ksbuf (dummy when bf16 cache)
             pltpu.VMEM((cache_group, heads, s) if kv_quant else (1, 8, 128),
                        jnp.float32),  # vsbuf
+            *[pltpu.VMEM(sh, jnp.bfloat16) for sh in lora_buf_shapes],
             pltpu.SemaphoreType.DMA((nslots,)),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((11,)),
         ],
         interpret=interpret,
     )(
         seq_info, h0, cos_e, sin_e, rot, gmat, gmat_t, e_mat, grep, grept,
         cmask, ln1, ln2,
         qkv_s, o_s, gu_s, down_s, qkv_q, o_q, gu_q, down_q, k_cache, v_cache,
-        k_scales, v_scales,
+        k_scales, v_scales, selm, la_d, la_f, lb_qkv, lb_o, lb_gu, lb_down,
     )
 
 
@@ -1039,6 +1153,92 @@ def _qg_constants(heads: int, head_dim: int, t: int):
     )
 
 
+def _nrp(nr: int) -> int:
+    """Pad a flattened adapter width (n·rcat) to the 128-lane multiple the
+    kernel's DMA minor dims and static lane slices require."""
+    return -(-nr // 128) * 128
+
+
+def build_fd_lora(stacks, cfg, dtype=jnp.bfloat16):
+    """Kernel-ready slot-LoRA arrays (multi-LoRA serving × fused decode —
+    VERDICT r4 #1; the reference can only MERGE one LoRA at load,
+    llava/model/builder.py:46-79, so per-request adapters must not cost
+    the decode headline).
+
+    stacks: serve/multi_lora.SlotLora stacks for the FUSED params layout —
+    {(grp, leaf): (a [L, n, in, rcat], b [L, n, rcat, out])} with keys
+    ("attn","qkv"), ("attn","o"), ("mlp","gateup"), ("mlp","down").
+
+    Layout contract (mirrored by _kernel; one source of truth here):
+    - per target, adapters flatten into ONE A [L, in, NRp] (columns) and
+      ONE B [L, NRp, out] (rows), NRp = n·rcat padded to 128 — zero
+      padding is exact (pad columns of A produce u entries whose B rows
+      are zero).
+    - the three d-input A matrices concatenate along columns in the order
+      qkv | o | gateup (one staging DMA per layer); down's A stays alone
+      (f-input).
+    - B matrices whose `out` exceeds the 12288-lane value limit restack
+      their column segments along ROWS, matching the kernel's own segment
+      plan: qkv → n_qkv_segs blocks of width d; gate/up → (gate_i, up_i)
+      per _layer_chunkplan mlp split, padded to the widest split; o/down
+      stay single blocks.
+    - `expand` [n, Wm] maps a [rows, n] one-hot selection to the padded
+      column mask (Wm = NRp_qkv + NRp_o + NRp_gu + NRp_down, same order).
+    """
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    ck_d, ck_f, n_qkv_segs = _layer_chunkplan(d, f)
+    mlp_splits = _chunks(f, (MAX_WIDE // ck_f) * ck_f)
+
+    def flat(key):
+        a, b = stacks[key]
+        layers, n, din, rcat = a.shape
+        out = b.shape[-1]
+        nr = n * rcat
+        w = _nrp(nr)
+        af = jnp.zeros((layers, din, w), dtype).at[..., :nr].set(
+            jnp.moveaxis(jnp.asarray(a, dtype), 1, 2).reshape(layers, din, nr)
+        )
+        bf = jnp.zeros((layers, w, out), dtype).at[:, :nr].set(
+            jnp.asarray(b, dtype).reshape(layers, nr, out)
+        )
+        return af, bf, w, rcat
+
+    a_qkv, b_qkv, wq, rq = flat(("attn", "qkv"))
+    a_o, b_o, wo, ro = flat(("attn", "o"))
+    a_gu, b_gu, wg, rg = flat(("mlp", "gateup"))
+    a_dn, b_dn, wd, rd = flat(("mlp", "down"))
+    if n_qkv_segs > 1:  # 13B: 3d > MAX_WIDE — q/k/v column blocks as rows
+        b_qkv = jnp.concatenate(
+            [b_qkv[..., i * d : (i + 1) * d] for i in range(3)], axis=1
+        )
+    bw = max(nc for _, nc in mlp_splits)
+    blocks = []
+    for co, nc in mlp_splits:
+        for half in range(2):  # gate_i then up_i — the kernel's gemv order
+            blk = b_gu[..., half * f + co : half * f + co + nc]
+            if nc < bw:
+                blk = jnp.zeros((blk.shape[0], wg, bw), dtype).at[..., :nc].set(blk)
+            blocks.append(blk)
+    b_gu = jnp.concatenate(blocks, axis=1) if len(blocks) > 1 else blocks[0]
+
+    n = stacks[("attn", "qkv")][0].shape[1]
+    expand = np.zeros((n, wq + wo + wg + wd), np.float32)
+    off = 0
+    for w, rc in ((wq, rq), (wo, ro), (wg, rg), (wd, rd)):
+        for j in range(n):
+            expand[j, off + j * rc : off + (j + 1) * rc] = 1.0
+        off += w
+    return {
+        "a_d": jnp.concatenate([a_qkv, a_o, a_gu], axis=2),
+        "a_f": a_dn,
+        "b_qkv": b_qkv,
+        "b_o": b_o,
+        "b_gu": b_gu,
+        "b_down": b_dn,
+        "expand": jnp.asarray(expand),
+    }
+
+
 def fused_eligible(lm_params, cfg) -> bool:
     """The kernel serves the int8 fused-projection llama-family decode.
 
@@ -1075,9 +1275,26 @@ def fused_eligible(lm_params, cfg) -> bool:
 
 
 
+def _lora_args(slot_lora, rows_rep: int):
+    """(selm, a_d, a_f, b_qkv, b_o, b_gu, b_down), lora-flag for a
+    build_fd_lora bundle (+ its per-step "sel" [B, n] selection rows);
+    rows_rep repeats each sample's mask row for verify steps (T>1)."""
+    if slot_lora is None:
+        dummy = jnp.zeros((1, 8, 128), jnp.bfloat16)
+        return (jnp.zeros((1, 128), jnp.float32),) + (dummy,) * 6, False
+    sel = slot_lora["sel"].astype(jnp.float32)
+    selm = sel @ slot_lora["expand"]  # [B, Wm] padded column mask
+    if rows_rep > 1:
+        selm = jnp.repeat(selm, rows_rep, axis=0)
+    return (
+        selm, slot_lora["a_d"], slot_lora["a_f"], slot_lora["b_qkv"],
+        slot_lora["b_o"], slot_lora["b_gu"], slot_lora["b_down"],
+    ), True
+
+
 def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
                         start2, end2, write_pos, positions, *, interpret=False,
-                        k_scale=None, v_scale=None):
+                        k_scale=None, v_scale=None, slot_lora=None):
     """Run the full decoder stack for one decode step.
 
     h0: [B, D] bf16 embedded tokens. cache_k/v: [L, B, S, Hkv, Dh].
@@ -1091,6 +1308,10 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
     DMA bytes, the dominant per-step traffic at long S) and dequantizes via
     the factored-out scales; the return becomes a 5-tuple
     (hidden, new_k, new_v, new_k_scale, new_v_scale).
+
+    slot_lora: optional build_fd_lora bundle + "sel" [B, n] selection rows
+    (multi-LoRA serving) — the kernel adds the masked low-rank correction
+    beside each streamed base GEMV.
     """
     from tokenpacker_tpu.models.llama import rope_cos_sin
 
@@ -1119,6 +1340,7 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
     # scales ride TRANSPOSED ([L, B, H, S]) so the kernel's [H, S] scale DMA
     # has a 128-aligned minor dim (see _kernel's ks_ref note)
     dummy_s = jnp.zeros((1, 1, 8, 128), jnp.float32)
+    lora_arrs, lora = _lora_args(slot_lora, 1)
 
     hidden, k_new, v_new = _fused_call(
         seq_info,
@@ -1135,9 +1357,10 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
         cache_v.reshape(l, b2, s, hkv * dh),
         jnp.swapaxes(k_scale.astype(jnp.float32), 2, 3) if kv_quant else dummy_s,
         jnp.swapaxes(v_scale.astype(jnp.float32), 2, 3) if kv_quant else dummy_s,
+        *lora_arrs,
         layers=l, batch=b, d=d, f=f, heads=heads, head_dim=dh, s=s,
         eps=cfg.rms_norm_eps, interpret=interpret, packed=packed,
-        kv_quant=kv_quant,
+        kv_quant=kv_quant, lora=lora,
     )
 
     rows = jnp.arange(b)
@@ -1166,7 +1389,8 @@ def fused_decode_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
 
 def fused_verify_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
                         start2, end2, write_pos0, positions, *,
-                        interpret=False, k_scale=None, v_scale=None):
+                        interpret=False, k_scale=None, v_scale=None,
+                        slot_lora=None):
     """Run the full decoder stack for a T-token verify step (speculative
     decoding: the last accepted token + the drafts, one weight-streaming
     pass — a verify step costs nearly the same HBM traffic as a 1-token
@@ -1209,6 +1433,7 @@ def fused_verify_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
     # scales ride TRANSPOSED ([L, B, H, S]) so the kernel's [H, S] scale DMA
     # has a 128-aligned minor dim (see _kernel's ks_ref note)
     dummy_s = jnp.zeros((1, 1, 8, 128), jnp.float32)
+    lora_arrs, lora = _lora_args(slot_lora, t)
 
     hidden, k_new, v_new = _fused_call(
         seq_info,
@@ -1225,9 +1450,10 @@ def fused_verify_hidden(lm_params, cfg, h0, cache_k, cache_v, lengths0,
         cache_v.reshape(l, b2, s, hkv * dh),
         jnp.swapaxes(k_scale.astype(jnp.float32), 2, 3) if kv_quant else dummy_s,
         jnp.swapaxes(v_scale.astype(jnp.float32), 2, 3) if kv_quant else dummy_s,
+        *lora_arrs,
         layers=l, batch=b, d=d, f=f, heads=heads, head_dim=dh, s=s,
         eps=cfg.rms_norm_eps, interpret=interpret, packed=packed, t_tok=t,
-        kv_quant=kv_quant,
+        kv_quant=kv_quant, lora=lora,
     )
 
     rows_bt = jnp.repeat(jnp.arange(b), t)  # sample of each flat row

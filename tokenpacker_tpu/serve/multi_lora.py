@@ -25,14 +25,24 @@ S-LoRA-style formulation tuned for TPU/XLA static shapes:
   carries) apply per REQUEST at prefill: vision+projector run once per
   admission, so the adapter's projector params are substituted for that
   call only.
-- The fused whole-stack decode kernel knows nothing about adapters:
-  `generate._fused_decode_mode` gates OFF when slot-LoRA leaves are
-  present, so multi-LoRA serving rides the XLA decode path.
+- The fused whole-stack decode kernel COMPOSES with slot-LoRA (round 5,
+  VERDICT r4 #1): when the base carries the fused int8 layout, `SlotLora`
+  additionally builds a kernel-ready bundle (`fd_slot_lora`) — per target
+  ONE [L, in, NRp] A matrix (adapters flattened into columns) and ONE
+  [L, NRp, out] B matrix (flattened into rows), NRp = n·rcat padded to a
+  multiple of 128 (the kernel's DMA minor-dim / lane-slice alignment;
+  B matrices whose out exceeds the 12288-lane value limit restack their
+  column segments along rows). The kernel streams these per layer through
+  dedicated one-shot buffers and adds the same masked low-rank term beside
+  its streamed base GEMVs — multi-LoRA serving keeps the fused-decode
+  headline instead of forfeiting it to the XLA path.
+  TOKENPACKER_FD_LORA=0 restores the round-4 gate-off behavior.
 
 The adapter SET is fixed at worker startup (n is a compiled dimension);
 per-request choice within the set is free. Pick modest ranks for serving:
-every decode step re-reads all n adapters' weights (~n·2·r·Σ(in+out)
-bytes), which at r≤16 and n≤4 costs a few percent of a 7B int8 step.
+every decode step re-reads all n adapters' weights — with the fused
+kernel's 128-padding, ~Σ_t NRp_t·(in_t+out_t) bytes ≈ 16 MB/layer at
+n=2/r=16 (~8% of a 7B int8 step's weight traffic).
 """
 
 from __future__ import annotations
@@ -234,6 +244,15 @@ class SlotLora:
         stack([("mlp", "down")], ("mlp", "down"))
         self.stacks = stacks
 
+        # fused-decode composition (round 5): when the base carries the
+        # fused int8 layout, precompute the kernel-ready flattened arrays
+        # ONCE (they are big — per-step flattening would copy ~MBs/layer)
+        self._fd = None
+        if fused_qkv and fused_gateup:
+            from tokenpacker_tpu.ops.fused_decode import build_fd_lora
+
+            self._fd = build_fd_lora(stacks, cfg.lm, dtype)
+
         self._sel = np.zeros((num_slots, n), np.float32)  # host truth
         self._sel_dev = None  # [L, slots, n], rebuilt lazily after set_slot
 
@@ -280,8 +299,16 @@ class SlotLora:
         return {**base_params, "lm": lm}
 
     def overlay(self, base_params):
-        """Decode-time params: stacks + the current [L, slots, n] selector."""
-        return self._inject(base_params, self._sel_device())
+        """Decode-time params: stacks + the current [L, slots, n] selector.
+        Fused-layout bases also carry the fd_slot_lora bundle so the fused
+        decode kernel composes the adapter term in-kernel (the XLA path
+        ignores it; generate._fused_decode_mode requires it)."""
+        out = self._inject(base_params, self._sel_device())
+        if self._fd is not None:
+            lm = dict(out["lm"])
+            lm["fd_slot_lora"] = {**self._fd, "sel": jnp.asarray(self._sel)}
+            out = {**out, "lm": lm}
+        return out
 
     def prefill_params(self, base_params, name: str | None):
         """Admission-time params for ONE request (batch 1): a [L, 1, n]

@@ -75,6 +75,7 @@ def _verify_fused(params, cfg: TokenPackerVLMConfig, cache, tokens, lengths,
         params["lm"], cfg.lm, emb, cache.k, cache.v,
         lengths, start2, wpos0, wpos0, positions, interpret=interpret,
         k_scale=cache.k_scale, v_scale=cache.v_scale,
+        slot_lora=params["lm"].get("fd_slot_lora"),
     )
     hidden, nk, nv = out[:3]
     nks, nvs = out[3:] if len(out) == 5 else (None, None)
@@ -208,6 +209,7 @@ def verify_step_cb(params, cfg: TokenPackerVLMConfig, cache, tokens, cur_lens, a
             cur_lens, zeros, zeros, cur_lens,
             cur_lens[:, None] + offs[None, :], interpret=mode == "interpret",
             k_scale=cache.k_scale, v_scale=cache.v_scale,
+            slot_lora=params["lm"].get("fd_slot_lora"),
         )
         hidden, nk, nv = out[:3]
         nks, nvs = out[3:] if len(out) == 5 else (None, None)

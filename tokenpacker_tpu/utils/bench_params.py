@@ -29,6 +29,31 @@ def random_params_like(shapes, seed: int = 0):
     return make()
 
 
+def transformed_params_like(shapes, seed: int = 0, transform=None):
+    """Materialize `transform(dense_random_tree)` as ONE jitted program.
+
+    The dense base regenerates deterministically from `seed` inside the
+    program (same fold_in indices as random_params_like over the same
+    shapes tree), so quantized trees built with different transforms share
+    the EXACT same underlying values without the dense tree ever
+    co-residing with the quantized one in HBM — the numeric-fidelity rig
+    (scripts/quant_fidelity.py, docs/kernels.md) depends on this."""
+
+    @jax.jit
+    def make():
+        key = jax.random.PRNGKey(seed)
+        leaves, td = jax.tree.flatten(shapes)
+        dense = jax.tree.unflatten(td, [
+            0.02 * jax.random.normal(
+                jax.random.fold_in(key, i), l.shape, jnp.float32
+            ).astype(l.dtype)
+            for i, l in enumerate(leaves)
+        ])
+        return transform(dense) if transform is not None else dense
+
+    return make()
+
+
 def _is_big_lm_kernel(names, leaf) -> bool:
     return (
         names[0] == "lm" and "kernel" in names and leaf.ndim >= 2 and leaf.size > (1 << 16)
