@@ -132,11 +132,13 @@ def test_gradient_accumulation_matches_large_batch():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-5, atol=2e-6)
 
 
-@pytest.mark.parametrize("mode", ["1", "dots"])
+@pytest.mark.parametrize("mode", ["1", "dots", "dots:1", "dots:0", "dots:99"])
 def test_remat_matches_no_remat(mode, monkeypatch):
     """TOKENPACKER_REMAT (per-layer jax.checkpoint on the training path)
     must not change loss or gradients — only memory/recompute scheduling.
-    "dots" is the save-matmul-outputs policy (train.py --remat dots)."""
+    "dots" is the save-matmul-outputs policy (train.py --remat dots);
+    "dots:K" is the hybrid split (full remat + dots on the last K layers,
+    K clamped to the depth)."""
     cfg = tiny_vlm_config()
     params = init_vlm(jax.random.PRNGKey(0), cfg)
     batch = _tiny_batch(cfg)

@@ -293,8 +293,18 @@ def _decode_step_cb_fused(params, cfg: TokenPackerVLMConfig, cache, tokens,
     )
     hidden, nk, nv = out[:3]
     nks, nvs = out[3:] if len(out) == 5 else (None, None)
-    hidden = rms_norm(params["lm"]["norm"], hidden, cfg.lm.rms_norm_eps)
-    logits = lm_logits(params["lm"], cfg.lm, hidden)
+    import os as _os
+
+    if "notail" in _os.environ.get("TOKENPACKER_FD_DEBUG", ""):
+        # timing-only ablation (reached only under TOKENPACKER_FUSED_DECODE=
+        # debug — _fused_decode_mode refuses FD_DEBUG otherwise): skip the
+        # out-of-kernel tail (final RMSNorm → lm_head → real logits) to
+        # price it; fake logits keep the argmax-chain data dependency
+        logits = jnp.zeros((hidden.shape[0], cfg.lm.vocab_size),
+                           jnp.float32) + hidden[:, :1].astype(jnp.float32)
+    else:
+        hidden = rms_norm(params["lm"]["norm"], hidden, cfg.lm.rms_norm_eps)
+        logits = lm_logits(params["lm"], cfg.lm, hidden)
     new_len = cur_lens + active.astype(cur_lens.dtype)
     return logits, KVCache(nk, nv, new_len, nks, nvs)
 

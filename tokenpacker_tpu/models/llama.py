@@ -170,7 +170,10 @@ def _remat_mode() -> str:
     activation memory, ~1/3 extra FLOPs) | "dots" (save projection-GEMM
     outputs, recompute only elementwise ops — backward skips the re-fwd
     GEMMs at ~(5D+2F)*B*T bf16 per layer of saved activations; for runs
-    where HBM, not FLOPs, has headroom)."""
+    where HBM, not FLOPs, has headroom) | "dots:K" (hybrid, VERDICT r4 #7:
+    dots-saveable on the LAST K layers only, full remat on the rest —
+    spends whatever HBM slack full-depth training has on skipping K
+    layers' re-forward GEMMs; 'dots' alone OOMs at depth 32/T=2048)."""
     import os
 
     v = os.environ.get("TOKENPACKER_REMAT", "0")
@@ -358,13 +361,38 @@ def llama_apply(
                 step,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )
+            x, _ = jax.lax.scan(step, x, params["layers"])
+        elif mode.startswith("dots:"):
+            # hybrid (VERDICT r4 #7): full remat on the first L-K layers,
+            # dots-saveable on the last K — which layers get the policy is
+            # memory-equivalent (the saved bytes are uniform per layer), so
+            # the split stays contiguous to keep two scans, not L wrappers
+            k = int(mode.split(":", 1)[1])
+            layers = params["layers"]
+            n_layers = jax.tree.leaves(layers)[0].shape[0]
+            k = max(0, min(k, n_layers))
+            step_full = jax.checkpoint(step)
+            step_dots = jax.checkpoint(
+                step,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+            if n_layers - k:
+                x, _ = jax.lax.scan(
+                    step_full, x, jax.tree.map(lambda a: a[: n_layers - k], layers)
+                )
+            if k:
+                x, _ = jax.lax.scan(
+                    step_dots, x, jax.tree.map(lambda a: a[n_layers - k :], layers)
+                )
         elif mode:
             # per-layer rematerialization: the backward recomputes each
             # layer's activations instead of storing them — trades ~1/3 more
             # FLOPs for O(1)-in-depth activation memory, which is what lets
             # a full-depth 7B backward fit/compile on one chip
             step = jax.checkpoint(step)
-        x, _ = jax.lax.scan(step, x, params["layers"])
+            x, _ = jax.lax.scan(step, x, params["layers"])
+        else:
+            x, _ = jax.lax.scan(step, x, params["layers"])
         new_cache = None
     else:
 

@@ -47,13 +47,25 @@ def build_parser():
     p.add_argument("--warmup-ratio", type=float, default=0.03)
     p.add_argument("--num-train-epochs", type=int, default=1)
     p.add_argument("--per-device-batch-size", type=int, default=16)
+    def _remat_policy(v: str) -> str:
+        if v in ("full", "dots") or (
+            v.startswith("dots:") and v.split(":", 1)[1].isdigit()
+        ):
+            return v
+        raise argparse.ArgumentTypeError(
+            f"--remat must be 'full', 'dots', or 'dots:K' (got {v!r})"
+        )
+
     p.add_argument("--remat", nargs="?", const="full", default=None,
-                   choices=["full", "dots"],
+                   type=_remat_policy,
                    help="per-layer rematerialization (activation checkpointing) "
                         "— needed for full-depth 7B backward on one chip. "
                         "'full' (the bare-flag default) recomputes each layer; "
                         "'dots' saves matmul outputs and recomputes only "
-                        "elementwise work (faster backward, more HBM)")
+                        "elementwise work (faster backward, more HBM); "
+                        "'dots:K' applies the dots policy to the last K "
+                        "layers only (hybrid — spends remaining HBM slack "
+                        "where plain 'dots' OOMs at full depth)")
     p.add_argument("--gradient-accumulation-steps", type=int, default=1,
                    help="micro-steps per optimizer step (reference global "
                         "batch 256/128 = per-device-batch x devices x this)")
