@@ -98,10 +98,18 @@ def main():
         ("fused + slot-lora", overlay, "1"),  # round 5: in-kernel adapters
     )
     only = os.environ.get("ONLY")  # e.g. ONLY=lora to skip the base rows
+    rows = {}
+    keys = {
+        "xla base": f"xla_agg_tokens_per_sec_b{batch}",
+        "xla + slot-lora": f"xla_lora_agg_tokens_per_sec_b{batch}",
+        "fused base": f"fused_agg_tokens_per_sec_b{batch}",
+        "fused + slot-lora": f"fused_lora_agg_tokens_per_sec_b{batch}",
+    }
     for name, p, fused in configs:
         if only and only not in name:
             continue
         os.environ["TOKENPACKER_FUSED_DECODE"] = fused
+        jax.clear_caches()  # the dispatch env is read at trace time
         loop = make_loop()
         t0 = time.perf_counter()
         s = float(loop(p, fresh_cache(), toks, active, jnp.asarray(0))[0])
@@ -111,15 +119,20 @@ def main():
         t0 = time.perf_counter()
         float(loop(p, cache, toks, active, jnp.asarray(1))[0])
         dt = time.perf_counter() - t0
+        rows[keys[name]] = round(n_steps * batch / dt, 1)
         print(f"  {name}: {n_steps*batch/dt:.1f} agg tok/s ({dt/n_steps*1e3:.2f} ms/step)",
               flush=True)
     # greedy parity: the argmax-chained token sums must agree per params set
+    # (at B>1 long chains can diverge on near-tie argmax flips under the
+    # kernel's bf16-reorder — scripts/check_fd_lora_parity.py is the
+    # step-level adjudicator; the sums are still printed for the record)
     for a, b in (("xla base", "fused base"),
                  ("xla + slot-lora", "fused + slot-lora")):
         if a in sums and b in sums:
             tag = "OK" if sums[a] == sums[b] else "MISMATCH"
             print(f"  token-sum parity [{a}] vs [{b}]: {tag} "
                   f"({sums[a]} vs {sums[b]})", flush=True)
+    return rows
 
 
 if __name__ == "__main__":
