@@ -38,7 +38,12 @@ def bench(quant_type: str, reps: int):
         jnp.full((b,), 100, jnp.int32),
     )
 
-    @functools.partial(jax.jit, compiler_options=_fd_compiler_options())
+    copts = _fd_compiler_options()
+    if os.environ.get("Q4_VMEM_KIB"):  # A/B the scoped-vmem default raise
+        v = os.environ["Q4_VMEM_KIB"]
+        copts = None if v == "none" else {"xla_tpu_scoped_vmem_limit_kib": int(v)}
+
+    @functools.partial(jax.jit, compiler_options=copts)
     def loop(params, cache, toks, active, salt):
         toks = toks + salt * 0
 
