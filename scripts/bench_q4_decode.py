@@ -38,10 +38,14 @@ def bench(quant_type: str, reps: int):
         jnp.full((b,), 100, jnp.int32),
     )
 
-    copts = _fd_compiler_options()
-    if os.environ.get("Q4_VMEM_KIB"):  # A/B the scoped-vmem default raise
+    # default mirrors production (generate._fd_jit._params_can_fuse): 4-bit
+    # trees never trace the fused kernel, and the scoped-vmem raise costs
+    # the q4 GEMV 15% (44.1 -> 37.5 tok/s, root cause of VERDICT r4 #4)
+    copts = None
+    if os.environ.get("Q4_VMEM_KIB"):  # A/B the scoped-vmem raise
         v = os.environ["Q4_VMEM_KIB"]
-        copts = None if v == "none" else {"xla_tpu_scoped_vmem_limit_kib": int(v)}
+        copts = (_fd_compiler_options() if v == "fd"
+                 else {"xla_tpu_scoped_vmem_limit_kib": int(v)})
 
     @functools.partial(jax.jit, compiler_options=copts)
     def loop(params, cache, toks, active, salt):

@@ -75,9 +75,24 @@ def _fd_compiler_options():
 _FD_JITS: dict = {}
 
 
+def _params_can_fuse(params) -> bool:
+    """True when the params tree carries int8 ('q'/'qp') kernels — the only
+    trees for which the traced program can contain the fused whole-stack
+    kernel. The scoped-vmem raise must NOT apply otherwise: it is pure
+    collateral on the 4-bit path — measured int4 decode 44.1 tok/s at the
+    16 MB default vs 37.5 under the 96 MB raise (2026-08-19, root cause of
+    the VERDICT r4 #4 docs-vs-driver discrepancy; the raise changes the q4
+    GEMV kernel's compiled schedule)."""
+    return any(
+        getattr(leaf, "dtype", None) == jnp.int8
+        for leaf in jax.tree.leaves(params)
+    )
+
+
 def _fd_jit(fn, **jit_kwargs):
     """jax.jit with fused-decode compiler options resolved at CALL time
-    (the backend isn't known at import; options differ per backend)."""
+    (the backend isn't known at import; options differ per backend, and
+    the scoped-vmem raise applies only to int8 trees — _params_can_fuse)."""
 
     def wrapper(*args, **kwargs):
         # compiler_options are only legal on the TOP-LEVEL jit: when this
@@ -87,6 +102,8 @@ def _fd_jit(fn, **jit_kwargs):
             isinstance(x, jax.core.Tracer) for x in jax.tree.leaves((args, kwargs))
         )
         copts = None if nested else _fd_compiler_options()
+        if copts is not None and not _params_can_fuse(args[0]):
+            copts = None
         key = (fn.__name__, copts is not None)
         if key not in _FD_JITS:
             _FD_JITS[key] = jax.jit(fn, compiler_options=copts, **jit_kwargs)
