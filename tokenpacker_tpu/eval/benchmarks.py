@@ -41,6 +41,7 @@ def _load_model(args):
         batch_size=getattr(args, "batch_size", 8),
         max_new_tokens=getattr(args, "max_new_tokens", 128),
         temperature=getattr(args, "temperature", 0.0),
+        num_beams=getattr(args, "num_beams", 1),
     )
     return runner
 
@@ -233,6 +234,7 @@ def build_parser():
         sp.add_argument("--batch-size", type=int, default=8)
         sp.add_argument("--max-new-tokens", type=int, default=128)
         sp.add_argument("--temperature", type=float, default=0.0)
+        sp.add_argument("--num-beams", type=int, default=1)
         sp.add_argument("--image-aspect-ratio", default=None)
         sp.add_argument("--load-8bit", action="store_true")
         sp.add_argument("--load-4bit", action="store_true")

@@ -28,6 +28,7 @@ def eval_model(args):
         max_new_tokens=args.max_new_tokens,
         temperature=args.temperature,
         speculative=args.speculative_k,
+        num_beams=args.num_beams,
     )
     images = [load_image(f) for f in args.image_file.split(args.sep)]
     outputs = []
@@ -48,6 +49,9 @@ def main(argv=None):
     parser.add_argument("--conv-mode", default=None)
     parser.add_argument("--sep", default=",")
     parser.add_argument("--temperature", type=float, default=0.2)
+    parser.add_argument("--num-beams", type=int, default=1,
+                        help="beam search width (reference run_llava.py:145; "
+                             "beams are greedy — used when temperature <= 0)")
     parser.add_argument("--max-new-tokens", type=int, default=512)
     parser.add_argument("--speculative-k", type=int, default=0,
                         help="prompt-lookup speculative decoding draft length "

@@ -63,6 +63,7 @@ class EvalRunner:
         max_new_tokens: int = 128,
         temperature: float = 0.0,
         speculative: int = 0,
+        num_beams: int = 1,
     ):
         self.model = model
         self.cfg = model.config
@@ -73,6 +74,12 @@ class EvalRunner:
         self.batch_size = batch_size
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
+        # --num_beams (every reference eval CLI forwards it to HF generate,
+        # e.g. model_vqa_loader.py:181,220); beam search is per-request, so
+        # it forces batch_size 1 like the reference's batch-1 loops
+        self.num_beams = num_beams
+        if num_beams > 1:
+            self.batch_size = batch_size = 1
         # prompt-lookup speculative decoding (greedy, batch-1 runs only —
         # Generator ignores it otherwise); speeds up demo/serve-like loops
         self.speculative = speculative
@@ -182,6 +189,7 @@ class EvalRunner:
             temperature=self.temperature,
             stop_strings=self.stop_strings(),
             speculative=self.speculative,
+            num_beams=self.num_beams,
         )
         for s, text in zip(samples, result.texts):
             yield {"question_id": s.question_id, "text": text, **s.extra}

@@ -559,6 +559,9 @@ class Generator:
         rng_key=None,
         check_every: int = 8,
         speculative: int = 0,
+        num_beams: int = 1,
+        length_penalty: float = 1.0,
+        early_stopping: bool | str = False,
     ) -> GenerationResult:
         """batch: splice-plan numpy arrays (token_ids/is_image/image_slot/
         lengths) + optional images [n_crops, H, W, 3].
@@ -566,9 +569,21 @@ class Generator:
         speculative: draft length k for prompt-lookup speculative decoding
         (speculative.py) — greedy-parity guaranteed; used when > 0, greedy
         (temperature <= 0), and batch size 1; otherwise silently ignored.
+
+        num_beams: beam search (beam.py; HF `model.generate(num_beams=k)`
+        semantics — the reference CLIs' --num_beams flag). Used when > 1,
+        greedy (temperature <= 0), and batch size 1; do_sample beam search
+        is not implemented, so a positive temperature falls back to plain
+        sampling (the reference's only such path is dead code — see
+        beam.py). stop_strings cut the decoded text at their first
+        occurrence (the beams themselves stop on EOS/max length).
         """
         cfg = self.cfg
         n, l = batch["token_ids"].shape
+        if num_beams > 1 and temperature <= 0.0 and n == 1:
+            return self._generate_beams(
+                batch, num_beams, max_new_tokens, length_penalty,
+                early_stopping, stop_strings)
         use_spec = speculative > 0 and temperature <= 0.0 and n == 1
         # fixed-size speculative chunks: n_max is a static jit arg, and the
         # per-chunk advance is acceptance-dependent, so a variable tail chunk
@@ -656,6 +671,26 @@ class Generator:
                         text = text[: -len(s)]
                 texts.append(text.strip())
         return GenerationResult(out_tokens, texts)
+
+    def _generate_beams(self, batch, num_beams, max_new_tokens,
+                        length_penalty, early_stopping, stop_strings):
+        from tokenpacker_tpu.beam import beam_generate
+
+        ids, _score = beam_generate(
+            self.params, self.cfg, batch, num_beams, max_new_tokens,
+            length_penalty, early_stopping)
+        texts = None
+        if self.tokenizer is not None:
+            eos = self.cfg.lm.eos_token_id
+            text = self.tokenizer.decode(
+                [t for t in ids if t != eos], skip_special_tokens=True)
+            # beams run to EOS/max length, so a stop string can sit mid-text
+            # (the greedy path halts at it instead) — cut at the first one
+            for s in stop_strings:
+                if s and s in text:
+                    text = text[: text.index(s)]
+            texts = [text.strip()]
+        return GenerationResult([ids], texts)
 
     def warmup(self, buckets=(256, 512), batch_sizes=(1,), max_new_tokens=128, n_crops=1,
                speculative: int = 0):
