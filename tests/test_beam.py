@@ -53,22 +53,28 @@ def hf_beams(model, ids, k, max_new, lp=1.0, early_stopping=False):
     return toks, float(out.sequences_scores[0])
 
 
-def our_beams(cfg, params, ids, k, max_new, lp=1.0, early_stopping=False):
+def text_batch(cfg, ids_list):
     plan = build_splice_plan(
-        [np.asarray(ids, np.int64)], [[]], cfg.tokens_per_view, "single",
+        [np.asarray(ids, np.int64) for ids in ids_list],
+        [[] for _ in ids_list], cfg.tokens_per_view, "single",
         SEP, RET, PAD, pad_to=32,
     )
-    batch = {
+    return {
         "token_ids": plan.token_ids,
         "is_image": plan.is_image,
         "image_slot": plan.image_slot,
         "lengths": plan.lengths,
         "images": None,
     }
-    return beam_generate(
-        params, cfg, batch, num_beams=k, max_new_tokens=max_new,
-        length_penalty=lp, early_stopping=early_stopping,
+
+
+def our_beams(cfg, params, ids, k, max_new, lp=1.0, early_stopping=False):
+    seqs, scores = beam_generate(
+        params, cfg, text_batch(cfg, [ids]), num_beams=k,
+        max_new_tokens=max_new, length_penalty=lp,
+        early_stopping=early_stopping,
     )
+    return seqs[0], scores[0]
 
 
 PROMPTS = [
@@ -118,6 +124,35 @@ def test_max_length_stop_without_eos(rig):
     assert len(got_toks) == 2
 
 
+def test_batched_beams_match_hf(rig):
+    """n=3 equal-length prompts beam-decode as ONE n·k-row program; each
+    sample must match HF's (batch-independent) beams."""
+    model, cfg, params = rig
+    prompts = [[1, 17, 23, 40, 41], [1, 99, 3, 77, 12], [1, 5, 60, 61, 62]]
+    seqs, scores = beam_generate(
+        params, cfg, text_batch(cfg, prompts), num_beams=3,
+        max_new_tokens=10)
+    for ids, got_toks, got_score in zip(prompts, seqs, scores):
+        exp_toks, exp_score = hf_beams(model, ids, 3, max_new=10)
+        assert got_toks == exp_toks
+        assert got_score == pytest.approx(exp_score, rel=1e-3, abs=1e-4)
+
+
+def test_ragged_batch_matches_per_sample(rig):
+    """Ragged prompt lengths in one batch: a sample that finishes early is
+    frozen while the rest run, so every sample's result equals its own
+    batch-1 run exactly."""
+    _, cfg, params = rig
+    prompts = [[1, 17, 23], [1, 99, 3, 77, 12, 5, 64, 8, 9], [1, 44]]
+    seqs, scores = beam_generate(
+        params, cfg, text_batch(cfg, prompts), num_beams=3,
+        max_new_tokens=8)
+    for ids, got_toks, got_score in zip(prompts, seqs, scores):
+        solo_toks, solo_score = our_beams(cfg, params, ids, 3, max_new=8)
+        assert got_toks == solo_toks
+        assert got_score == pytest.approx(solo_score, rel=1e-5)
+
+
 def test_generator_entrypoint_uses_beams(rig):
     """Generator.generate(num_beams=k) routes to beam search; the result
     matches beam_generate and beats-or-equals greedy on sequence score."""
@@ -162,8 +197,9 @@ def test_beam_with_image_runs(rig):
         "lengths": plan.lengths,
         "images": images,
     }
-    toks, score = beam_generate(params, cfg, batch, num_beams=3,
-                                max_new_tokens=6)
+    seqs, scores = beam_generate(params, cfg, batch, num_beams=3,
+                                 max_new_tokens=6)
+    toks, score = seqs[0], scores[0]
     assert 1 <= len(toks) <= 6
     assert np.isfinite(score)
     greedy = Generator(params, cfg).generate(

@@ -314,3 +314,41 @@ def test_chunked_prefill_matches_full(family):
         np.asarray(cache.k[:, :, :true_len]),
         np.asarray(ref_cache.k[:, :, :true_len]), rtol=2e-5, atol=2e-5,
     )
+
+
+def test_top_k_sampling_masks_to_hf_warper_support():
+    """sample_tokens(top_k=k) must draw ONLY from the k highest logits and
+    match HF TopKLogitsWarper's mask exactly (same `logits < kth` rule, so
+    tie handling agrees): tokens outside HF's surviving set never appear."""
+    import torch
+    from transformers.generation import TopKLogitsWarper
+
+    from tokenpacker_tpu.generate import sample_tokens
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 64)).astype(np.float32)
+    temperature, k = 0.8, 3
+    ref = TopKLogitsWarper(top_k=k)(
+        None, torch.from_numpy(logits / temperature)).numpy()
+    allowed = [set(np.nonzero(np.isfinite(ref[r]))[0]) for r in range(2)]
+    seen = [set(), set()]
+    for i in range(300):
+        draw = np.asarray(sample_tokens(
+            jnp.asarray(logits), temperature, None, jax.random.PRNGKey(i),
+            top_k=k))
+        for r in range(2):
+            seen[r].add(int(draw[r]))
+    for r in range(2):
+        assert seen[r] <= allowed[r], (seen[r], allowed[r])
+        assert len(seen[r]) == k  # every surviving token is reachable
+
+
+def test_top_k_none_and_oversize_are_noops():
+    from tokenpacker_tpu.generate import sample_tokens
+
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal((1, 16)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    base = np.asarray(sample_tokens(logits, 0.7, None, key))
+    wide = np.asarray(sample_tokens(logits, 0.7, None, key, top_k=16))
+    assert (base == wide).all()  # k >= vocab leaves logits untouched

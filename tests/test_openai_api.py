@@ -142,6 +142,10 @@ def test_stream_request_validation():
         {"model": "m", "prompt": "x", "max_tokens": 7, "max_completion_tokens": 3},
         chat=False)
     assert p["max_new_tokens"] == 3
+    # top_k (vLLM-style extension) forwards to the worker; absent -> 0
+    p = g.stream_request({"model": "m", "prompt": "x", "top_k": 40}, chat=False)
+    assert p["top_k"] == 40
+    assert g.stream_request({"model": "m", "prompt": "x"}, chat=False)["top_k"] == 0
 
 
 # -- integration: full 3-tier chain -------------------------------------------

@@ -582,3 +582,28 @@ def test_batcher_unaligned_max_seq_len(model):
     finally:
         batcher.stop()
     assert got == exp, (got, exp)
+
+
+def test_top_k_one_reproduces_greedy_through_batcher(model):
+    """top_k=1 collapses sampling to argmax regardless of temperature —
+    a deterministic end-to-end check of the top-k plumbing (submit →
+    _Request → per-row sampler) against the greedy Generator."""
+    cfg, params = model
+    gen = Generator(params, cfg)
+    max_new = 5
+    requests = [_request(cfg, s) for s in range(2)]
+    expected = [
+        gen.generate(r, max_new_tokens=max_new, temperature=0.0).sequences[0]
+        for r in requests
+    ]
+    batcher = ContinuousBatcher(params, cfg, num_slots=2, max_seq_len=64)
+    batcher.start()
+    try:
+        futs = [
+            batcher.submit(r, max_new, temperature=0.9, top_k=1)
+            for r in requests
+        ]
+        got = [f.result(timeout=240) for f in futs]
+    finally:
+        batcher.stop()
+    assert got == expected, (got, expected)

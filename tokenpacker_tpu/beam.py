@@ -22,7 +22,12 @@ directly onto ``lax.while_loop``:
   update;
 - the decode step itself is generate.decode_step, so beams ride whatever
   path the params select (XLA per-layer, or the fused whole-stack kernel
-  for int8 trees — its batch dim is the beam dim).
+  for int8 trees — the batch×beam product is the kernel's batch dim);
+- the search is BATCHED (unlike the reference's batch-1 eval loops): n
+  requests × k beams decode as one n·k-row step, with the per-sample
+  candidate selection vmapped. A sample that finishes early is frozen
+  (per-sample state keeps its value while the rest of the batch runs),
+  which makes each sample's result exactly its batch-1 result.
 
 Matched semantics (verified token-exact against transformers 4.57 in
 tests/test_beam.py): do_sample=False, length_penalty (any float),
@@ -50,7 +55,8 @@ _NEG = jnp.float32(-1.0e9)
 
 
 def _tile_cache(cache, k: int):
-    """[L, 1, ...] prefill cache → [L, k, ...] (all beams share the prompt)."""
+    """[L, n, ...] prefill cache → [L, n·k, ...] sample-major (each sample's
+    k beams are adjacent rows; all beams share their sample's prompt)."""
     rep = lambda a: None if a is None else jnp.repeat(a, k, axis=1)
     return cache._replace(
         k=rep(cache.k), v=rep(cache.v),
@@ -58,22 +64,36 @@ def _tile_cache(cache, k: int):
     )
 
 
-def _gather_cache(cache, idx):
-    """Reorder the beam axis — HF's ``reorder_cache`` as a device gather."""
-    take = lambda a: None if a is None else jnp.take(a, idx, axis=1)
+def _gather_cache(cache, idx, lo: int = 0, hi: int | None = None):
+    """Reorder the beam axis — HF's ``reorder_cache`` as a device gather
+    (idx is flat over the n·k rows).
+
+    [lo, hi) restricts the reorder to the decoded span: the tiled prompt
+    region is bit-identical across a sample's beams (and idx never crosses
+    samples), so reordering it is a no-op — skipping it cuts the per-step
+    gather traffic from O(S_max) to O(max_new) rows (scripts/bench_beam.py
+    measures the difference)."""
+    def take(a):
+        if a is None:
+            return None
+        if lo == 0 and hi is None:
+            return jnp.take(a, idx, axis=1)
+        span = jnp.take(a[:, :, lo:hi], idx, axis=1)
+        return a.at[:, :, lo:hi].set(span)
+
     return cache._replace(
         k=take(cache.k), v=take(cache.v),
         k_scale=take(cache.k_scale), v_scale=take(cache.v_scale),
     )
 
 
-def _select(st, logits, *, k, vocab, max_new, eos, lp, early_stopping):
-    """One candidate-selection round (HF _get_top_k_continuations +
-    _get_running_beams_for_next_iteration + _update_finished_beams +
-    _check_early_stop_heuristic, batch=1). ``st["t"]`` is the column the
-    chosen tokens land in; masking is ADDITIVE -1e9 terms, matching HF's
-    arithmetic exactly so tie-breaking agrees."""
-    t = st["t"]
+def _select(st, logits, t, *, k, vocab, max_new, eos, lp, early_stopping):
+    """One candidate-selection round for ONE sample (HF
+    _get_top_k_continuations + _get_running_beams_for_next_iteration +
+    _update_finished_beams + _check_early_stop_heuristic). ``t`` is the
+    column the chosen tokens land in; masking is ADDITIVE -1e9 terms,
+    matching HF's arithmetic exactly so tie-breaking agrees. vmapped over
+    the batch by the caller."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     acc = logp + st["run_scores"][:, None]  # [k, V]
     vals, idx = jax.lax.top_k(acc.reshape(-1), 2 * k)
@@ -115,7 +135,6 @@ def _select(st, logits, *, k, vocab, max_new, eos, lp, early_stopping):
         unfinished = unfinished & ~jnp.all(fin_flags)
 
     return {
-        "cache": st["cache"], "t": t + 1,
         "tok": jnp.take(tok, ridx), "src": jnp.take(src, ridx),
         "run_scores": rvals, "run_seqs": jnp.take(cand_seqs, ridx, axis=0),
         "fin_scores": fvals, "fin_seqs": fin_seqs, "fin_lens": fin_lens,
@@ -124,39 +143,75 @@ def _select(st, logits, *, k, vocab, max_new, eos, lp, early_stopping):
 
 
 @partial(_fd_jit, static_argnames=(
-    "cfg", "k", "max_new", "prefill_len", "lp", "early_stopping"))
+    "cfg", "k", "max_new", "prefill_len", "lp", "early_stopping"),
+    # donate the tiled cache: it is consumed by the search, and without
+    # donation XLA copies the full k/v (+scale) buffers into the while
+    # carry — 4 GB of copies at n·k=32 S=512 int8, which OOMs one v5e
+    donate_argnums=(1,))
 def _beam_loop(params, cache, logits0, lengths, *, cfg, k, max_new,
                prefill_len, lp, early_stopping):
-    vocab = cfg.lm.vocab_size
+    """The whole search for n samples × k beams as one program.
+
+    cache: [L, n·k, ...] (tiled prompt prefill; DONATED — consumed).
+    logits0: [n, V] prompt next-token logits. lengths: [n] true prompt
+    lengths. Returns (fin_seqs [n, k, max_new], fin_scores [n, k],
+    fin_lens [n, k], cache) with each sample's finished slots topk-sorted
+    by score. The spent cache is returned ONLY so the donated input has an
+    output to alias with — without an aliased output XLA reports the
+    donation "not usable" and copies the full k/v buffers into the while
+    carry anyway (callers drop it).
+    """
+    n, vocab = logits0.shape
     eos = cfg.lm.eos_token_id
-    sel = partial(_select, k=k, vocab=vocab, max_new=max_new, eos=eos,
-                  lp=lp, early_stopping=early_stopping)
-    st = {
-        "cache": cache, "t": jnp.asarray(0, jnp.int32),
-        "tok": jnp.zeros((k,), jnp.int32), "src": jnp.arange(k),
+    sel = jax.vmap(partial(
+        _select, k=k, vocab=vocab, max_new=max_new, eos=eos, lp=lp,
+        early_stopping=early_stopping), in_axes=(0, 0, None))
+    beams = {
+        "tok": jnp.zeros((n, k), jnp.int32),
+        "src": jnp.broadcast_to(jnp.arange(k), (n, k)),
         # beam 0 starts at 0, the rest at -1e9 (all beams are identical
         # until the first selection — this keeps the top-2k diverse)
-        "run_scores": jnp.where(jnp.arange(k) == 0, 0.0, _NEG),
-        "run_seqs": jnp.zeros((k, max_new), jnp.int32),
-        "fin_scores": jnp.full((k,), _NEG),
-        "fin_seqs": jnp.zeros((k, max_new), jnp.int32),
-        "fin_lens": jnp.zeros((k,), jnp.int32),
-        "fin_flags": jnp.zeros((k,), bool),
-        "unsat": jnp.asarray(True), "unfinished": jnp.asarray(True),
+        "run_scores": jnp.broadcast_to(
+            jnp.where(jnp.arange(k) == 0, 0.0, _NEG), (n, k)),
+        "run_seqs": jnp.zeros((n, k, max_new), jnp.int32),
+        "fin_scores": jnp.full((n, k), _NEG),
+        "fin_seqs": jnp.zeros((n, k, max_new), jnp.int32),
+        "fin_lens": jnp.zeros((n, k), jnp.int32),
+        "fin_flags": jnp.zeros((n, k), bool),
+        "unsat": jnp.ones((n,), bool), "unfinished": jnp.ones((n,), bool),
     }
     # step 0 selects from the prefill logits (HF's first iteration forwards
     # the prompt on all k identical beams — same logits row, broadcast)
-    st = sel(st, jnp.broadcast_to(logits0, (k, vocab)))
+    beams = sel(beams, jnp.broadcast_to(logits0[:, None], (n, k, vocab)),
+                jnp.asarray(0, jnp.int32))
+    lengths_flat = jnp.repeat(lengths, k)  # sample-major, matches the cache
 
     def body(st):
-        cache = _gather_cache(st["cache"], st["src"])
+        cache, t, beams = st["cache"], st["t"], st["beams"]
+        flat_src = (jnp.arange(n)[:, None] * k + beams["src"]).reshape(-1)
+        cache = _gather_cache(cache, flat_src,
+                              prefill_len, prefill_len + max_new)
         logits, cache = decode_step(
-            params, cfg, cache, st["tok"], lengths, st["t"] - 1, prefill_len)
-        return sel({**st, "cache": cache}, logits)
+            params, cfg, cache, beams["tok"].reshape(-1), lengths_flat,
+            t - 1, prefill_len)
+        new = sel(beams, logits.reshape(n, k, vocab), t)
+        # freeze samples that already stopped: their per-sample state keeps
+        # its value while the rest of the batch runs, so each sample's
+        # result is exactly its batch-1 result (the cache keeps updating —
+        # frozen rows are never read back)
+        live = beams["unfinished"]
+        pick = lambda a, b: jnp.where(
+            live.reshape((n,) + (1,) * (a.ndim - 1)), a, b)
+        beams = jax.tree.map(pick, new, beams)
+        return {"cache": cache, "t": t + 1, "beams": beams}
 
     st = jax.lax.while_loop(
-        lambda st: st["unfinished"] & (st["t"] < max_new), body, st)
-    return st["fin_seqs"], st["fin_scores"], st["fin_lens"]
+        lambda st: jnp.any(st["beams"]["unfinished"]) & (st["t"] < max_new),
+        body,
+        {"cache": cache, "t": jnp.asarray(1, jnp.int32), "beams": beams},
+    )
+    b = st["beams"]
+    return b["fin_seqs"], b["fin_scores"], b["fin_lens"], st["cache"]
 
 
 def beam_generate(
@@ -167,24 +222,26 @@ def beam_generate(
     max_new_tokens: int = 128,
     length_penalty: float = 1.0,
     early_stopping: bool | str = False,
-) -> tuple[list[int], float]:
-    """Beam-search one request (batch 1; images optional).
+) -> tuple[list[list[int]], list[float]]:
+    """Beam-search a batch of requests (images optional).
 
-    Returns (generated ids — terminal EOS included when the beam ended on
-    one, prompt excluded; sequence score = sum-logprobs / len**penalty).
+    Returns (per-sample generated ids — terminal EOS included when the beam
+    ended on one, prompt excluded; per-sample sequence score =
+    sum-logprobs / len**penalty).
     """
     n, l = batch["token_ids"].shape
-    if n != 1:
-        raise ValueError(f"beam search is per-request (got batch {n})")
     dev = device_batch(batch, cfg.dtype)
     logits, cache = prefill(params, cfg, dev, l + max_new_tokens)
     cache = _tile_cache(cache, num_beams)
-    lengths = jnp.broadcast_to(dev["lengths"], (num_beams,)).astype(jnp.int32)
-    seqs, scores, lens = _beam_loop(
-        params, cache, logits[0], lengths, cfg=cfg, k=num_beams,
+    lengths = dev["lengths"].astype(jnp.int32)
+    seqs, scores, lens, _spent = _beam_loop(
+        params, cache, logits, lengths, cfg=cfg, k=num_beams,
         max_new=max_new_tokens, prefill_len=l, lp=float(length_penalty),
         early_stopping=early_stopping,
     )
     seqs, scores, lens = (np.asarray(seqs), np.asarray(scores), np.asarray(lens))
-    best = 0  # finished slots are kept topk-sorted by score
-    return [int(x) for x in seqs[best, : lens[best]]], float(scores[best])
+    # finished slots are kept topk-sorted by score — best is slot 0
+    return (
+        [[int(x) for x in seqs[i, 0, : lens[i, 0]]] for i in range(n)],
+        [float(s) for s in scores[:, 0]],
+    )

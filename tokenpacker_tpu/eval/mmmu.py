@@ -240,7 +240,11 @@ def run(args):
     from tokenpacker_tpu.eval.runner import EvalRunner, EvalSample
 
     tokenizer, model, _, _ = load_pretrained_model(args.model_path, args.model_base)
-    runner = EvalRunner(model, tokenizer, conv_mode=args.conv_mode, batch_size=args.batch_size)
+    # --num-beams: the reference's unused mmmu variant hardcodes 5
+    # (eval/mmmu/eval/utils/model_utils.py:52); the imported one is greedy.
+    runner = EvalRunner(model, tokenizer, conv_mode=args.conv_mode,
+                        batch_size=args.batch_size,
+                        num_beams=getattr(args, "num_beams", 1))
 
     subs = []
     for subject in SUBJECTS:
@@ -319,6 +323,7 @@ def main(argv=None):
     sp.add_argument("--split", default="validation")
     sp.add_argument("--conv-mode", default="vicuna_v1")
     sp.add_argument("--batch-size", type=int, default=8)
+    sp.add_argument("--num-beams", type=int, default=1)
     sp.add_argument("--num-chunks", type=int, default=1)
     sp.add_argument("--chunk-idx", type=int, default=0)
     sp.add_argument("--output", required=True)

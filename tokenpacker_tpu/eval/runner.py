@@ -75,11 +75,14 @@ class EvalRunner:
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
         # --num_beams (every reference eval CLI forwards it to HF generate,
-        # e.g. model_vqa_loader.py:181,220); beam search is per-request, so
-        # it forces batch_size 1 like the reference's batch-1 loops
+        # e.g. model_vqa_loader.py:181,220). Beam search is batched (the
+        # n×k product decodes as one device step — beam.py), so unlike the
+        # reference's batch-1 loops the runner keeps batching; the batch is
+        # capped so n×k stays within the measured single-chip decode
+        # envelope (B=32, ROADMAP round-4 big-batch sweep)
         self.num_beams = num_beams
         if num_beams > 1:
-            self.batch_size = batch_size = 1
+            self.batch_size = batch_size = max(1, min(batch_size, 32 // num_beams))
         # prompt-lookup speculative decoding (greedy, batch-1 runs only —
         # Generator ignores it otherwise); speeds up demo/serve-like loops
         self.speculative = speculative

@@ -464,7 +464,8 @@ def insert_into_cache(big: KVCache, small: KVCache, slot: int, length):
 
 @partial(
     _fd_jit,
-    static_argnames=("cfg", "prefill_len", "n", "temperature", "top_p"),
+    static_argnames=("cfg", "prefill_len", "n", "temperature", "top_p",
+                     "top_k"),
     # donate the cache: callers rebind it from the return value, and without
     # donation XLA copies the k/v (+scale) buffers into the loop carry — at
     # the HD multi-slot shape (B=8, S=2048, int8 KV) that is 4 GB of copies
@@ -474,6 +475,7 @@ def insert_into_cache(big: KVCache, small: KVCache, slot: int, length):
 def decode_chunk(
     params, cfg: TokenPackerVLMConfig, cache, first_tokens, lengths, step0, prefill_len: int,
     n: int, rng_key, temperature: float = 0.0, top_p: float | None = None,
+    top_k: int | None = None,
 ):
     """Generate n tokens entirely on device (sampling included), starting by
     feeding `first_tokens` at decode step `step0`. Returns (tokens [N, n],
@@ -486,7 +488,8 @@ def decode_chunk(
         cache, tok, toks, key = carry
         logits, cache = decode_step(params, cfg, cache, tok, lengths, step0 + i, prefill_len)
         key, sub = jax.random.split(key)
-        nxt = sample_tokens(logits, temperature, top_p, sub).astype(jnp.int32)
+        nxt = sample_tokens(logits, temperature, top_p, sub,
+                            top_k=top_k).astype(jnp.int32)
         toks = jax.lax.dynamic_update_slice(toks, nxt[:, None], (0, i))
         return cache, nxt, toks, key
 
@@ -497,17 +500,27 @@ def decode_chunk(
     return toks, cache, tok
 
 
-def sample_tokens_per_row(logits, temperatures, rng_key, top_ps=None):
-    """Per-row temperature (+ optional per-row top-p) for co-scheduled
-    requests: greedy where a row's temperature is <= 0, categorical at its
-    own temperature otherwise (the batchers serve requests with different
-    sampling settings in one step). top_ps: [N] nucleus thresholds; rows
-    with top_p >= 1 are unfiltered. Same filter semantics as
+def sample_tokens_per_row(logits, temperatures, rng_key, top_ps=None,
+                          top_ks=None):
+    """Per-row temperature (+ optional per-row top-p/top-k) for
+    co-scheduled requests: greedy where a row's temperature is <= 0,
+    categorical at its own temperature otherwise (the batchers serve
+    requests with different sampling settings in one step). top_ps: [N]
+    nucleus thresholds; rows with top_p >= 1 are unfiltered. top_ks: [N]
+    int top-k widths; rows with top_k <= 0 or >= vocab are unfiltered —
+    applied BEFORE top-p, HF LogitsWarper order. Same filter semantics as
     sample_tokens (cutoff on the temperature-scaled distribution)."""
     temperatures = jnp.asarray(temperatures, jnp.float32)
     greedy = jnp.argmax(logits, axis=-1)
     safe = jnp.maximum(temperatures, 1e-6)[:, None]
     scaled = logits.astype(jnp.float32) / safe
+    if top_ks is not None:
+        top_ks = jnp.asarray(top_ks, jnp.int32)
+        srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+        idx = jnp.clip(top_ks - 1, 0, scaled.shape[-1] - 1)[:, None]
+        kth = jnp.take_along_axis(srt, idx, axis=-1)
+        apply = ((top_ks > 0) & (top_ks < scaled.shape[-1]))[:, None]
+        scaled = jnp.where(apply & (scaled < kth), -jnp.inf, scaled)
     if top_ps is not None:
         top_ps = jnp.asarray(top_ps, jnp.float32)
         sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
@@ -521,10 +534,19 @@ def sample_tokens_per_row(logits, temperatures, rng_key, top_ps=None):
     return jnp.where(temperatures <= 0.0, greedy, sampled)
 
 
-def sample_tokens(logits, temperature, top_p, rng_key):
+def sample_tokens(logits, temperature, top_p, rng_key, top_k=None):
+    """HF LogitsWarper-ordered sampling: temperature scale, then top-k
+    mask, then top-p nucleus cutoff (TopKLogitsWarper runs before
+    TopPLogitsWarper in generation/utils.py — the reference's
+    `model.generate(do_sample=True)` inherits top_k=50 from the default
+    GenerationConfig, so a migrating caller can pass top_k=50 here for
+    distribution parity; None leaves the tail unmasked)."""
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1)
     logits = logits.astype(jnp.float32) / temperature
+    if top_k is not None and 0 < top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
     if top_p is not None and top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
@@ -555,6 +577,7 @@ class Generator:
         max_new_tokens: int = 128,
         temperature: float = 0.0,
         top_p: float | None = None,
+        top_k: int | None = None,
         stop_strings: tuple[str, ...] = (),
         rng_key=None,
         check_every: int = 8,
@@ -570,17 +593,23 @@ class Generator:
         (speculative.py) — greedy-parity guaranteed; used when > 0, greedy
         (temperature <= 0), and batch size 1; otherwise silently ignored.
 
+        top_k: sampling-only top-k logits filter (HF TopKLogitsWarper
+        order: after temperature, before top_p). The reference's
+        `do_sample=True` calls inherit top_k=50 from HF's default
+        GenerationConfig — pass 50 for distribution parity.
+
         num_beams: beam search (beam.py; HF `model.generate(num_beams=k)`
-        semantics — the reference CLIs' --num_beams flag). Used when > 1,
-        greedy (temperature <= 0), and batch size 1; do_sample beam search
-        is not implemented, so a positive temperature falls back to plain
+        semantics — the reference CLIs' --num_beams flag). Used when > 1
+        and greedy (temperature <= 0); batched — the n×k beam product
+        decodes as one device step. do_sample beam search is not
+        implemented, so a positive temperature falls back to plain
         sampling (the reference's only such path is dead code — see
         beam.py). stop_strings cut the decoded text at their first
         occurrence (the beams themselves stop on EOS/max length).
         """
         cfg = self.cfg
         n, l = batch["token_ids"].shape
-        if num_beams > 1 and temperature <= 0.0 and n == 1:
+        if num_beams > 1 and temperature <= 0.0:
             return self._generate_beams(
                 batch, num_beams, max_new_tokens, length_penalty,
                 early_stopping, stop_strings)
@@ -622,7 +651,8 @@ class Generator:
 
         # first token from the prefill logits
         rng_key, sub = jax.random.split(rng_key)
-        tok = sample_tokens(logits, temperature, top_p, sub).astype(jnp.int32)
+        tok = sample_tokens(logits, temperature, top_p, sub,
+                            top_k=top_k).astype(jnp.int32)
         all_done = absorb(np.asarray(tok)[:, None])
         produced = 1
         if use_spec:
@@ -655,7 +685,8 @@ class Generator:
                 rng_key, sub = jax.random.split(rng_key)
                 toks, cache, tok = decode_chunk(
                     self.params, cfg, cache, tok, lengths,
-                    jnp.asarray(produced - 1, jnp.int32), l, chunk, sub, temperature, top_p,
+                    jnp.asarray(produced - 1, jnp.int32), l, chunk, sub,
+                    temperature, top_p, top_k,
                 )
                 all_done = absorb(np.asarray(toks))
                 produced += chunk
@@ -676,21 +707,24 @@ class Generator:
                         length_penalty, early_stopping, stop_strings):
         from tokenpacker_tpu.beam import beam_generate
 
-        ids, _score = beam_generate(
+        seqs, _scores = beam_generate(
             self.params, self.cfg, batch, num_beams, max_new_tokens,
             length_penalty, early_stopping)
         texts = None
         if self.tokenizer is not None:
             eos = self.cfg.lm.eos_token_id
-            text = self.tokenizer.decode(
-                [t for t in ids if t != eos], skip_special_tokens=True)
-            # beams run to EOS/max length, so a stop string can sit mid-text
-            # (the greedy path halts at it instead) — cut at the first one
-            for s in stop_strings:
-                if s and s in text:
-                    text = text[: text.index(s)]
-            texts = [text.strip()]
-        return GenerationResult([ids], texts)
+            texts = []
+            for ids in seqs:
+                text = self.tokenizer.decode(
+                    [t for t in ids if t != eos], skip_special_tokens=True)
+                # beams run to EOS/max length, so a stop string can sit
+                # mid-text (the greedy path halts at it instead) — cut at
+                # the first one
+                for s in stop_strings:
+                    if s and s in text:
+                        text = text[: text.index(s)]
+                texts.append(text.strip())
+        return GenerationResult(seqs, texts)
 
     def warmup(self, buckets=(256, 512), batch_sizes=(1,), max_new_tokens=128, n_crops=1,
                speculative: int = 0):
@@ -765,6 +799,7 @@ class Generator:
         max_new_tokens: int = 128,
         temperature: float = 0.0,
         top_p: float | None = None,
+        top_k: int | None = None,
         stop_strings: tuple[str, ...] = (),
         rng_key=None,
         speculative: int = 0,
@@ -793,7 +828,8 @@ class Generator:
         toks: list[int] = []
         for step in range(max_new_tokens):
             rng_key, sub = jax.random.split(rng_key)
-            tok = int(np.asarray(sample_tokens(logits, temperature, top_p, sub))[0])
+            tok = int(np.asarray(
+                sample_tokens(logits, temperature, top_p, sub, top_k=top_k))[0])
             if tok == eos:
                 break
             toks.append(tok)

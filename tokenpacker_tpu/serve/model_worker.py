@@ -202,6 +202,10 @@ class ModelWorker:
         images_b64 = params.get("images", None)
         temperature = float(params.get("temperature", 1.0))
         top_p = float(params.get("top_p", 1.0))
+        # sampling-only top-k width; 0/absent = unfiltered. The reference
+        # worker inherits top_k=50 implicitly from HF's GenerationConfig —
+        # here it is explicit so the default path stays pure top-p
+        top_k = int(params.get("top_k", 0)) or None
         max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
         stop_str = params.get("stop", None)
         # multi-LoRA: explicit "adapter" field, or requesting an adapter
@@ -281,7 +285,7 @@ class ModelWorker:
                         "images": images,
                     },
                     max_new_tokens, temperature, top_p, stop_strings, t_prefill,
-                    spliced_len, adapter=adapter,
+                    spliced_len, adapter=adapter, top_k=top_k,
                 )
                 return
             first = True
@@ -297,6 +301,7 @@ class ModelWorker:
                 max_new_tokens=max_new_tokens,
                 temperature=temperature,
                 top_p=top_p,
+                top_k=top_k,
                 stop_strings=stop_strings,
                 speculative=getattr(self, "speculative_k", 0),
             ):
@@ -351,7 +356,7 @@ class ModelWorker:
 
     def _stream_via_batcher(self, prompt, batch, max_new_tokens, temperature,
                             top_p, stop_strings, t_prefill, spliced_len=0,
-                            adapter=None):
+                            adapter=None, top_k=None):
         """Stream through the continuous-batching executor: tokens arrive via
         the slot's on_token callback while other requests decode in the same
         device step; each slot samples with its own temperature and top_p."""
@@ -364,6 +369,7 @@ class ModelWorker:
             batch, max_new_tokens=max_new_tokens,
             temperature=temperature if temperature > 0 else 0.0,
             top_p=top_p if 0.0 < top_p < 1.0 else None,
+            top_k=top_k,
             on_token=q.put,
             adapter=adapter,
         )

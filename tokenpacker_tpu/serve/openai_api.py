@@ -8,7 +8,8 @@ web UI — gateway → controller `/get_worker_address` → worker
   POST /v1/chat/completions  — chat completions; `messages` with string or
                                multi-part content (`image_url` parts must be
                                data: URLs — this deployment has no egress),
-                               `temperature`, `top_p`, `max_tokens`, `stop`
+                               `temperature`, `top_p`, `top_k` (vLLM-style
+                               extension), `max_tokens`, `stop`
                                (string or list), `stream` (SSE), and
                                `stream_options.include_usage`
   POST /v1/completions       — legacy text completions (prompt verbatim,
@@ -239,6 +240,9 @@ class Gateway:
             "images": images or None,
             "temperature": float(body.get("temperature", 1.0)),
             "top_p": float(body.get("top_p", 1.0)),
+            # vLLM-style extension field (not in the OpenAI schema); the
+            # worker treats 0/absent as unfiltered
+            "top_k": int(body.get("top_k", 0)),
             "max_new_tokens": int(max_tokens),
             "stop": _normalize_stop(body.get("stop"), template_stop),
         }

@@ -58,6 +58,7 @@ class _Request:
     top_p: float | None
     future: Future
     on_token: object = None
+    top_k: int | None = None  # sampling-only top-k width (HF warper order)
     adapter: str | None = None  # multi-LoRA serving (serve/multi_lora.py)
     cancelled: bool = False  # set from any thread; honored before the next
     # decode step (client disconnect / stop-string satisfied)
@@ -315,7 +316,8 @@ class PagedContinuousBatcher:
         """Host-side admission tail: sample the first token, record the
         slot's pages, register full prompt blocks with the prefix cache."""
         self._rng, sub = jax.random.split(self._rng)
-        tok = int(np.asarray(sample_tokens(logits, req.temperature, req.top_p, sub))[0])
+        tok = int(np.asarray(sample_tokens(
+            logits, req.temperature, req.top_p, sub, top_k=req.top_k))[0])
         self._bind_slot_adapter(slot, req)
         self.slot_pages[slot] = all_pages
         if self.prefix is not None:
@@ -624,7 +626,11 @@ class PagedContinuousBatcher:
                 [r.top_p if r is not None and r.top_p else 1.0 for r in self.slots],
                 np.float32,
             )
-            toks = np.asarray(sample_tokens_per_row(logits, temps, sub, tps))
+            tks = np.array(
+                [r.top_k if r is not None and r.top_k else 0 for r in self.slots],
+                np.int32,
+            )
+            toks = np.asarray(sample_tokens_per_row(logits, temps, sub, tps, tks))
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
@@ -705,6 +711,7 @@ class ContinuousBatcher:
 
     def submit(self, batch: dict, max_new_tokens: int = 128, temperature: float | None = None,
                on_token=None, top_p: float | None = None,
+               top_k: int | None = None,
                adapter: str | None = None) -> Future:
         fut: Future = Future()
         if self.dead is not None:
@@ -726,6 +733,7 @@ class ContinuousBatcher:
             max_new_tokens=max_new_tokens,
             temperature=self.temperature if temperature is None else temperature,
             top_p=top_p,
+            top_k=top_k,
             future=fut,
             on_token=on_token,
             adapter=adapter,
@@ -781,7 +789,8 @@ class ContinuousBatcher:
             self._admission_params(req), self.cfg, dev_batch, l
         )
         self._rng, sub = jax.random.split(self._rng)
-        tok = int(np.asarray(sample_tokens(logits, req.temperature, req.top_p, sub))[0])
+        tok = int(np.asarray(sample_tokens(
+            logits, req.temperature, req.top_p, sub, top_k=req.top_k))[0])
         length = int(np.asarray(dev_batch["lengths"])[0])
         self._bind_slot_adapter(slot, req)
         # compact the prefilled rows: positions [0, length) are valid; pad
@@ -879,7 +888,8 @@ class ContinuousBatcher:
             idx = p["true_len"] - 1 - start
             logits = lm_logits(p["params"]["lm"], self.cfg.lm, hidden[:, idx])
             self._rng, sub = jax.random.split(self._rng)
-            tok = int(np.asarray(sample_tokens(logits, req.temperature, req.top_p, sub))[0])
+            tok = int(np.asarray(sample_tokens(
+            logits, req.temperature, req.top_p, sub, top_k=req.top_k))[0])
             self._bind_slot_adapter(slot, req)
             self.cache = insert_into_cache(self.cache, p["cache"], slot, p["true_len"])
             self.slots[slot] = req
@@ -973,7 +983,11 @@ class ContinuousBatcher:
                 [r.top_p if r is not None and r.top_p else 1.0 for r in self.slots],
                 np.float32,
             )
-            toks = np.asarray(sample_tokens_per_row(logits, temps, sub, tps))
+            tks = np.array(
+                [r.top_k if r is not None and r.top_k else 0 for r in self.slots],
+                np.int32,
+            )
+            toks = np.asarray(sample_tokens_per_row(logits, temps, sub, tps, tks))
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
@@ -1011,8 +1025,13 @@ class ContinuousBatcher:
             [r.top_p if r is not None and r.top_p else 1.0 for r in self.slots],
             np.float32,
         )
+        tks = np.array(
+            [r.top_k if r is not None and r.top_k else 0 for r in self.slots],
+            np.int32,
+        )
         preds = np.asarray(jnp.argmax(logits, axis=-1))  # [N, k+1]
-        sampled0 = np.asarray(sample_tokens_per_row(logits[:, 0], temps, sub, tps))
+        sampled0 = np.asarray(
+            sample_tokens_per_row(logits[:, 0], temps, sub, tps, tks))
         new_lens = np.asarray(cur_lens).copy()
         bursts: dict[int, list[int]] = {}
         n_greedy = accepted = 0
