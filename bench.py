@@ -146,6 +146,7 @@ def main():
     _section("13b", bench_13b)
     _section("nf4", bench_7b_nf4_decode)
     _section("int8kv_bigbatch", bench_7b_int8kv_bigbatch)
+    _section("beam", bench_7b_beam)
 
 
 def bench_7b_multi_lora():
@@ -176,6 +177,36 @@ def bench_7b_multi_lora():
         else:
             os.environ["ONLY"] = only
     return {f"multi_lora_{k}": v for k, v in out.items()}
+
+
+def bench_7b_beam():
+    """Batched on-device beam search (round 5; the reference beam-decodes
+    through HF GenerationMixin — a batch-1 python loop with a host sync +
+    full-cache reorder per step): n=4 requests x k=4 beams as ONE jitted
+    while_loop at 7B int8 + int8 KV, vs the plain B=16 decode loop at the
+    same shapes (isolates the selection + span-gather machinery cost).
+    n*k=16 is the measured single-chip envelope at S=512 — the beam
+    reorder double-buffers the carried cache, so 32 rows OOM where the
+    plain loop's B=32 fits. scripts/bench_beam.py has the protocol."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_beam",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "bench_beam.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    prev = os.environ.get("TOKENPACKER_KV_CACHE")
+    os.environ["TOKENPACKER_KV_CACHE"] = "int8"
+    try:
+        return mod.main([(4, 4)])
+    finally:
+        if prev is None:
+            os.environ.pop("TOKENPACKER_KV_CACHE", None)
+        else:
+            os.environ["TOKENPACKER_KV_CACHE"] = prev
 
 
 def bench_serving_soak():

@@ -13,9 +13,17 @@ with a data dependency, single scalar fetch, salted between calls.
 
 Usage: python scripts/bench_beam.py [n:k ...]      (default: 1:4)
 Env:   SMAX (cache length, default 512), FILL (prompt len, default 100),
-       TOKENPACKER_KV_CACHE=int8 for the int8-KV composition (required to
-       fit n·k = 32 rows at S=512 beside the int8 weights), PLAIN=0 to
+       TOKENPACKER_KV_CACHE=int8 for the int8-KV composition, PLAIN=0 to
        skip the no-beam baseline loop.
+
+Measured envelope (v5e, 7B int8 weights + int8 KV, S=512): n·k=16 fits,
+n·k=32 OOMs — unlike the plain decode loop (in-place dynamic_update_slice,
+B=32 fine), the beam body's permutation gather+scatter over the carried
+cache makes XLA double-buffer it (~4.3 GB ×2 beside the 6.8 GB weights).
+Measured 2026-08-20 (v5e, 7B int8 + int8 KV, S=512): 1:4 69.7 tok/s
+(+8.2% over plain B=4); 4:4 146.0 agg steps/s = 27.39 ms/step, +17.9%
+over the plain B=16 loop at identical shapes (23.23 ms/step) — the
+selection + span-restricted cache gather cost ~4 ms/step at n·k=16.
 """
 import dataclasses
 import functools
@@ -63,6 +71,7 @@ def main(shapes):
         cache, toks = jax.lax.fori_loop(0, n_steps, body, (cache, toks))
         return jnp.sum(toks)
 
+    out = {}
     for n, k in shapes:
         lengths = jnp.full((n,), fill, jnp.int32)
         logits0 = jnp.asarray(
@@ -91,6 +100,7 @@ def main(shapes):
         print(f"n={n} k={k}: beam search {n * n_steps / dt_beam:.1f} agg "
               f"steps/s ({dt_beam / n_steps * 1e3:.2f} ms/step, "
               f"{n_steps / dt_beam:.1f} per-request tok/s)")
+        out[f"beam_tokens_per_sec_n{n}_k{k}"] = round(n * n_steps / dt_beam, 1)
 
         if os.environ.get("PLAIN", "1") == "0":
             continue
@@ -108,6 +118,9 @@ def main(shapes):
               f"{n_steps / dt_plain:.1f} steps/s "
               f"({dt_plain / n_steps * 1e3:.2f} ms/step) — beam overhead "
               f"{(dt_beam / dt_plain - 1) * 100:.1f}%")
+        out[f"beam_overhead_pct_n{n}_k{k}"] = round(
+            (dt_beam / dt_plain - 1) * 100, 1)
+    return out
 
 
 if __name__ == "__main__":

@@ -78,11 +78,12 @@ class EvalRunner:
         # e.g. model_vqa_loader.py:181,220). Beam search is batched (the
         # n×k product decodes as one device step — beam.py), so unlike the
         # reference's batch-1 loops the runner keeps batching; the batch is
-        # capped so n×k stays within the measured single-chip decode
-        # envelope (B=32, ROADMAP round-4 big-batch sweep)
+        # capped so n×k stays within the measured single-chip BEAM envelope
+        # (n·k=16 at S=512 7B int8+int8KV; 32 OOMs — the per-step cache
+        # reorder double-buffers the carried cache, scripts/bench_beam.py)
         self.num_beams = num_beams
         if num_beams > 1:
-            self.batch_size = batch_size = max(1, min(batch_size, 32 // num_beams))
+            self.batch_size = batch_size = max(1, min(batch_size, 16 // num_beams))
         # prompt-lookup speculative decoding (greedy, batch-1 runs only —
         # Generator ignores it otherwise); speeds up demo/serve-like loops
         self.speculative = speculative
