@@ -308,6 +308,28 @@ def test_legacy_completions(gateway_server):
     assert isinstance(body["choices"][0]["text"], str)
 
 
+def test_completion_penalties_reach_sampler(gateway_server):
+    """End-to-end 3-tier drive: the penalty fields flow gateway → worker →
+    Generator and change what gets sampled. presence_penalty=-1000 makes
+    every generated token repeat the first one (each generated token's
+    logit gains +1000 once it has appeared) — a deterministic,
+    device-visible effect; repetition_penalty must round-trip without
+    error too."""
+    def completion(extra):
+        with _post_raw(gateway_server["base"] + "/v1/completions", {
+            "model": "tiny-tokenpacker", "prompt": "a curious user",
+            "temperature": 0.0, "max_tokens": 6, **extra,
+        }) as resp:
+            return json.loads(resp.read())["choices"][0]["text"]
+
+    plain = completion({})
+    pinned = completion({"presence_penalty": -1000.0})
+    words = pinned.split()
+    assert len(words) >= 2 and len(set(words)) == 1, pinned
+    assert pinned != plain
+    assert isinstance(completion({"repetition_penalty": 4.0}), str)
+
+
 def test_unknown_model_404(gateway_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post_raw(gateway_server["base"] + "/v1/chat/completions", {

@@ -500,6 +500,98 @@ def decode_chunk(
     return toks, cache, tok
 
 
+@partial(
+    _fd_jit,
+    static_argnames=("cfg", "prefill_len", "n", "temperature", "top_p",
+                     "top_k"),
+    donate_argnums=(2,),
+)
+def decode_chunk_penalized(
+    params, cfg: TokenPackerVLMConfig, cache, first_tokens, lengths, step0,
+    prefill_len: int, n: int, rng_key, counts, prompt_presence,
+    repetition_penalty, presence_penalty, frequency_penalty,
+    temperature: float = 0.0, top_p: float | None = None,
+    top_k: int | None = None,
+):
+    """decode_chunk with token-history penalties (apply_penalties) in the
+    on-device loop: the generated-token counts ride the carry and every
+    step's logits are penalized before sampling (greedy included — HF
+    applies processors regardless of do_sample). A SEPARATE jit from
+    decode_chunk so unpenalized callers keep their exact compiled program
+    (and its persistent-compile-cache entries). Returns (tokens [N, n],
+    cache, last_token, counts)."""
+    batch_n = first_tokens.shape[0]
+    rows = jnp.arange(batch_n)
+
+    def body(i, carry):
+        cache, tok, toks, key, counts = carry
+        logits, cache = decode_step(params, cfg, cache, tok, lengths, step0 + i, prefill_len)
+        logits = apply_penalties(logits, counts, prompt_presence,
+                                 repetition_penalty, presence_penalty,
+                                 frequency_penalty)
+        key, sub = jax.random.split(key)
+        nxt = sample_tokens(logits, temperature, top_p, sub,
+                            top_k=top_k).astype(jnp.int32)
+        counts = counts.at[rows, nxt].add(1)
+        toks = jax.lax.dynamic_update_slice(toks, nxt[:, None], (0, i))
+        return cache, nxt, toks, key, counts
+
+    toks0 = jnp.zeros((batch_n, n), jnp.int32)
+    cache, tok, toks, _, counts = jax.lax.fori_loop(
+        0, n, body,
+        (cache, first_tokens.astype(jnp.int32), toks0, rng_key, counts),
+    )
+    return toks, cache, tok, counts
+
+
+def apply_penalties(logits, counts, prompt_presence, repetition_penalty,
+                    presence_penalty=0.0, frequency_penalty=0.0):
+    """Token-history logit penalties, applied BEFORE the temperature/top-k/
+    top-p warpers (HF runs LogitsProcessors before LogitsWarpers, and they
+    apply to greedy decoding too — generation/utils.py processor pipeline).
+
+    repetition_penalty: HF RepetitionPenaltyLogitsProcessor arithmetic,
+    exactly — for every token id seen so far (PROMPT text tokens plus
+    generated tokens): ``score*penalty`` where the score is negative,
+    ``score/penalty`` otherwise. 1.0 is the identity.
+
+    presence_penalty / frequency_penalty: the OpenAI API fields, vLLM's
+    convention — computed over GENERATED tokens only (the prompt does not
+    count): ``score - frequency_penalty*count - presence_penalty*(count>0)``.
+    0.0 is the identity.
+
+    counts: [N, V] generated-token counts. prompt_presence: [N, V] bool —
+    which vocab ids appear in each row's prompt (text positions only; image
+    placeholder positions are excluded — their ids are splice-plan
+    bookkeeping, not sampled vocabulary). Penalties may be scalars or [N]
+    per-row values (the batchers serve mixed requests in one step; identity
+    values make a row a no-op).
+    """
+    logits = logits.astype(jnp.float32)
+    countsf = counts.astype(jnp.float32)
+    col = lambda x: jnp.reshape(jnp.asarray(x, jnp.float32), (-1, 1))
+    rep, pres, freq = col(repetition_penalty), col(presence_penalty), col(frequency_penalty)
+    seen = prompt_presence | (counts > 0)
+    logits = jnp.where(
+        seen, jnp.where(logits < 0, logits * rep, logits / rep), logits)
+    return logits - freq * countsf - pres * (counts > 0)
+
+
+def prompt_presence_mask(batch, vocab: int) -> np.ndarray:
+    """[n, V] bool — which vocab ids each sample's prompt contains, for
+    apply_penalties' repetition term. Only true-length text positions count
+    (pads and image placeholder slots are excluded)."""
+    ids = np.asarray(batch["token_ids"])
+    im = np.asarray(batch["is_image"])
+    lens = np.asarray(batch["lengths"]).astype(np.int64)
+    n = ids.shape[0]
+    out = np.zeros((n, vocab), bool)
+    for i in range(n):
+        v = ids[i, : lens[i]][~im[i, : lens[i]]]
+        out[i, v[(v >= 0) & (v < vocab)]] = True
+    return out
+
+
 def sample_tokens_per_row(logits, temperatures, rng_key, top_ps=None,
                           top_ks=None):
     """Per-row temperature (+ optional per-row top-p/top-k) for
@@ -585,6 +677,9 @@ class Generator:
         num_beams: int = 1,
         length_penalty: float = 1.0,
         early_stopping: bool | str = False,
+        repetition_penalty: float = 1.0,
+        presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
     ) -> GenerationResult:
         """batch: splice-plan numpy arrays (token_ids/is_image/image_slot/
         lengths) + optional images [n_crops, H, W, 3].
@@ -606,14 +701,34 @@ class Generator:
         sampling (the reference's only such path is dead code — see
         beam.py). stop_strings cut the decoded text at their first
         occurrence (the beams themselves stop on EOS/max length).
+
+        repetition_penalty / presence_penalty / frequency_penalty:
+        token-history logit penalties (see apply_penalties for the exact
+        arithmetic — HF RepetitionPenaltyLogitsProcessor semantics plus the
+        OpenAI presence/frequency fields). Applied to greedy decoding too
+        (HF processor behavior). Incompatible with beam search (raises)
+        and speculation (silently disabled — drafts verify against
+        unpenalized argmax).
         """
         cfg = self.cfg
         n, l = batch["token_ids"].shape
+        # token-history penalties (apply_penalties): repetition_penalty is
+        # HF's processor (applies to greedy too); presence/frequency are the
+        # OpenAI fields. Not composed with beam search (reject loudly) or
+        # speculation (drafts are verified against UNpenalized argmax —
+        # penalties silently disable it instead of breaking parity).
+        penalized = (repetition_penalty != 1.0 or presence_penalty != 0.0
+                     or frequency_penalty != 0.0)
+        if penalized and num_beams > 1 and temperature <= 0.0:
+            raise ValueError(
+                "repetition/presence/frequency penalties are not supported "
+                "with beam search")
         if num_beams > 1 and temperature <= 0.0:
             return self._generate_beams(
                 batch, num_beams, max_new_tokens, length_penalty,
                 early_stopping, stop_strings)
-        use_spec = speculative > 0 and temperature <= 0.0 and n == 1
+        use_spec = (speculative > 0 and temperature <= 0.0 and n == 1
+                    and not penalized)
         # fixed-size speculative chunks: n_max is a static jit arg, and the
         # per-chunk advance is acceptance-dependent, so a variable tail chunk
         # would compile a fresh while-loop program per distinct remainder.
@@ -649,10 +764,19 @@ class Generator:
                         done[i] = True
             return bool(done.all())
 
+        counts = presence = None
+        if penalized:
+            presence = jnp.asarray(prompt_presence_mask(batch, cfg.lm.vocab_size))
+            counts = jnp.zeros((n, cfg.lm.vocab_size), jnp.int32)
+            logits = apply_penalties(logits, counts, presence,
+                                     repetition_penalty, presence_penalty,
+                                     frequency_penalty)
         # first token from the prefill logits
         rng_key, sub = jax.random.split(rng_key)
         tok = sample_tokens(logits, temperature, top_p, sub,
                             top_k=top_k).astype(jnp.int32)
+        if penalized:
+            counts = counts.at[jnp.arange(n), tok].add(1)
         all_done = absorb(np.asarray(tok)[:, None])
         produced = 1
         if use_spec:
@@ -683,11 +807,20 @@ class Generator:
             while not all_done and produced < max_new_tokens:
                 chunk = min(check_every, max_new_tokens - produced)
                 rng_key, sub = jax.random.split(rng_key)
-                toks, cache, tok = decode_chunk(
-                    self.params, cfg, cache, tok, lengths,
-                    jnp.asarray(produced - 1, jnp.int32), l, chunk, sub,
-                    temperature, top_p, top_k,
-                )
+                if penalized:
+                    toks, cache, tok, counts = decode_chunk_penalized(
+                        self.params, cfg, cache, tok, lengths,
+                        jnp.asarray(produced - 1, jnp.int32), l, chunk, sub,
+                        counts, presence, repetition_penalty,
+                        presence_penalty, frequency_penalty,
+                        temperature, top_p, top_k,
+                    )
+                else:
+                    toks, cache, tok = decode_chunk(
+                        self.params, cfg, cache, tok, lengths,
+                        jnp.asarray(produced - 1, jnp.int32), l, chunk, sub,
+                        temperature, top_p, top_k,
+                    )
                 all_done = absorb(np.asarray(toks))
                 produced += chunk
 
@@ -803,6 +936,9 @@ class Generator:
         stop_strings: tuple[str, ...] = (),
         rng_key=None,
         speculative: int = 0,
+        repetition_penalty: float = 1.0,
+        presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
     ):
         """Single-sample streaming: yields the accumulated decoded text after
         every token (the worker's TextIteratorStreamer equivalent,
@@ -810,8 +946,13 @@ class Generator:
 
         speculative: draft length k for prompt-lookup speculation (greedy
         only; ignored when temperature > 0). Text still streams per token;
-        accepted drafts arrive as a burst after one verify forward."""
-        if speculative > 0 and temperature <= 0.0:
+        accepted drafts arrive as a burst after one verify forward.
+
+        repetition/presence/frequency penalties: see generate(); they
+        disable speculation (same reason — drafts verify unpenalized)."""
+        penalized = (repetition_penalty != 1.0 or presence_penalty != 0.0
+                     or frequency_penalty != 0.0)
+        if speculative > 0 and temperature <= 0.0 and not penalized:
             yield from self._stream_speculative(
                 batch, max_new_tokens, stop_strings, speculative
             )
@@ -825,11 +966,21 @@ class Generator:
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
         eos = cfg.lm.eos_token_id
+        counts = presence = None
+        if penalized:
+            presence = jnp.asarray(prompt_presence_mask(batch, cfg.lm.vocab_size))
+            counts = jnp.zeros((1, cfg.lm.vocab_size), jnp.int32)
         toks: list[int] = []
         for step in range(max_new_tokens):
+            if penalized:
+                logits = apply_penalties(logits, counts, presence,
+                                         repetition_penalty,
+                                         presence_penalty, frequency_penalty)
             rng_key, sub = jax.random.split(rng_key)
             tok = int(np.asarray(
                 sample_tokens(logits, temperature, top_p, sub, top_k=top_k))[0])
+            if penalized:
+                counts = counts.at[0, tok].add(1)
             if tok == eos:
                 break
             toks.append(tok)

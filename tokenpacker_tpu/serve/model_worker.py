@@ -206,6 +206,12 @@ class ModelWorker:
         # worker inherits top_k=50 implicitly from HF's GenerationConfig —
         # here it is explicit so the default path stays pure top-p
         top_k = int(params.get("top_k", 0)) or None
+        # token-history penalties (generate.apply_penalties): HF
+        # repetition_penalty + the OpenAI presence/frequency fields;
+        # identity defaults keep the unpenalized paths bit-unchanged
+        repetition_penalty = float(params.get("repetition_penalty", 1.0))
+        presence_penalty = float(params.get("presence_penalty", 0.0))
+        frequency_penalty = float(params.get("frequency_penalty", 0.0))
         max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
         stop_str = params.get("stop", None)
         # multi-LoRA: explicit "adapter" field, or requesting an adapter
@@ -286,6 +292,9 @@ class ModelWorker:
                     },
                     max_new_tokens, temperature, top_p, stop_strings, t_prefill,
                     spliced_len, adapter=adapter, top_k=top_k,
+                    repetition_penalty=repetition_penalty,
+                    presence_penalty=presence_penalty,
+                    frequency_penalty=frequency_penalty,
                 )
                 return
             first = True
@@ -304,6 +313,9 @@ class ModelWorker:
                 top_k=top_k,
                 stop_strings=stop_strings,
                 speculative=getattr(self, "speculative_k", 0),
+                repetition_penalty=repetition_penalty,
+                presence_penalty=presence_penalty,
+                frequency_penalty=frequency_penalty,
             ):
                 if first:
                     GLOBAL_STATS.record("prefill_ttft", time.perf_counter() - t_prefill)
@@ -356,7 +368,8 @@ class ModelWorker:
 
     def _stream_via_batcher(self, prompt, batch, max_new_tokens, temperature,
                             top_p, stop_strings, t_prefill, spliced_len=0,
-                            adapter=None, top_k=None):
+                            adapter=None, top_k=None, repetition_penalty=1.0,
+                            presence_penalty=0.0, frequency_penalty=0.0):
         """Stream through the continuous-batching executor: tokens arrive via
         the slot's on_token callback while other requests decode in the same
         device step; each slot samples with its own temperature and top_p."""
@@ -372,6 +385,9 @@ class ModelWorker:
             top_k=top_k,
             on_token=q.put,
             adapter=adapter,
+            repetition_penalty=repetition_penalty,
+            presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty,
         )
         fut.add_done_callback(lambda f: q.put(None))
         eos = self.cfg.lm.eos_token_id

@@ -9,8 +9,12 @@ web UI — gateway → controller `/get_worker_address` → worker
                                multi-part content (`image_url` parts must be
                                data: URLs — this deployment has no egress),
                                `temperature`, `top_p`, `top_k` (vLLM-style
-                               extension), `max_tokens`, `stop`
-                               (string or list), `stream` (SSE), and
+                               extension), `presence_penalty`,
+                               `frequency_penalty` (OpenAI fields, counted
+                               over generated tokens — vLLM convention),
+                               `repetition_penalty` (vLLM-style extension,
+                               HF processor semantics), `max_tokens`,
+                               `stop` (string or list), `stream` (SSE), and
                                `stream_options.include_usage`
   POST /v1/completions       — legacy text completions (prompt verbatim,
                                no conversation template)
@@ -243,6 +247,12 @@ class Gateway:
             # vLLM-style extension field (not in the OpenAI schema); the
             # worker treats 0/absent as unfiltered
             "top_k": int(body.get("top_k", 0)),
+            # OpenAI penalty fields (generated-token counts, vLLM
+            # convention) + vLLM-style repetition_penalty extension
+            # (HF processor semantics — prompt counts too)
+            "presence_penalty": float(body.get("presence_penalty", 0.0)),
+            "frequency_penalty": float(body.get("frequency_penalty", 0.0)),
+            "repetition_penalty": float(body.get("repetition_penalty", 1.0)),
             "max_new_tokens": int(max_tokens),
             "stop": _normalize_stop(body.get("stop"), template_stop),
         }

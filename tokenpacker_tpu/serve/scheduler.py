@@ -60,10 +60,23 @@ class _Request:
     on_token: object = None
     top_k: int | None = None  # sampling-only top-k width (HF warper order)
     adapter: str | None = None  # multi-LoRA serving (serve/multi_lora.py)
+    # token-history logit penalties (generate.apply_penalties): HF
+    # repetition_penalty + the OpenAI presence/frequency fields; identity
+    # values cost nothing (the penalty arrays are only built/shipped when
+    # some active slot is penalized)
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     cancelled: bool = False  # set from any thread; honored before the next
     # decode step (client disconnect / stop-string satisfied)
     produced: int = 0
     tokens: list = field(default_factory=list)
+
+    @property
+    def has_penalties(self) -> bool:
+        return (self.repetition_penalty != 1.0 or self.presence_penalty != 0.0
+                or self.frequency_penalty != 0.0)
+
     ctx: list = field(default_factory=list)  # prompt+generated ids for
     # prompt-lookup drafting (-1 at image positions); maintained only when
     # the batcher speculates
@@ -149,7 +162,73 @@ class PagedContinuousBatcher:
             self.prefix: PrefixCache | None = PrefixCache(page_size)
         else:
             self.prefix = None
+        self._pen = None  # token-history penalty rows, allocated lazily
         self._init_slot_lora(adapters)
+
+    # -- token-history penalties (generate.apply_penalties) -----------------
+
+    def _pen_setup(self, slot: int, req: _Request):
+        """Initialize the slot's penalty rows at admission. The [N, V]
+        count / prompt-presence arrays are allocated lazily on the first
+        penalized request and shipped to the sampler only while some active
+        slot is penalized — unpenalized serving never pays for them."""
+        if not req.has_penalties and self._pen is None:
+            return
+        v = self.cfg.lm.vocab_size
+        if self._pen is None:
+            self._pen = {
+                "counts": np.zeros((self.num_slots, v), np.int32),
+                "prompt": np.zeros((self.num_slots, v), bool),
+            }
+        self._pen["counts"][slot] = 0
+        self._pen["prompt"][slot] = False
+        if req.has_penalties:
+            from tokenpacker_tpu.generate import prompt_presence_mask
+
+            self._pen["prompt"][slot] = prompt_presence_mask(req.batch, v)[0]
+
+    def _pen_first_logits(self, slot: int, req: _Request, logits):
+        """Penalize a fresh admission's batch-1 prompt logits (the slot's
+        counts are zero, so only the prompt-presence repetition term can
+        fire — presence/frequency count generated tokens only)."""
+        if not req.has_penalties:
+            return logits
+        from tokenpacker_tpu.generate import apply_penalties
+
+        return apply_penalties(
+            logits, self._pen["counts"][slot][None],
+            self._pen["prompt"][slot][None], req.repetition_penalty,
+            req.presence_penalty, req.frequency_penalty,
+        )
+
+    def _pen_count(self, slot: int, req: _Request, tok: int):
+        if (self._pen is not None and req.has_penalties
+                and 0 <= tok < self._pen["counts"].shape[1]):
+            self._pen["counts"][slot, tok] += 1
+
+    def _pen_apply(self, logits):
+        """Penalize a batched decode step's [N, V] logits. Rows whose
+        request has no penalties carry identity values (rep=1, pres/freq=0)
+        so their distribution is bit-unchanged; when NO active slot is
+        penalized the call is a pure pass-through (no host->device
+        traffic)."""
+        if self._pen is None or not any(
+                r is not None and r.has_penalties for r in self.slots):
+            return logits
+        from tokenpacker_tpu.generate import apply_penalties
+
+        reps = np.ones(self.num_slots, np.float32)
+        press = np.zeros(self.num_slots, np.float32)
+        freqs = np.zeros(self.num_slots, np.float32)
+        for i, r in enumerate(self.slots):
+            if r is not None and r.has_penalties:
+                reps[i] = r.repetition_penalty
+                press[i] = r.presence_penalty
+                freqs[i] = r.frequency_penalty
+        return apply_penalties(
+            logits, self._pen["counts"], self._pen["prompt"], reps, press,
+            freqs,
+        )
 
     # -- multi-LoRA serving (serve/multi_lora.py) ---------------------------
 
@@ -315,9 +394,11 @@ class PagedContinuousBatcher:
                             hashes: list[bytes]):
         """Host-side admission tail: sample the first token, record the
         slot's pages, register full prompt blocks with the prefix cache."""
+        self._pen_setup(slot, req)
         self._rng, sub = jax.random.split(self._rng)
         tok = int(np.asarray(sample_tokens(
-            logits, req.temperature, req.top_p, sub, top_k=req.top_k))[0])
+            self._pen_first_logits(slot, req, logits),
+            req.temperature, req.top_p, sub, top_k=req.top_k))[0])
         self._bind_slot_adapter(slot, req)
         self.slot_pages[slot] = all_pages
         if self.prefix is not None:
@@ -495,6 +576,7 @@ class PagedContinuousBatcher:
         req = self.slots[slot]
         req.tokens.append(tok)
         req.produced += 1
+        self._pen_count(slot, req, tok)
         if self.speculative_k > 0:
             req.ctx.append(tok)
         if req.on_token is not None:
@@ -603,7 +685,8 @@ class PagedContinuousBatcher:
 
             self._grow_pages()
             has_greedy = any(
-                r is not None and r.temperature <= 0.0 for r in self.slots
+                r is not None and r.temperature <= 0.0 and not r.has_penalties
+                for r in self.slots
             )
             if self.speculative_k > 0 and has_greedy:
                 if self._spec_backoff > 0:
@@ -630,7 +713,8 @@ class PagedContinuousBatcher:
                 [r.top_k if r is not None and r.top_k else 0 for r in self.slots],
                 np.int32,
             )
-            toks = np.asarray(sample_tokens_per_row(logits, temps, sub, tps, tks))
+            toks = np.asarray(sample_tokens_per_row(
+                self._pen_apply(logits), temps, sub, tps, tks))
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
@@ -705,6 +789,7 @@ class ContinuousBatcher:
         self.slots: list[_Request | None] = [None] * num_slots
         self.next_tokens = np.zeros((num_slots,), np.int32)
         self._rng = jax.random.PRNGKey(0)
+        self._pen = None  # token-history penalty rows, allocated lazily
         self._init_slot_lora(adapters)
 
     # -- public api --------------------------------------------------------
@@ -712,7 +797,10 @@ class ContinuousBatcher:
     def submit(self, batch: dict, max_new_tokens: int = 128, temperature: float | None = None,
                on_token=None, top_p: float | None = None,
                top_k: int | None = None,
-               adapter: str | None = None) -> Future:
+               adapter: str | None = None,
+               repetition_penalty: float = 1.0,
+               presence_penalty: float = 0.0,
+               frequency_penalty: float = 0.0) -> Future:
         fut: Future = Future()
         if self.dead is not None:
             fut.set_exception(RuntimeError(f"batcher loop died: {self.dead!r}"))
@@ -737,6 +825,9 @@ class ContinuousBatcher:
             future=fut,
             on_token=on_token,
             adapter=adapter,
+            repetition_penalty=repetition_penalty,
+            presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty,
         )
         fut._tp_request = req  # handle for cancel()
         self.queue.put(req)
@@ -769,6 +860,10 @@ class ContinuousBatcher:
     _admission_params = PagedContinuousBatcher._admission_params
     _bind_slot_adapter = PagedContinuousBatcher._bind_slot_adapter
     _reap_cancelled = PagedContinuousBatcher._reap_cancelled
+    _pen_setup = PagedContinuousBatcher._pen_setup
+    _pen_first_logits = PagedContinuousBatcher._pen_first_logits
+    _pen_count = PagedContinuousBatcher._pen_count
+    _pen_apply = PagedContinuousBatcher._pen_apply
 
     def _release_slot(self, slot: int):
         self.slots[slot] = None  # the dense cache slot is simply reusable
@@ -788,9 +883,11 @@ class ContinuousBatcher:
         logits, small_cache = prefill(
             self._admission_params(req), self.cfg, dev_batch, l
         )
+        self._pen_setup(slot, req)
         self._rng, sub = jax.random.split(self._rng)
         tok = int(np.asarray(sample_tokens(
-            logits, req.temperature, req.top_p, sub, top_k=req.top_k))[0])
+            self._pen_first_logits(slot, req, logits),
+            req.temperature, req.top_p, sub, top_k=req.top_k))[0])
         length = int(np.asarray(dev_batch["lengths"])[0])
         self._bind_slot_adapter(slot, req)
         # compact the prefilled rows: positions [0, length) are valid; pad
@@ -812,6 +909,7 @@ class ContinuousBatcher:
         req = self.slots[slot]
         req.tokens.append(tok)
         req.produced += 1
+        self._pen_count(slot, req, tok)
         if self.speculative_k > 0:
             req.ctx.append(tok)
         if req.on_token is not None:
@@ -887,9 +985,11 @@ class ContinuousBatcher:
             req, slot = p["req"], p["slot"]
             idx = p["true_len"] - 1 - start
             logits = lm_logits(p["params"]["lm"], self.cfg.lm, hidden[:, idx])
+            self._pen_setup(slot, req)
             self._rng, sub = jax.random.split(self._rng)
             tok = int(np.asarray(sample_tokens(
-            logits, req.temperature, req.top_p, sub, top_k=req.top_k))[0])
+                self._pen_first_logits(slot, req, logits),
+                req.temperature, req.top_p, sub, top_k=req.top_k))[0])
             self._bind_slot_adapter(slot, req)
             self.cache = insert_into_cache(self.cache, p["cache"], slot, p["true_len"])
             self.slots[slot] = req
@@ -950,7 +1050,8 @@ class ContinuousBatcher:
                 continue
 
             has_greedy = any(
-                r is not None and r.temperature <= 0.0 for r in self.slots
+                r is not None and r.temperature <= 0.0 and not r.has_penalties
+                for r in self.slots
             )
             if self.speculative_k > 0 and has_greedy:
                 # only greedy slots draft; with none active a k+1-wide verify
@@ -987,7 +1088,8 @@ class ContinuousBatcher:
                 [r.top_k if r is not None and r.top_k else 0 for r in self.slots],
                 np.int32,
             )
-            toks = np.asarray(sample_tokens_per_row(logits, temps, sub, tps, tks))
+            toks = np.asarray(sample_tokens_per_row(
+                self._pen_apply(logits), temps, sub, tps, tks))
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
@@ -1005,7 +1107,10 @@ class ContinuousBatcher:
             if req is None:
                 continue
             fed[slot, 0] = self.next_tokens[slot]
-            if req.temperature <= 0.0:
+            # penalized slots never draft: acceptance compares drafts
+            # against UNpenalized argmax, which would break their sampling
+            # semantics — they advance one (penalized) token per round
+            if req.temperature <= 0.0 and not req.has_penalties:
                 d = propose_ngram_host(req.ctx, k)
                 fed[slot, 1 : 1 + len(d)] = d
                 dks[slot] = len(d)
@@ -1030,8 +1135,12 @@ class ContinuousBatcher:
             np.int32,
         )
         preds = np.asarray(jnp.argmax(logits, axis=-1))  # [N, k+1]
-        sampled0 = np.asarray(
-            sample_tokens_per_row(logits[:, 0], temps, sub, tps, tks))
+        # position-0 logits are penalized per row (identity for unpenalized
+        # slots): penalized greedy slots take their next token from the
+        # penalized argmax via the sampled0 path below, like temperature>0
+        # slots — they fed no drafts (_propose_fed)
+        sampled0 = np.asarray(sample_tokens_per_row(
+            self._pen_apply(logits[:, 0]), temps, sub, tps, tks))
         new_lens = np.asarray(cur_lens).copy()
         bursts: dict[int, list[int]] = {}
         n_greedy = accepted = 0
@@ -1039,7 +1148,7 @@ class ContinuousBatcher:
             req = self.slots[slot]
             if req is None:
                 continue
-            if req.temperature <= 0.0:
+            if req.temperature <= 0.0 and not req.has_penalties:
                 burst = accept_greedy(preds[slot], fed[slot, 1:], int(dks[slot]), eos)
                 n_greedy += 1
                 accepted += len(burst) - 1
