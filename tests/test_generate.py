@@ -343,6 +343,61 @@ def test_top_k_sampling_masks_to_hf_warper_support():
         assert len(seen[r]) == k  # every surviving token is reachable
 
 
+def test_min_p_masks_to_hf_warper_support():
+    """sample_tokens(min_p=p) must draw ONLY from tokens whose probability
+    is >= p x max-prob and match HF MinPLogitsWarper's surviving set (the
+    4.57 warper order puts min-p LAST, after top-p — same here)."""
+    import torch
+    from transformers.generation import MinPLogitsWarper
+
+    from tokenpacker_tpu.generate import sample_tokens
+
+    rng = np.random.default_rng(2)
+    logits = (rng.standard_normal((2, 64)) * 2).astype(np.float32)
+    temperature, p = 0.9, 0.25
+    ref = MinPLogitsWarper(min_p=p)(
+        None, torch.from_numpy(logits / temperature)).numpy()
+    allowed = [set(np.nonzero(np.isfinite(ref[r]))[0]) for r in range(2)]
+    seen = [set(), set()]
+    for i in range(400):
+        draw = np.asarray(sample_tokens(
+            jnp.asarray(logits), temperature, None, jax.random.PRNGKey(i),
+            min_p=p))
+        for r in range(2):
+            seen[r].add(int(draw[r]))
+    for r in range(2):
+        assert seen[r] <= allowed[r], (seen[r], allowed[r])
+        assert len(seen[r]) == len(allowed[r])  # every survivor reachable
+
+
+def test_min_p_per_row_matches_single_row():
+    """sample_tokens_per_row(min_ps=...): a filtered row draws only from
+    its HF-warper surviving set while a min_p=0 row stays unfiltered."""
+    import torch
+    from transformers.generation import MinPLogitsWarper
+
+    from tokenpacker_tpu.generate import sample_tokens_per_row
+
+    rng = np.random.default_rng(3)
+    logits = (rng.standard_normal((2, 32)) * 2).astype(np.float32)
+    temps = np.array([0.8, 0.8], np.float32)
+    p = 0.3
+    ref = MinPLogitsWarper(min_p=p)(
+        None, torch.from_numpy(logits / temps[0])).numpy()
+    allowed = [set(np.nonzero(np.isfinite(ref[r]))[0]) for r in range(2)]
+    seen = [set(), set()]
+    for i in range(400):
+        draw = np.asarray(sample_tokens_per_row(
+            jnp.asarray(logits), temps, jax.random.PRNGKey(i),
+            min_ps=np.array([p, 0.0], np.float32)))
+        seen[0].add(int(draw[0]))
+        seen[1].add(int(draw[1]))
+    assert seen[0] <= allowed[0] and len(seen[0]) == len(allowed[0])
+    # row 1 carries min_p=0 (= off): it must reach tokens the warper would
+    # have removed had the filter leaked across rows
+    assert seen[1] - allowed[1], (seen[1], allowed[1])
+
+
 def test_top_k_none_and_oversize_are_noops():
     from tokenpacker_tpu.generate import sample_tokens
 

@@ -142,10 +142,12 @@ def test_stream_request_validation():
         {"model": "m", "prompt": "x", "max_tokens": 7, "max_completion_tokens": 3},
         chat=False)
     assert p["max_new_tokens"] == 3
-    # top_k (vLLM-style extension) forwards to the worker; absent -> 0
-    p = g.stream_request({"model": "m", "prompt": "x", "top_k": 40}, chat=False)
-    assert p["top_k"] == 40
-    assert g.stream_request({"model": "m", "prompt": "x"}, chat=False)["top_k"] == 0
+    # top_k / min_p (vLLM-style extensions) forward to the worker; absent -> off
+    p = g.stream_request(
+        {"model": "m", "prompt": "x", "top_k": 40, "min_p": 0.1}, chat=False)
+    assert p["top_k"] == 40 and p["min_p"] == 0.1
+    d = g.stream_request({"model": "m", "prompt": "x"}, chat=False)
+    assert d["top_k"] == 0 and d["min_p"] == 0.0
 
 
 # -- integration: full 3-tier chain -------------------------------------------

@@ -465,7 +465,7 @@ def insert_into_cache(big: KVCache, small: KVCache, slot: int, length):
 @partial(
     _fd_jit,
     static_argnames=("cfg", "prefill_len", "n", "temperature", "top_p",
-                     "top_k"),
+                     "top_k", "min_p"),
     # donate the cache: callers rebind it from the return value, and without
     # donation XLA copies the k/v (+scale) buffers into the loop carry — at
     # the HD multi-slot shape (B=8, S=2048, int8 KV) that is 4 GB of copies
@@ -475,7 +475,7 @@ def insert_into_cache(big: KVCache, small: KVCache, slot: int, length):
 def decode_chunk(
     params, cfg: TokenPackerVLMConfig, cache, first_tokens, lengths, step0, prefill_len: int,
     n: int, rng_key, temperature: float = 0.0, top_p: float | None = None,
-    top_k: int | None = None,
+    top_k: int | None = None, min_p: float | None = None,
 ):
     """Generate n tokens entirely on device (sampling included), starting by
     feeding `first_tokens` at decode step `step0`. Returns (tokens [N, n],
@@ -489,7 +489,7 @@ def decode_chunk(
         logits, cache = decode_step(params, cfg, cache, tok, lengths, step0 + i, prefill_len)
         key, sub = jax.random.split(key)
         nxt = sample_tokens(logits, temperature, top_p, sub,
-                            top_k=top_k).astype(jnp.int32)
+                            top_k=top_k, min_p=min_p).astype(jnp.int32)
         toks = jax.lax.dynamic_update_slice(toks, nxt[:, None], (0, i))
         return cache, nxt, toks, key
 
@@ -503,7 +503,7 @@ def decode_chunk(
 @partial(
     _fd_jit,
     static_argnames=("cfg", "prefill_len", "n", "temperature", "top_p",
-                     "top_k"),
+                     "top_k", "min_p"),
     donate_argnums=(2,),
 )
 def decode_chunk_penalized(
@@ -511,7 +511,7 @@ def decode_chunk_penalized(
     prefill_len: int, n: int, rng_key, counts, prompt_presence,
     repetition_penalty, presence_penalty, frequency_penalty,
     temperature: float = 0.0, top_p: float | None = None,
-    top_k: int | None = None,
+    top_k: int | None = None, min_p: float | None = None,
 ):
     """decode_chunk with token-history penalties (apply_penalties) in the
     on-device loop: the generated-token counts ride the carry and every
@@ -531,7 +531,7 @@ def decode_chunk_penalized(
                                  frequency_penalty)
         key, sub = jax.random.split(key)
         nxt = sample_tokens(logits, temperature, top_p, sub,
-                            top_k=top_k).astype(jnp.int32)
+                            top_k=top_k, min_p=min_p).astype(jnp.int32)
         counts = counts.at[rows, nxt].add(1)
         toks = jax.lax.dynamic_update_slice(toks, nxt[:, None], (0, i))
         return cache, nxt, toks, key, counts
@@ -593,15 +593,17 @@ def prompt_presence_mask(batch, vocab: int) -> np.ndarray:
 
 
 def sample_tokens_per_row(logits, temperatures, rng_key, top_ps=None,
-                          top_ks=None):
-    """Per-row temperature (+ optional per-row top-p/top-k) for
+                          top_ks=None, min_ps=None):
+    """Per-row temperature (+ optional per-row top-p/top-k/min-p) for
     co-scheduled requests: greedy where a row's temperature is <= 0,
     categorical at its own temperature otherwise (the batchers serve
     requests with different sampling settings in one step). top_ps: [N]
     nucleus thresholds; rows with top_p >= 1 are unfiltered. top_ks: [N]
     int top-k widths; rows with top_k <= 0 or >= vocab are unfiltered —
-    applied BEFORE top-p, HF LogitsWarper order. Same filter semantics as
-    sample_tokens (cutoff on the temperature-scaled distribution)."""
+    applied BEFORE top-p, HF LogitsWarper order. min_ps: [N] min-p
+    thresholds applied AFTER top-p (HF 4.57 warper order); rows outside
+    (0, 1] are unfiltered. Same filter semantics as sample_tokens (cutoffs
+    on the temperature-scaled distribution)."""
     temperatures = jnp.asarray(temperatures, jnp.float32)
     greedy = jnp.argmax(logits, axis=-1)
     safe = jnp.maximum(temperatures, 1e-6)[:, None]
@@ -622,17 +624,29 @@ def sample_tokens_per_row(logits, temperatures, rng_key, top_ps=None,
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         apply = (top_ps < 1.0)[:, None]
         scaled = jnp.where(apply & (scaled < cutoff), -jnp.inf, scaled)
+    if min_ps is not None:
+        min_ps = jnp.asarray(min_ps, jnp.float32)
+        probs = jax.nn.softmax(scaled, axis=-1)
+        thresh = min_ps[:, None] * jnp.max(probs, axis=-1, keepdims=True)
+        apply = ((min_ps > 0.0) & (min_ps <= 1.0))[:, None]
+        scaled = jnp.where(apply & (probs < thresh), -jnp.inf, scaled)
     sampled = jax.random.categorical(rng_key, scaled, axis=-1)
     return jnp.where(temperatures <= 0.0, greedy, sampled)
 
 
-def sample_tokens(logits, temperature, top_p, rng_key, top_k=None):
+def sample_tokens(logits, temperature, top_p, rng_key, top_k=None,
+                  min_p=None):
     """HF LogitsWarper-ordered sampling: temperature scale, then top-k
-    mask, then top-p nucleus cutoff (TopKLogitsWarper runs before
-    TopPLogitsWarper in generation/utils.py — the reference's
-    `model.generate(do_sample=True)` inherits top_k=50 from the default
-    GenerationConfig, so a migrating caller can pass top_k=50 here for
-    distribution parity; None leaves the tail unmasked)."""
+    mask, then top-p nucleus cutoff, then min-p (the 4.57 warper order in
+    generation/utils.py: TopKLogitsWarper → TopPLogitsWarper →
+    MinPLogitsWarper — the reference's `model.generate(do_sample=True)`
+    inherits top_k=50 from the default GenerationConfig, so a migrating
+    caller can pass top_k=50 here for distribution parity; None leaves
+    each filter off).
+
+    min_p: drop tokens whose probability is below ``min_p × max-prob``
+    (MinPLogitsWarper semantics; the argmax always survives, matching its
+    min_tokens_to_keep=1 default)."""
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1)
     logits = logits.astype(jnp.float32) / temperature
@@ -646,6 +660,10 @@ def sample_tokens(logits, temperature, top_p, rng_key, top_k=None):
         cutoff_idx = jnp.sum(cdf < top_p, axis=-1, keepdims=True)
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    if min_p is not None and 0.0 < min_p <= 1.0:
+        probs = jax.nn.softmax(logits, axis=-1)
+        thresh = min_p * jnp.max(probs, axis=-1, keepdims=True)
+        logits = jnp.where(probs < thresh, -jnp.inf, logits)
     return jax.random.categorical(rng_key, logits, axis=-1)
 
 
@@ -670,6 +688,7 @@ class Generator:
         temperature: float = 0.0,
         top_p: float | None = None,
         top_k: int | None = None,
+        min_p: float | None = None,
         stop_strings: tuple[str, ...] = (),
         rng_key=None,
         check_every: int = 8,
@@ -774,7 +793,7 @@ class Generator:
         # first token from the prefill logits
         rng_key, sub = jax.random.split(rng_key)
         tok = sample_tokens(logits, temperature, top_p, sub,
-                            top_k=top_k).astype(jnp.int32)
+                            top_k=top_k, min_p=min_p).astype(jnp.int32)
         if penalized:
             counts = counts.at[jnp.arange(n), tok].add(1)
         all_done = absorb(np.asarray(tok)[:, None])
@@ -813,13 +832,13 @@ class Generator:
                         jnp.asarray(produced - 1, jnp.int32), l, chunk, sub,
                         counts, presence, repetition_penalty,
                         presence_penalty, frequency_penalty,
-                        temperature, top_p, top_k,
+                        temperature, top_p, top_k, min_p,
                     )
                 else:
                     toks, cache, tok = decode_chunk(
                         self.params, cfg, cache, tok, lengths,
                         jnp.asarray(produced - 1, jnp.int32), l, chunk, sub,
-                        temperature, top_p, top_k,
+                        temperature, top_p, top_k, min_p,
                     )
                 all_done = absorb(np.asarray(toks))
                 produced += chunk
@@ -933,6 +952,7 @@ class Generator:
         temperature: float = 0.0,
         top_p: float | None = None,
         top_k: int | None = None,
+        min_p: float | None = None,
         stop_strings: tuple[str, ...] = (),
         rng_key=None,
         speculative: int = 0,
@@ -978,7 +998,8 @@ class Generator:
                                          presence_penalty, frequency_penalty)
             rng_key, sub = jax.random.split(rng_key)
             tok = int(np.asarray(
-                sample_tokens(logits, temperature, top_p, sub, top_k=top_k))[0])
+                sample_tokens(logits, temperature, top_p, sub, top_k=top_k,
+                              min_p=min_p))[0])
             if penalized:
                 counts = counts.at[0, tok].add(1)
             if tok == eos:

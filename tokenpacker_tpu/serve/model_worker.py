@@ -206,6 +206,9 @@ class ModelWorker:
         # worker inherits top_k=50 implicitly from HF's GenerationConfig —
         # here it is explicit so the default path stays pure top-p
         top_k = int(params.get("top_k", 0)) or None
+        # min-p cutoff (vLLM-style field; HF MinPLogitsWarper semantics,
+        # applied after top-p); 0/absent = off
+        min_p = float(params.get("min_p", 0.0)) or None
         # token-history penalties (generate.apply_penalties): HF
         # repetition_penalty + the OpenAI presence/frequency fields;
         # identity defaults keep the unpenalized paths bit-unchanged
@@ -291,7 +294,7 @@ class ModelWorker:
                         "images": images,
                     },
                     max_new_tokens, temperature, top_p, stop_strings, t_prefill,
-                    spliced_len, adapter=adapter, top_k=top_k,
+                    spliced_len, adapter=adapter, top_k=top_k, min_p=min_p,
                     repetition_penalty=repetition_penalty,
                     presence_penalty=presence_penalty,
                     frequency_penalty=frequency_penalty,
@@ -311,6 +314,7 @@ class ModelWorker:
                 temperature=temperature,
                 top_p=top_p,
                 top_k=top_k,
+                min_p=min_p,
                 stop_strings=stop_strings,
                 speculative=getattr(self, "speculative_k", 0),
                 repetition_penalty=repetition_penalty,
@@ -368,7 +372,8 @@ class ModelWorker:
 
     def _stream_via_batcher(self, prompt, batch, max_new_tokens, temperature,
                             top_p, stop_strings, t_prefill, spliced_len=0,
-                            adapter=None, top_k=None, repetition_penalty=1.0,
+                            adapter=None, top_k=None, min_p=None,
+                            repetition_penalty=1.0,
                             presence_penalty=0.0, frequency_penalty=0.0):
         """Stream through the continuous-batching executor: tokens arrive via
         the slot's on_token callback while other requests decode in the same
@@ -383,6 +388,7 @@ class ModelWorker:
             temperature=temperature if temperature > 0 else 0.0,
             top_p=top_p if 0.0 < top_p < 1.0 else None,
             top_k=top_k,
+            min_p=min_p,
             on_token=q.put,
             adapter=adapter,
             repetition_penalty=repetition_penalty,

@@ -8,8 +8,8 @@ web UI — gateway → controller `/get_worker_address` → worker
   POST /v1/chat/completions  — chat completions; `messages` with string or
                                multi-part content (`image_url` parts must be
                                data: URLs — this deployment has no egress),
-                               `temperature`, `top_p`, `top_k` (vLLM-style
-                               extension), `presence_penalty`,
+                               `temperature`, `top_p`, `top_k` / `min_p`
+                               (vLLM-style extensions), `presence_penalty`,
                                `frequency_penalty` (OpenAI fields, counted
                                over generated tokens — vLLM convention),
                                `repetition_penalty` (vLLM-style extension,
@@ -244,9 +244,10 @@ class Gateway:
             "images": images or None,
             "temperature": float(body.get("temperature", 1.0)),
             "top_p": float(body.get("top_p", 1.0)),
-            # vLLM-style extension field (not in the OpenAI schema); the
+            # vLLM-style extension fields (not in the OpenAI schema); the
             # worker treats 0/absent as unfiltered
             "top_k": int(body.get("top_k", 0)),
+            "min_p": float(body.get("min_p", 0.0)),
             # OpenAI penalty fields (generated-token counts, vLLM
             # convention) + vLLM-style repetition_penalty extension
             # (HF processor semantics — prompt counts too)

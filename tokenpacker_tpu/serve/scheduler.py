@@ -59,6 +59,7 @@ class _Request:
     future: Future
     on_token: object = None
     top_k: int | None = None  # sampling-only top-k width (HF warper order)
+    min_p: float | None = None  # min-p cutoff, applied after top-p (HF order)
     adapter: str | None = None  # multi-LoRA serving (serve/multi_lora.py)
     # token-history logit penalties (generate.apply_penalties): HF
     # repetition_penalty + the OpenAI presence/frequency fields; identity
@@ -398,7 +399,8 @@ class PagedContinuousBatcher:
         self._rng, sub = jax.random.split(self._rng)
         tok = int(np.asarray(sample_tokens(
             self._pen_first_logits(slot, req, logits),
-            req.temperature, req.top_p, sub, top_k=req.top_k))[0])
+            req.temperature, req.top_p, sub, top_k=req.top_k,
+            min_p=req.min_p))[0])
         self._bind_slot_adapter(slot, req)
         self.slot_pages[slot] = all_pages
         if self.prefix is not None:
@@ -713,8 +715,12 @@ class PagedContinuousBatcher:
                 [r.top_k if r is not None and r.top_k else 0 for r in self.slots],
                 np.int32,
             )
+            mps = np.array(
+                [r.min_p if r is not None and r.min_p else 0.0 for r in self.slots],
+                np.float32,
+            )
             toks = np.asarray(sample_tokens_per_row(
-                self._pen_apply(logits), temps, sub, tps, tks))
+                self._pen_apply(logits), temps, sub, tps, tks, mps))
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
@@ -797,6 +803,7 @@ class ContinuousBatcher:
     def submit(self, batch: dict, max_new_tokens: int = 128, temperature: float | None = None,
                on_token=None, top_p: float | None = None,
                top_k: int | None = None,
+               min_p: float | None = None,
                adapter: str | None = None,
                repetition_penalty: float = 1.0,
                presence_penalty: float = 0.0,
@@ -822,6 +829,7 @@ class ContinuousBatcher:
             temperature=self.temperature if temperature is None else temperature,
             top_p=top_p,
             top_k=top_k,
+            min_p=min_p,
             future=fut,
             on_token=on_token,
             adapter=adapter,
@@ -887,7 +895,8 @@ class ContinuousBatcher:
         self._rng, sub = jax.random.split(self._rng)
         tok = int(np.asarray(sample_tokens(
             self._pen_first_logits(slot, req, logits),
-            req.temperature, req.top_p, sub, top_k=req.top_k))[0])
+            req.temperature, req.top_p, sub, top_k=req.top_k,
+            min_p=req.min_p))[0])
         length = int(np.asarray(dev_batch["lengths"])[0])
         self._bind_slot_adapter(slot, req)
         # compact the prefilled rows: positions [0, length) are valid; pad
@@ -989,7 +998,8 @@ class ContinuousBatcher:
             self._rng, sub = jax.random.split(self._rng)
             tok = int(np.asarray(sample_tokens(
                 self._pen_first_logits(slot, req, logits),
-                req.temperature, req.top_p, sub, top_k=req.top_k))[0])
+                req.temperature, req.top_p, sub, top_k=req.top_k,
+            min_p=req.min_p))[0])
             self._bind_slot_adapter(slot, req)
             self.cache = insert_into_cache(self.cache, p["cache"], slot, p["true_len"])
             self.slots[slot] = req
@@ -1088,8 +1098,12 @@ class ContinuousBatcher:
                 [r.top_k if r is not None and r.top_k else 0 for r in self.slots],
                 np.int32,
             )
+            mps = np.array(
+                [r.min_p if r is not None and r.min_p else 0.0 for r in self.slots],
+                np.float32,
+            )
             toks = np.asarray(sample_tokens_per_row(
-                self._pen_apply(logits), temps, sub, tps, tks))
+                self._pen_apply(logits), temps, sub, tps, tks, mps))
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
@@ -1134,13 +1148,17 @@ class ContinuousBatcher:
             [r.top_k if r is not None and r.top_k else 0 for r in self.slots],
             np.int32,
         )
+        mps = np.array(
+            [r.min_p if r is not None and r.min_p else 0.0 for r in self.slots],
+            np.float32,
+        )
         preds = np.asarray(jnp.argmax(logits, axis=-1))  # [N, k+1]
         # position-0 logits are penalized per row (identity for unpenalized
         # slots): penalized greedy slots take their next token from the
         # penalized argmax via the sampled0 path below, like temperature>0
         # slots — they fed no drafts (_propose_fed)
         sampled0 = np.asarray(sample_tokens_per_row(
-            self._pen_apply(logits[:, 0]), temps, sub, tps, tks))
+            self._pen_apply(logits[:, 0]), temps, sub, tps, tks, mps))
         new_lens = np.asarray(cur_lens).copy()
         bursts: dict[int, list[int]] = {}
         n_greedy = accepted = 0
