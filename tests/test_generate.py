@@ -343,6 +343,28 @@ def test_top_k_sampling_masks_to_hf_warper_support():
         assert len(seen[r]) == k  # every surviving token is reachable
 
 
+def test_fd_jit_distinct_same_named_functions():
+    """_fd_jit's jit cache must key on the function OBJECT: two distinct
+    functions sharing a __name__ (e.g. bench scripts' local `plain_loop`s
+    run in one process) must not dispatch to each other's compiled jit
+    (r5 bench regression)."""
+    from functools import partial
+
+    from tokenpacker_tpu.generate import _fd_jit
+
+    def make(mult):
+        @partial(_fd_jit, static_argnames=("k",))
+        def f(params, x, k: int):
+            return x * mult + k
+
+        return f
+
+    a, b = make(2.0), make(3.0)
+    assert float(a({}, jnp.float32(1.0), k=0)) == 2.0
+    assert float(b({}, jnp.float32(1.0), k=0)) == 3.0
+    assert float(a({}, jnp.float32(1.0), k=1)) == 3.0
+
+
 def test_min_p_masks_to_hf_warper_support():
     """sample_tokens(min_p=p) must draw ONLY from tokens whose probability
     is >= p x max-prob and match HF MinPLogitsWarper's surviving set (the

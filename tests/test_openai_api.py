@@ -310,6 +310,73 @@ def test_legacy_completions(gateway_server):
     assert isinstance(body["choices"][0]["text"], str)
 
 
+def test_chat_logprobs(gateway_server):
+    """Chat logprobs: one content entry per completion token, OpenAI shape
+    ({token, logprob, bytes, top_logprobs}); stream chunks carry the same
+    entries as the non-stream object."""
+    req = {
+        "model": "tiny-tokenpacker",
+        "messages": [{"role": "user", "content": "a curious user"}],
+        "temperature": 0.0, "max_tokens": 5,
+        "logprobs": True, "top_logprobs": 2,
+    }
+    with _post_raw(gateway_server["base"] + "/v1/chat/completions", req) as resp:
+        body = json.loads(resp.read())
+    content = body["choices"][0]["logprobs"]["content"]
+    assert len(content) == body["usage"]["completion_tokens"] >= 1
+    for e in content:
+        assert isinstance(e["token"], str) and isinstance(e["logprob"], float)
+        assert e["logprob"] <= 0.0
+        assert e["bytes"] == list(e["token"].encode())
+        assert len(e["top_logprobs"]) == 2
+        # greedy: the chosen token is the raw argmax -> it leads the top list
+        assert e["top_logprobs"][0]["token"] == e["token"]
+        assert e["top_logprobs"][0]["logprob"] >= e["top_logprobs"][1]["logprob"]
+    with _post_raw(gateway_server["base"] + "/v1/chat/completions",
+                   {**req, "stream": True}) as resp:
+        events = _read_sse(resp)
+    streamed = []
+    for ev in events:
+        if ev and ev["choices"] and ev["choices"][0].get("logprobs"):
+            streamed.extend(ev["choices"][0]["logprobs"]["content"])
+    assert streamed == content
+
+
+def test_legacy_completions_logprobs(gateway_server):
+    """Legacy completions `logprobs: N`: tokens / token_logprobs /
+    top_logprobs / text_offset aligned, offsets cumulative from 0."""
+    with _post_raw(gateway_server["base"] + "/v1/completions", {
+        "model": "tiny-tokenpacker", "prompt": "a curious user",
+        "temperature": 0.0, "max_tokens": 4, "logprobs": 2,
+    }) as resp:
+        body = json.loads(resp.read())
+    lp = body["choices"][0]["logprobs"]
+    n = len(lp["tokens"])
+    assert n >= 1
+    assert len(lp["token_logprobs"]) == len(lp["top_logprobs"]) == n
+    assert len(lp["text_offset"]) == n and lp["text_offset"][0] == 0
+    assert lp["text_offset"] == sorted(lp["text_offset"])
+    for t, v, top in zip(lp["tokens"], lp["token_logprobs"], lp["top_logprobs"]):
+        assert v <= 0.0 and isinstance(top, dict) and t in top
+
+
+def test_logprobs_validation():
+    g = Gateway("http://unused")
+    with pytest.raises(APIError):
+        g.stream_request({"model": "m", "messages": [
+            {"role": "user", "content": "q"}], "logprobs": True,
+            "top_logprobs": 25}, chat=True)
+    with pytest.raises(APIError):
+        g.stream_request({"model": "m", "prompt": "x", "logprobs": 21},
+                         chat=False)
+    # off by default: no logprobs key reaches the worker
+    assert "logprobs" not in g.stream_request(
+        {"model": "m", "prompt": "x"}, chat=False)
+    assert g.stream_request(
+        {"model": "m", "prompt": "x", "logprobs": 0}, chat=False,
+    )["logprobs"] == 0
+
+
 def test_completion_penalties_reach_sampler(gateway_server):
     """End-to-end 3-tier drive: the penalty fields flow gateway → worker →
     Generator and change what gets sampled. presence_penalty=-1000 makes

@@ -104,7 +104,11 @@ def _fd_jit(fn, **jit_kwargs):
         copts = None if nested else _fd_compiler_options()
         if copts is not None and not _params_can_fuse(args[0]):
             copts = None
-        key = (fn.__name__, copts is not None)
+        # key on the function OBJECT, not its name: two distinct functions
+        # sharing a name (e.g. the bench scripts' local `plain_loop`s)
+        # must not dispatch to each other's jit (r5 bench regression —
+        # fn stays alive via this closure, so identity is stable)
+        key = (fn, copts is not None)
         if key not in _FD_JITS:
             _FD_JITS[key] = jax.jit(fn, compiler_options=copts, **jit_kwargs)
         return _FD_JITS[key](*args, **kwargs)
@@ -544,6 +548,24 @@ def decode_chunk_penalized(
     return toks, cache, tok, counts
 
 
+def token_logprob_entry(logits_row, tok: int, n_top: int) -> dict:
+    """OpenAI-style logprob record for one sampled token: ``{"id",
+    "logprob", "top": [(id, logprob), ...]}``. Computed on the model's
+    UNMODIFIED next-token distribution (raw logits, before penalties /
+    temperature / top-k / top-p / min-p) — the eval-friendly convention:
+    alternatives are never ``-inf``-masked by the sampling filters and
+    greedy logprobs equal the model's true confidences."""
+    lp = jax.nn.log_softmax(jnp.asarray(logits_row, jnp.float32).reshape(-1))
+    entry = {"id": int(tok), "logprob": float(lp[tok])}
+    if n_top > 0:
+        top_lps, top_ids = jax.lax.top_k(lp, n_top)
+        entry["top"] = [
+            (int(i), float(v))
+            for i, v in zip(np.asarray(top_ids), np.asarray(top_lps))
+        ]
+    return entry
+
+
 def apply_penalties(logits, counts, prompt_presence, repetition_penalty,
                     presence_penalty=0.0, frequency_penalty=0.0):
     """Token-history logit penalties, applied BEFORE the temperature/top-k/
@@ -959,6 +981,7 @@ class Generator:
         repetition_penalty: float = 1.0,
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
+        logprobs: int | None = None,
     ):
         """Single-sample streaming: yields the accumulated decoded text after
         every token (the worker's TextIteratorStreamer equivalent,
@@ -969,10 +992,17 @@ class Generator:
         accepted drafts arrive as a burst after one verify forward.
 
         repetition/presence/frequency penalties: see generate(); they
-        disable speculation (same reason — drafts verify unpenalized)."""
+        disable speculation (same reason — drafts verify unpenalized).
+
+        logprobs: when not None, yield ``(text, entry)`` tuples instead of
+        plain text — entry is token_logprob_entry(...) for the token just
+        produced, with ``logprobs`` top alternatives (raw-distribution
+        convention). Disables speculation (accepted drafts skip the
+        per-token logits)."""
         penalized = (repetition_penalty != 1.0 or presence_penalty != 0.0
                      or frequency_penalty != 0.0)
-        if speculative > 0 and temperature <= 0.0 and not penalized:
+        if (speculative > 0 and temperature <= 0.0 and not penalized
+                and logprobs is None):
             yield from self._stream_speculative(
                 batch, max_new_tokens, stop_strings, speculative
             )
@@ -992,6 +1022,7 @@ class Generator:
             counts = jnp.zeros((1, cfg.lm.vocab_size), jnp.int32)
         toks: list[int] = []
         for step in range(max_new_tokens):
+            raw = logits  # pre-penalty distribution (logprob convention)
             if penalized:
                 logits = apply_penalties(logits, counts, presence,
                                          repetition_penalty,
@@ -1011,7 +1042,10 @@ class Generator:
                 if s and s in text:
                     text = text.split(s)[0]
                     stopped = True
-            yield text
+            if logprobs is not None:
+                yield text, token_logprob_entry(raw[0], tok, logprobs)
+            else:
+                yield text
             if stopped or step == max_new_tokens - 1:
                 break
             logits, cache = decode_step(

@@ -215,6 +215,12 @@ class ModelWorker:
         repetition_penalty = float(params.get("repetition_penalty", 1.0))
         presence_penalty = float(params.get("presence_penalty", 0.0))
         frequency_penalty = float(params.get("frequency_penalty", 0.0))
+        # per-token logprobs (OpenAI gateway): None = off, N = include the
+        # N most likely alternatives per token (raw-distribution
+        # convention — generate.token_logprob_entry). Chunks gain a
+        # "logprobs" list of entries for tokens new in that chunk.
+        logprobs = params.get("logprobs")
+        logprobs = int(logprobs) if logprobs is not None else None
         max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
         stop_str = params.get("stop", None)
         # multi-LoRA: explicit "adapter" field, or requesting an adapter
@@ -298,11 +304,12 @@ class ModelWorker:
                     repetition_penalty=repetition_penalty,
                     presence_penalty=presence_penalty,
                     frequency_penalty=frequency_penalty,
+                    logprobs=logprobs,
                 )
                 return
             first = True
             n_toks = 0
-            for text in self.model.generator.generate_stream(
+            for item in self.model.generator.generate_stream(
                 {
                     "token_ids": plan.token_ids,
                     "is_image": plan.is_image,
@@ -320,7 +327,10 @@ class ModelWorker:
                 repetition_penalty=repetition_penalty,
                 presence_penalty=presence_penalty,
                 frequency_penalty=frequency_penalty,
+                logprobs=logprobs,
             ):
+                # with logprobs on, generate_stream yields (text, entry)
+                text, entry = item if logprobs is not None else (item, None)
                 if first:
                     GLOBAL_STATS.record("prefill_ttft", time.perf_counter() - t_prefill)
                     mtr.WORKER_TTFT.observe(time.perf_counter() - t_prefill)
@@ -328,7 +338,10 @@ class ModelWorker:
                     first = False
                 n_toks += 1
                 generated = text
-                yield json.dumps({"text": prompt + generated, "error_code": 0}).encode() + b"\0"
+                payload = {"text": prompt + generated, "error_code": 0}
+                if entry is not None:
+                    payload["logprobs"] = [self._lp_json(entry)]
+                yield json.dumps(payload).encode() + b"\0"
             if not first and n_toks > 1:
                 per_tok = (time.perf_counter() - t_decode) / (n_toks - 1)
                 GLOBAL_STATS.record("decode_per_token", per_tok)
@@ -346,6 +359,22 @@ class ModelWorker:
             yield json.dumps(
                 {"text": f"internal error\n(error_code: 1)", "error_code": 1}
             ).encode() + b"\0"
+
+    def _lp_json(self, entry: dict) -> dict:
+        """Wire form of a generate.token_logprob_entry record: token ids
+        resolved to token strings (tokenizer piece form when the tokenizer
+        exposes it, else a single-id decode); "top" becomes
+        ``[[id, token, logprob], ...]``. The gateway renders these into the
+        OpenAI chat/legacy logprobs shapes."""
+        if hasattr(self.tokenizer, "convert_ids_to_tokens"):
+            tokstr = lambda i: str(self.tokenizer.convert_ids_to_tokens(i))
+        else:
+            tokstr = lambda i: self.tokenizer.decode([i])
+        out = {"id": entry["id"], "token": tokstr(entry["id"]),
+               "logprob": entry["logprob"]}
+        if "top" in entry:
+            out["top"] = [[i, tokstr(i), lp] for i, lp in entry["top"]]
+        return out
 
     def _final_chunk(self, full_text: str, prompt_tokens: int,
                      completion_tokens: int, max_new_tokens: int,
@@ -374,7 +403,8 @@ class ModelWorker:
                             top_p, stop_strings, t_prefill, spliced_len=0,
                             adapter=None, top_k=None, min_p=None,
                             repetition_penalty=1.0,
-                            presence_penalty=0.0, frequency_penalty=0.0):
+                            presence_penalty=0.0, frequency_penalty=0.0,
+                            logprobs=None):
         """Stream through the continuous-batching executor: tokens arrive via
         the slot's on_token callback while other requests decode in the same
         device step; each slot samples with its own temperature and top_p."""
@@ -394,8 +424,14 @@ class ModelWorker:
             repetition_penalty=repetition_penalty,
             presence_penalty=presence_penalty,
             frequency_penalty=frequency_penalty,
+            logprobs=logprobs,
         )
         fut.add_done_callback(lambda f: q.put(None))
+        # lp_entries on the request object are appended BEFORE on_token
+        # fires (same batcher thread), so entry lp_i-1 exists when queue
+        # token lp_i arrives
+        lp_req = getattr(fut, "_tp_request", None)
+        lp_i = 0
         eos = self.cfg.lm.eos_token_id
         toks: list[int] = []
         first = True
@@ -427,9 +463,12 @@ class ModelWorker:
                     mtr.WORKER_TTFT.observe(time.perf_counter() - t_prefill)
                     t_decode = time.perf_counter()
                     first = False
+                lp_i += 1
                 if tok == eos:
                     # even an EOS landing exactly at max_new_tokens is a
                     # natural stop, not a cap hit — and it is not billed
+                    # (its logprob entry is skipped too — OpenAI excludes
+                    # the stop token from logprobs content)
                     finish = "stop"
                     continue
                 n += 1
@@ -440,7 +479,12 @@ class ModelWorker:
                     if s and s in text:
                         text = text.split(s)[0]
                         stopped = True
-                yield json.dumps({"text": prompt + text, "error_code": 0}).encode() + b"\0"
+                payload = {"text": prompt + text, "error_code": 0}
+                if (logprobs is not None and lp_req is not None
+                        and lp_i <= len(lp_req.lp_entries)):
+                    payload["logprobs"] = [
+                        self._lp_json(lp_req.lp_entries[lp_i - 1])]
+                yield json.dumps(payload).encode() + b"\0"
                 if stopped:
                     # free the slot NOW — the client has its answer; without
                     # this the batcher decodes on to max_new_tokens

@@ -13,8 +13,11 @@ web UI — gateway → controller `/get_worker_address` → worker
                                `frequency_penalty` (OpenAI fields, counted
                                over generated tokens — vLLM convention),
                                `repetition_penalty` (vLLM-style extension,
-                               HF processor semantics), `max_tokens`,
-                               `stop` (string or list), `stream` (SSE), and
+                               HF processor semantics), `logprobs` +
+                               `top_logprobs` (per-token logprobs of the
+                               model's raw next-token distribution),
+                               `max_tokens`, `stop` (string or list),
+                               `stream` (SSE), and
                                `stream_options.include_usage`
   POST /v1/completions       — legacy text completions (prompt verbatim,
                                no conversation template)
@@ -173,6 +176,41 @@ def _normalize_stop(user_stop, template_stop: str | None) -> list[str]:
     return stops
 
 
+def _fmt_chat_lp(e: dict) -> dict:
+    """Worker logprob entry → OpenAI chat `logprobs.content` element
+    ({token, logprob, bytes, top_logprobs}). Entries are raw-distribution
+    logprobs (see generate.token_logprob_entry); token strings come from
+    the worker's tokenizer piece form."""
+    def one(tok, lp):
+        return {"token": tok, "logprob": lp,
+                "bytes": list(str(tok).encode("utf-8", "replace"))}
+
+    out = one(e["token"], e["logprob"])
+    out["top_logprobs"] = [one(t, lp) for _i, t, lp in e.get("top", [])]
+    return out
+
+
+def _fmt_legacy_lp(entries: list, start_offset: int = 0) -> tuple[dict, int]:
+    """Worker logprob entries → the legacy completions `logprobs` object
+    (tokens / token_logprobs / top_logprobs / text_offset). Offsets index
+    into the COMPLETION text (starting at `start_offset`), accumulated
+    from the token piece strings. Returns (object, next_offset)."""
+    toks = [e["token"] for e in entries]
+    offs, off = [], start_offset
+    for t in toks:
+        offs.append(off)
+        off += len(t)
+    return {
+        "tokens": toks,
+        "token_logprobs": [e["logprob"] for e in entries],
+        "top_logprobs": [
+            {t: lp for _i, t, lp in e["top"]} if "top" in e else None
+            for e in entries
+        ],
+        "text_offset": offs,
+    }, off
+
+
 def _iter_worker_chunks(worker_addr: str, payload: dict, timeout: float = 300.0):
     """Yield parsed JSON chunks from the worker's \\0-framed stream."""
     req = urllib.request.Request(
@@ -257,6 +295,20 @@ class Gateway:
             "max_new_tokens": int(max_tokens),
             "stop": _normalize_stop(body.get("stop"), template_stop),
         }
+        # per-token logprobs: chat uses `logprobs: true` + `top_logprobs: N`
+        # (0-20); legacy completions use `logprobs: N`. The worker payload
+        # carries one int: top-alternative count (0 = chosen token only).
+        if chat:
+            if body.get("logprobs"):
+                n_top = int(body.get("top_logprobs") or 0)
+                if not 0 <= n_top <= 20:
+                    raise APIError("top_logprobs must be in [0, 20]")
+                payload["logprobs"] = n_top
+        elif body.get("logprobs") is not None:
+            n_top = int(body["logprobs"])
+            if not 0 <= n_top <= 20:
+                raise APIError("logprobs must be in [0, 20]")
+            payload["logprobs"] = n_top
         return payload
 
     def run(self, body: dict, chat: bool):
@@ -275,10 +327,18 @@ class Gateway:
         prev = ""
         final_text, finish, usage = "", "stop", None
         first_delta = True
+        want_lp = "logprobs" in payload
+        lp_all: list = []  # every worker entry (non-stream assembly)
+        lp_pending: list = []  # entries not yet attached to a stream chunk
+        lp_off = 0  # running legacy text_offset
         for chunk in _iter_worker_chunks(addr, payload):
             if chunk.get("error_code", 0) != 0:
                 raise APIError(chunk.get("text", "worker error"), status=500,
                                err_type="server_error")
+            if want_lp:
+                new_lp = chunk.get("logprobs") or []
+                lp_all.extend(new_lp)
+                lp_pending.extend(new_lp)
             text = chunk.get("text", "")
             if text.startswith(prompt):
                 text = text[len(prompt):]
@@ -301,6 +361,14 @@ class Gateway:
                 choice = {"index": 0, "delta": d, "finish_reason": None}
             else:
                 choice = {"index": 0, "text": delta, "finish_reason": None}
+            if want_lp:
+                if chat:
+                    choice["logprobs"] = {
+                        "content": [_fmt_chat_lp(e) for e in lp_pending]}
+                else:
+                    choice["logprobs"], lp_off = _fmt_legacy_lp(
+                        lp_pending, lp_off)
+                lp_pending = []
             first_delta = False
             yield {
                 "id": rid, "created": created, "model": payload["model"],
@@ -333,6 +401,12 @@ class Gateway:
             }
         else:
             choice = {"index": 0, "text": final_text, "finish_reason": finish}
+        if want_lp:
+            if chat:
+                choice["logprobs"] = {
+                    "content": [_fmt_chat_lp(e) for e in lp_all]}
+            else:
+                choice["logprobs"], _ = _fmt_legacy_lp(lp_all)
         out = {
             "id": rid, "object": object_name, "created": created,
             "model": payload["model"], "choices": [choice],

@@ -68,6 +68,13 @@ class _Request:
     repetition_penalty: float = 1.0
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
+    # per-token logprob recording (generate.token_logprob_entry, raw-
+    # distribution convention): None = off, N = include N top alternatives.
+    # Entries land in lp_entries 1:1 with emitted tokens, appended BEFORE
+    # on_token fires (same batcher thread) so streaming consumers can read
+    # entry i as soon as token i arrives.
+    logprobs: int | None = None
+    lp_entries: list = field(default_factory=list)
     cancelled: bool = False  # set from any thread; honored before the next
     # decode step (client disconnect / stop-string satisfied)
     produced: int = 0
@@ -230,6 +237,41 @@ class PagedContinuousBatcher:
             logits, self._pen["counts"], self._pen["prompt"], reps, press,
             freqs,
         )
+
+    # -- per-token logprob recording ----------------------------------------
+
+    def _lp_record(self, logits, toks):
+        """Append raw-distribution logprob entries for every active slot
+        that asked (req.logprobs is not None). `logits` are the step's RAW
+        [N, V] logits (pre-penalty — generate.token_logprob_entry's
+        convention); `toks` the sampled token per row. No device work when
+        no slot asked."""
+        reqs = [(i, r) for i, r in enumerate(self.slots)
+                if r is not None and r.logprobs is not None]
+        if not reqs:
+            return
+        n_top = max(r.logprobs for _, r in reqs)
+        lp = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+        chosen = np.asarray(jnp.take_along_axis(
+            lp, jnp.asarray(np.asarray(toks))[:, None], axis=-1))[:, 0]
+        if n_top > 0:
+            top_lps, top_ids = jax.lax.top_k(lp, n_top)
+            top_lps, top_ids = np.asarray(top_lps), np.asarray(top_ids)
+        for i, r in reqs:
+            e = {"id": int(toks[i]), "logprob": float(chosen[i])}
+            if r.logprobs > 0:
+                e["top"] = [(int(top_ids[i, j]), float(top_lps[i, j]))
+                            for j in range(r.logprobs)]
+            r.lp_entries.append(e)
+
+    def _lp_first(self, req: _Request, logits, tok: int):
+        """Admission-time entry for the first token (batch-1 prompt
+        logits)."""
+        if req.logprobs is not None:
+            from tokenpacker_tpu.generate import token_logprob_entry
+
+            req.lp_entries.append(
+                token_logprob_entry(logits[0], tok, req.logprobs))
 
     # -- multi-LoRA serving (serve/multi_lora.py) ---------------------------
 
@@ -401,6 +443,7 @@ class PagedContinuousBatcher:
             self._pen_first_logits(slot, req, logits),
             req.temperature, req.top_p, sub, top_k=req.top_k,
             min_p=req.min_p))[0])
+        self._lp_first(req, logits, tok)
         self._bind_slot_adapter(slot, req)
         self.slot_pages[slot] = all_pages
         if self.prefix is not None:
@@ -687,7 +730,8 @@ class PagedContinuousBatcher:
 
             self._grow_pages()
             has_greedy = any(
-                r is not None and r.temperature <= 0.0 and not r.has_penalties
+                r is not None and r.temperature <= 0.0
+                and not r.has_penalties and r.logprobs is None
                 for r in self.slots
             )
             if self.speculative_k > 0 and has_greedy:
@@ -721,6 +765,7 @@ class PagedContinuousBatcher:
             )
             toks = np.asarray(sample_tokens_per_row(
                 self._pen_apply(logits), temps, sub, tps, tks, mps))
+            self._lp_record(logits, toks)
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
@@ -807,7 +852,8 @@ class ContinuousBatcher:
                adapter: str | None = None,
                repetition_penalty: float = 1.0,
                presence_penalty: float = 0.0,
-               frequency_penalty: float = 0.0) -> Future:
+               frequency_penalty: float = 0.0,
+               logprobs: int | None = None) -> Future:
         fut: Future = Future()
         if self.dead is not None:
             fut.set_exception(RuntimeError(f"batcher loop died: {self.dead!r}"))
@@ -836,6 +882,7 @@ class ContinuousBatcher:
             repetition_penalty=repetition_penalty,
             presence_penalty=presence_penalty,
             frequency_penalty=frequency_penalty,
+            logprobs=logprobs,
         )
         fut._tp_request = req  # handle for cancel()
         self.queue.put(req)
@@ -872,6 +919,8 @@ class ContinuousBatcher:
     _pen_first_logits = PagedContinuousBatcher._pen_first_logits
     _pen_count = PagedContinuousBatcher._pen_count
     _pen_apply = PagedContinuousBatcher._pen_apply
+    _lp_record = PagedContinuousBatcher._lp_record
+    _lp_first = PagedContinuousBatcher._lp_first
 
     def _release_slot(self, slot: int):
         self.slots[slot] = None  # the dense cache slot is simply reusable
@@ -897,6 +946,7 @@ class ContinuousBatcher:
             self._pen_first_logits(slot, req, logits),
             req.temperature, req.top_p, sub, top_k=req.top_k,
             min_p=req.min_p))[0])
+        self._lp_first(req, logits, tok)
         length = int(np.asarray(dev_batch["lengths"])[0])
         self._bind_slot_adapter(slot, req)
         # compact the prefilled rows: positions [0, length) are valid; pad
@@ -1000,6 +1050,7 @@ class ContinuousBatcher:
                 self._pen_first_logits(slot, req, logits),
                 req.temperature, req.top_p, sub, top_k=req.top_k,
             min_p=req.min_p))[0])
+            self._lp_first(req, logits, tok)
             self._bind_slot_adapter(slot, req)
             self.cache = insert_into_cache(self.cache, p["cache"], slot, p["true_len"])
             self.slots[slot] = req
@@ -1060,7 +1111,8 @@ class ContinuousBatcher:
                 continue
 
             has_greedy = any(
-                r is not None and r.temperature <= 0.0 and not r.has_penalties
+                r is not None and r.temperature <= 0.0
+                and not r.has_penalties and r.logprobs is None
                 for r in self.slots
             )
             if self.speculative_k > 0 and has_greedy:
@@ -1104,6 +1156,7 @@ class ContinuousBatcher:
             )
             toks = np.asarray(sample_tokens_per_row(
                 self._pen_apply(logits), temps, sub, tps, tks, mps))
+            self._lp_record(logits, toks)
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
                     self.next_tokens[slot] = int(toks[slot])
@@ -1121,10 +1174,12 @@ class ContinuousBatcher:
             if req is None:
                 continue
             fed[slot, 0] = self.next_tokens[slot]
-            # penalized slots never draft: acceptance compares drafts
-            # against UNpenalized argmax, which would break their sampling
-            # semantics — they advance one (penalized) token per round
-            if req.temperature <= 0.0 and not req.has_penalties:
+            # penalized/logprob slots never draft: acceptance compares
+            # drafts against UNpenalized argmax (breaks penalty semantics),
+            # and accepted bursts skip the per-token logits a logprob
+            # request records — both advance one token per round instead
+            if (req.temperature <= 0.0 and not req.has_penalties
+                    and req.logprobs is None):
                 d = propose_ngram_host(req.ctx, k)
                 fed[slot, 1 : 1 + len(d)] = d
                 dks[slot] = len(d)
@@ -1159,6 +1214,10 @@ class ContinuousBatcher:
         # slots — they fed no drafts (_propose_fed)
         sampled0 = np.asarray(sample_tokens_per_row(
             self._pen_apply(logits[:, 0]), temps, sub, tps, tks, mps))
+        # logprob slots take the sampled0 path (they fed no drafts), so
+        # their per-round token is sampled0[slot] — record its entry from
+        # the raw position-0 logits
+        self._lp_record(logits[:, 0], sampled0)
         new_lens = np.asarray(cur_lens).copy()
         bursts: dict[int, list[int]] = {}
         n_greedy = accepted = 0
@@ -1166,7 +1225,8 @@ class ContinuousBatcher:
             req = self.slots[slot]
             if req is None:
                 continue
-            if req.temperature <= 0.0 and not req.has_penalties:
+            if (req.temperature <= 0.0 and not req.has_penalties
+                    and req.logprobs is None):
                 burst = accept_greedy(preds[slot], fed[slot, 1:], int(dks[slot]), eos)
                 n_greedy += 1
                 accepted += len(burst) - 1
