@@ -130,8 +130,8 @@ def test_stream_request_validation():
         g.stream_request({}, chat=True)  # no model
     with pytest.raises(APIError):
         g.stream_request({"model": "m"}, chat=True)  # no messages
-    with pytest.raises(APIError):
-        g.stream_request({"model": "m", "prompt": "p", "n": 2}, chat=False)
+    # n > 1 is supported since r5 (test_n_choices_and_seed); only the
+    # bounds/stream combinations reject (test_n_validation)
     with pytest.raises(APIError):
         g.stream_request({"model": "m"}, chat=False)  # no prompt
     p = g.stream_request(
@@ -308,6 +308,46 @@ def test_legacy_completions(gateway_server):
     assert body["object"] == "text_completion"
     assert body["id"].startswith("cmpl-")
     assert isinstance(body["choices"][0]["text"], str)
+
+
+def test_n_choices_and_seed(gateway_server):
+    """n > 1 returns n indexed choices from co-scheduled worker streams;
+    usage counts the prompt once and sums completions. A pinned seed makes
+    each choice reproducible across calls (seed offsets per choice keep
+    the n choices themselves distinct draws)."""
+    req = {
+        "model": "tiny-tokenpacker", "prompt": "a curious user",
+        "temperature": 1.5, "max_tokens": 6, "n": 3, "seed": 42,
+    }
+    with _post_raw(gateway_server["base"] + "/v1/completions", req) as resp:
+        body = json.loads(resp.read())
+    assert [c["index"] for c in body["choices"]] == [0, 1, 2]
+    texts = [c["text"] for c in body["choices"]]
+    assert len(set(texts)) > 1  # per-choice seed offsets -> distinct draws
+    assert body["usage"]["completion_tokens"] >= 3
+    with _post_raw(gateway_server["base"] + "/v1/completions", req) as resp:
+        again = json.loads(resp.read())
+    assert [c["text"] for c in again["choices"]] == texts  # seeded replay
+    # greedy n: all choices identical (and chat shape works)
+    with _post_raw(gateway_server["base"] + "/v1/chat/completions", {
+        "model": "tiny-tokenpacker",
+        "messages": [{"role": "user", "content": "a curious user"}],
+        "temperature": 0.0, "max_tokens": 4, "n": 2,
+    }) as resp:
+        chat = json.loads(resp.read())
+    msgs = [c["message"]["content"] for c in chat["choices"]]
+    assert msgs[0] == msgs[1]
+
+
+def test_n_validation():
+    g = Gateway("http://unused")
+    with pytest.raises(APIError):
+        g.stream_request({"model": "m", "prompt": "p", "n": 9}, chat=False)
+    with pytest.raises(APIError):
+        g.stream_request(
+            {"model": "m", "prompt": "p", "n": 2, "stream": True}, chat=False)
+    assert g.stream_request(
+        {"model": "m", "prompt": "p", "seed": 5}, chat=False)["seed"] == 5
 
 
 def test_chat_logprobs(gateway_server):

@@ -148,6 +148,37 @@ def test_worker_stream_wire_format(servers):
     assert chunks[-1]["text"].startswith(payload["prompt"])
 
 
+def _stream_text(worker_addr, payload):
+    req = urllib.request.Request(
+        worker_addr + "/worker_generate_stream",
+        json.dumps(payload).encode(), {"Content-Type": "application/json"},
+    )
+    last = None
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        for frame in resp.read().split(b"\0"):
+            if frame:
+                last = json.loads(frame)
+    assert last is not None and last["error_code"] == 0
+    return last["text"]
+
+
+def test_worker_sampling_seed(servers):
+    """Non-batcher sampled requests draw a fresh random seed per request
+    (identical prompts are NOT forced to one completion — the pre-r5 path
+    pinned PRNGKey(0)); pinning `seed` makes them reproducible."""
+    payload = {
+        "prompt": "USER : hello ASSISTANT :",
+        "temperature": 1.5,
+        "max_new_tokens": 12,
+    }
+    a, b = (_stream_text(servers["worker"], payload) for _ in range(2))
+    assert a != b
+    seeded = dict(payload, seed=7)
+    s1, s2 = (_stream_text(servers["worker"], seeded) for _ in range(2))
+    assert s1 == s2
+    assert _stream_text(servers["worker"], dict(payload, seed=8)) != s1
+
+
 def test_worker_status(servers):
     st = _post(servers["worker"] + "/worker_get_status", {})
     assert st["model_names"] == ["tiny-tokenpacker"]

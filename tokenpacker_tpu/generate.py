@@ -615,7 +615,7 @@ def prompt_presence_mask(batch, vocab: int) -> np.ndarray:
 
 
 def sample_tokens_per_row(logits, temperatures, rng_key, top_ps=None,
-                          top_ks=None, min_ps=None):
+                          top_ks=None, min_ps=None, seeds=None, steps=None):
     """Per-row temperature (+ optional per-row top-p/top-k/min-p) for
     co-scheduled requests: greedy where a row's temperature is <= 0,
     categorical at its own temperature otherwise (the batchers serve
@@ -625,7 +625,14 @@ def sample_tokens_per_row(logits, temperatures, rng_key, top_ps=None,
     applied BEFORE top-p, HF LogitsWarper order. min_ps: [N] min-p
     thresholds applied AFTER top-p (HF 4.57 warper order); rows outside
     (0, 1] are unfiltered. Same filter semantics as sample_tokens (cutoffs
-    on the temperature-scaled distribution)."""
+    on the temperature-scaled distribution).
+
+    seeds/steps: per-request deterministic sampling (the OpenAI `seed`
+    field). A row with seeds[i] >= 0 draws with
+    ``fold_in(PRNGKey(seeds[i]), steps[i])`` — steps[i] is the request's
+    produced-token count, so its k-th token is identical no matter which
+    slot it occupies or what else is co-scheduled. Rows with seeds[i] < 0
+    keep the shared `rng_key` draw."""
     temperatures = jnp.asarray(temperatures, jnp.float32)
     greedy = jnp.argmax(logits, axis=-1)
     safe = jnp.maximum(temperatures, 1e-6)[:, None]
@@ -653,6 +660,14 @@ def sample_tokens_per_row(logits, temperatures, rng_key, top_ps=None,
         apply = ((min_ps > 0.0) & (min_ps <= 1.0))[:, None]
         scaled = jnp.where(apply & (probs < thresh), -jnp.inf, scaled)
     sampled = jax.random.categorical(rng_key, scaled, axis=-1)
+    if seeds is not None:
+        seeds = jnp.asarray(seeds, jnp.int32)
+        steps = jnp.asarray(steps, jnp.int32)
+        row_keys = jax.vmap(
+            lambda s, t: jax.random.fold_in(jax.random.PRNGKey(s), t)
+        )(jnp.maximum(seeds, 0), steps)
+        seeded = jax.vmap(jax.random.categorical)(row_keys, scaled)
+        sampled = jnp.where(seeds >= 0, seeded, sampled)
     return jnp.where(temperatures <= 0.0, greedy, sampled)
 
 

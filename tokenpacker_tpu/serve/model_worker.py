@@ -221,6 +221,13 @@ class ModelWorker:
         # "logprobs" list of entries for tokens new in that chunk.
         logprobs = params.get("logprobs")
         logprobs = int(logprobs) if logprobs is not None else None
+        # deterministic sampling (the OpenAI `seed` field): token k always
+        # draws with fold_in(PRNGKey(seed), k). Absent -> a fresh random
+        # seed per request, so identical sampled prompts get independent
+        # completions (the pre-r5 non-batcher path pinned PRNGKey(0) and
+        # returned the SAME text for every identical sampled request)
+        seed = params.get("seed")
+        seed = int(seed) if seed is not None else None
         max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
         stop_str = params.get("stop", None)
         # multi-LoRA: explicit "adapter" field, or requesting an adapter
@@ -304,9 +311,16 @@ class ModelWorker:
                     repetition_penalty=repetition_penalty,
                     presence_penalty=presence_penalty,
                     frequency_penalty=frequency_penalty,
-                    logprobs=logprobs,
+                    logprobs=logprobs, seed=seed,
                 )
                 return
+            import secrets
+
+            import jax as _jax
+
+            rng_key = _jax.random.PRNGKey(
+                seed & 0x7FFFFFFFFFFFFFFF if seed is not None
+                else secrets.randbits(63))
             first = True
             n_toks = 0
             for item in self.model.generator.generate_stream(
@@ -323,6 +337,7 @@ class ModelWorker:
                 top_k=top_k,
                 min_p=min_p,
                 stop_strings=stop_strings,
+                rng_key=rng_key,
                 speculative=getattr(self, "speculative_k", 0),
                 repetition_penalty=repetition_penalty,
                 presence_penalty=presence_penalty,
@@ -404,7 +419,7 @@ class ModelWorker:
                             adapter=None, top_k=None, min_p=None,
                             repetition_penalty=1.0,
                             presence_penalty=0.0, frequency_penalty=0.0,
-                            logprobs=None):
+                            logprobs=None, seed=None):
         """Stream through the continuous-batching executor: tokens arrive via
         the slot's on_token callback while other requests decode in the same
         device step; each slot samples with its own temperature and top_p."""
@@ -419,6 +434,7 @@ class ModelWorker:
             top_p=top_p if 0.0 < top_p < 1.0 else None,
             top_k=top_k,
             min_p=min_p,
+            seed=seed,
             on_token=q.put,
             adapter=adapter,
             repetition_penalty=repetition_penalty,

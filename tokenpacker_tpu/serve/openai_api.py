@@ -259,8 +259,11 @@ class Gateway:
         model = body.get("model")
         if not model or not isinstance(model, str):
             raise APIError("missing required parameter: 'model'")
-        if int(body.get("n", 1)) != 1:
-            raise APIError("n > 1 is not supported")
+        n = int(body.get("n", 1))
+        if not 1 <= n <= 8:
+            raise APIError("n must be in [1, 8]")
+        if n > 1 and bool(body.get("stream", False)):
+            raise APIError("n > 1 is not supported with stream=true")
         if chat:
             messages = body.get("messages")
             if not isinstance(messages, list) or not messages:
@@ -295,6 +298,11 @@ class Gateway:
             "max_new_tokens": int(max_tokens),
             "stop": _normalize_stop(body.get("stop"), template_stop),
         }
+        # deterministic sampling (OpenAI `seed`); with n > 1 the worker
+        # seed is offset per choice (seed+i) so seeded multi-choice
+        # requests still return distinct samples
+        if body.get("seed") is not None:
+            payload["seed"] = int(body["seed"])
         # per-token logprobs: chat uses `logprobs: true` + `top_logprobs: N`
         # (0-20); legacy completions use `logprobs: N`. The worker payload
         # carries one int: top-alternative count (0 = chosen token only).
@@ -311,6 +319,67 @@ class Gateway:
             payload["logprobs"] = n_top
         return payload
 
+    def _multi_choice(self, payload, addr, chat, n, rid, created,
+                      object_name):
+        """n parallel worker requests for one completion call — the
+        worker's continuous batcher co-schedules them into shared decode
+        steps, so n choices cost ~one decode stream of wall clock, not n
+        (the reference serves strictly one generate per request). Seeded
+        requests offset the seed per choice (seed+i) so they still return
+        distinct samples; usage counts the prompt once and sums completion
+        tokens (OpenAI accounting)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        want_lp = "logprobs" in payload
+        prompt = payload["prompt"]
+
+        def one(i):
+            p = dict(payload)
+            if "seed" in p:
+                p["seed"] = p["seed"] + i
+            text, finish, usage, lp = "", "stop", None, []
+            for chunk in _iter_worker_chunks(addr, p):
+                if chunk.get("error_code", 0) != 0:
+                    raise APIError(chunk.get("text", "worker error"),
+                                   status=500, err_type="server_error")
+                if want_lp:
+                    lp.extend(chunk.get("logprobs") or [])
+                t = chunk.get("text", "")
+                if t.startswith(prompt):
+                    t = t[len(prompt):]
+                if "finish_reason" in chunk:
+                    finish = chunk["finish_reason"]
+                    usage = chunk.get("usage")
+                text = t
+            return text, finish, usage, lp
+
+        with ThreadPoolExecutor(n) as ex:
+            results = list(ex.map(one, range(n)))
+        choices, usage_sum = [], None
+        for i, (text, finish, usage, lp) in enumerate(results):
+            if chat:
+                c = {"index": i,
+                     "message": {"role": "assistant", "content": text},
+                     "finish_reason": finish}
+            else:
+                c = {"index": i, "text": text, "finish_reason": finish}
+            if want_lp:
+                c["logprobs"] = (
+                    {"content": [_fmt_chat_lp(e) for e in lp]} if chat
+                    else _fmt_legacy_lp(lp)[0])
+            choices.append(c)
+            if usage:
+                if usage_sum is None:
+                    usage_sum = dict(usage)
+                else:
+                    usage_sum["completion_tokens"] += usage["completion_tokens"]
+                    usage_sum["total_tokens"] += usage["completion_tokens"]
+        out = {"id": rid, "object": object_name, "created": created,
+               "model": payload["model"], "choices": choices}
+        if usage_sum is not None:
+            out["usage"] = usage_sum
+        return out
+
     def run(self, body: dict, chat: bool):
         """Execute a (chat) completion. Yields OpenAI response events:
         for stream=False a single final object; for stream=True a sequence
@@ -323,6 +392,12 @@ class Gateway:
         created = int(time.time())
         object_name = "chat.completion" if chat else "text_completion"
         prompt = payload["prompt"]
+
+        n = int(body.get("n", 1))
+        if n > 1:  # stream_request validated stream=False for n > 1
+            yield self._multi_choice(payload, addr, chat, n, rid, created,
+                                     object_name)
+            return
 
         prev = ""
         final_text, finish, usage = "", "stop", None

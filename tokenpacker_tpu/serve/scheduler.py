@@ -60,6 +60,10 @@ class _Request:
     on_token: object = None
     top_k: int | None = None  # sampling-only top-k width (HF warper order)
     min_p: float | None = None  # min-p cutoff, applied after top-p (HF order)
+    # deterministic sampling (the OpenAI `seed` field): token k draws with
+    # fold_in(PRNGKey(seed), k), independent of slot placement and
+    # co-scheduled traffic (sample_tokens_per_row seeds/steps)
+    seed: int | None = None
     adapter: str | None = None  # multi-LoRA serving (serve/multi_lora.py)
     # token-history logit penalties (generate.apply_penalties): HF
     # repetition_penalty + the OpenAI presence/frequency fields; identity
@@ -237,6 +241,32 @@ class PagedContinuousBatcher:
             logits, self._pen["counts"], self._pen["prompt"], reps, press,
             freqs,
         )
+
+    # -- deterministic per-request sampling (OpenAI `seed`) -----------------
+
+    def _seed_key(self, req: _Request, step: int, shared_key):
+        """Admission-time sampling key: a seeded request draws its token
+        `step` with fold_in(PRNGKey(seed), step) — the same rule
+        sample_tokens_per_row applies via seeds/steps — so the sequence is
+        reproducible regardless of slot placement; unseeded requests keep
+        the shared split."""
+        if req.seed is None:
+            return shared_key
+        return jax.random.fold_in(
+            jax.random.PRNGKey(req.seed & 0x7FFFFFFF), step)
+
+    def _seed_arrays(self):
+        """(seeds, steps) rows for the per-row sampler, or (None, None)
+        when no active slot pinned a seed (zero cost)."""
+        if not any(r is not None and r.seed is not None for r in self.slots):
+            return None, None
+        seeds = np.full(self.num_slots, -1, np.int32)
+        steps = np.zeros(self.num_slots, np.int32)
+        for i, r in enumerate(self.slots):
+            if r is not None and r.seed is not None:
+                seeds[i] = r.seed & 0x7FFFFFFF
+                steps[i] = r.produced
+        return seeds, steps
 
     # -- per-token logprob recording ----------------------------------------
 
@@ -441,8 +471,8 @@ class PagedContinuousBatcher:
         self._rng, sub = jax.random.split(self._rng)
         tok = int(np.asarray(sample_tokens(
             self._pen_first_logits(slot, req, logits),
-            req.temperature, req.top_p, sub, top_k=req.top_k,
-            min_p=req.min_p))[0])
+            req.temperature, req.top_p, self._seed_key(req, 0, sub),
+            top_k=req.top_k, min_p=req.min_p))[0])
         self._lp_first(req, logits, tok)
         self._bind_slot_adapter(slot, req)
         self.slot_pages[slot] = all_pages
@@ -763,8 +793,10 @@ class PagedContinuousBatcher:
                 [r.min_p if r is not None and r.min_p else 0.0 for r in self.slots],
                 np.float32,
             )
+            seeds, steps = self._seed_arrays()
             toks = np.asarray(sample_tokens_per_row(
-                self._pen_apply(logits), temps, sub, tps, tks, mps))
+                self._pen_apply(logits), temps, sub, tps, tks, mps,
+                seeds, steps))
             self._lp_record(logits, toks)
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
@@ -849,6 +881,7 @@ class ContinuousBatcher:
                on_token=None, top_p: float | None = None,
                top_k: int | None = None,
                min_p: float | None = None,
+               seed: int | None = None,
                adapter: str | None = None,
                repetition_penalty: float = 1.0,
                presence_penalty: float = 0.0,
@@ -876,6 +909,7 @@ class ContinuousBatcher:
             top_p=top_p,
             top_k=top_k,
             min_p=min_p,
+            seed=seed,
             future=fut,
             on_token=on_token,
             adapter=adapter,
@@ -921,6 +955,8 @@ class ContinuousBatcher:
     _pen_apply = PagedContinuousBatcher._pen_apply
     _lp_record = PagedContinuousBatcher._lp_record
     _lp_first = PagedContinuousBatcher._lp_first
+    _seed_key = PagedContinuousBatcher._seed_key
+    _seed_arrays = PagedContinuousBatcher._seed_arrays
 
     def _release_slot(self, slot: int):
         self.slots[slot] = None  # the dense cache slot is simply reusable
@@ -944,8 +980,8 @@ class ContinuousBatcher:
         self._rng, sub = jax.random.split(self._rng)
         tok = int(np.asarray(sample_tokens(
             self._pen_first_logits(slot, req, logits),
-            req.temperature, req.top_p, sub, top_k=req.top_k,
-            min_p=req.min_p))[0])
+            req.temperature, req.top_p, self._seed_key(req, 0, sub),
+            top_k=req.top_k, min_p=req.min_p))[0])
         self._lp_first(req, logits, tok)
         length = int(np.asarray(dev_batch["lengths"])[0])
         self._bind_slot_adapter(slot, req)
@@ -1048,8 +1084,8 @@ class ContinuousBatcher:
             self._rng, sub = jax.random.split(self._rng)
             tok = int(np.asarray(sample_tokens(
                 self._pen_first_logits(slot, req, logits),
-                req.temperature, req.top_p, sub, top_k=req.top_k,
-            min_p=req.min_p))[0])
+                req.temperature, req.top_p, self._seed_key(req, 0, sub),
+                top_k=req.top_k, min_p=req.min_p))[0])
             self._lp_first(req, logits, tok)
             self._bind_slot_adapter(slot, req)
             self.cache = insert_into_cache(self.cache, p["cache"], slot, p["true_len"])
@@ -1154,8 +1190,10 @@ class ContinuousBatcher:
                 [r.min_p if r is not None and r.min_p else 0.0 for r in self.slots],
                 np.float32,
             )
+            seeds, steps = self._seed_arrays()
             toks = np.asarray(sample_tokens_per_row(
-                self._pen_apply(logits), temps, sub, tps, tks, mps))
+                self._pen_apply(logits), temps, sub, tps, tks, mps,
+                seeds, steps))
             self._lp_record(logits, toks)
             for slot in range(self.num_slots):
                 if self.slots[slot] is not None:
@@ -1212,8 +1250,10 @@ class ContinuousBatcher:
         # slots): penalized greedy slots take their next token from the
         # penalized argmax via the sampled0 path below, like temperature>0
         # slots — they fed no drafts (_propose_fed)
+        seeds, steps = self._seed_arrays()
         sampled0 = np.asarray(sample_tokens_per_row(
-            self._pen_apply(logits[:, 0]), temps, sub, tps, tks, mps))
+            self._pen_apply(logits[:, 0]), temps, sub, tps, tks, mps,
+            seeds, steps))
         # logprob slots take the sampled0 path (they fed no drafts), so
         # their per-round token is sampled0[slot] — record its entry from
         # the raw position-0 logits
